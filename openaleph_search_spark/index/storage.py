@@ -1,0 +1,84 @@
+"""Index storage layout + readers.
+
+The index is a set of columnar tables under one directory — the Spark
+re-expression of an ES index (shards ≈ doc-id-range partitions; segment
+files ≈ parquet block rows; cluster state ≈ ``meta.json``).  Written as
+plain parquet here; on a cluster the same layout maps 1:1 onto Iceberg
+tables (partitioned-by shard) — the container has no Iceberg runtime
+jar, so the format is pluggable via ``table_format``.
+
+Layout::
+
+    <index_dir>/
+      meta.json            build config: P, num_shards, block_size, k1/b,
+                           with_positions, analyzer version, n_docs, avgdl
+      manifest/part=K.json per-source-partition checkpoint + lineage
+                           (north_rule resumability)
+      doc_meta/part=K.parquet
+      tf_runs/part=K.parquet   SPIMI runs (intermediate, resumable)
+      postings/shard=S/*.parquet
+      term_stats/*.parquet
+"""
+from __future__ import annotations
+
+import json
+import os
+import glob
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IndexStorage:
+    def __init__(self, index_dir: str):
+        self.root = index_dir
+        self.meta_path = os.path.join(index_dir, "meta.json")
+        self.manifest_dir = os.path.join(index_dir, "manifest")
+        self.doc_meta_dir = os.path.join(index_dir, "doc_meta")
+        self.tf_runs_dir = os.path.join(index_dir, "tf_runs")
+        self.postings_dir = os.path.join(index_dir, "postings")
+        self.term_stats_dir = os.path.join(index_dir, "term_stats")
+
+    # -- meta ---------------------------------------------------------------
+    def write_meta(self, meta: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
+        os.replace(tmp, self.meta_path)
+
+    def read_meta(self) -> dict:
+        with open(self.meta_path) as f:
+            return json.load(f)
+
+    def exists(self) -> bool:
+        return os.path.exists(self.meta_path)
+
+    # -- manifest (per-partition checkpoints) --------------------------------
+    def manifest_path(self, src_part: int) -> str:
+        return os.path.join(self.manifest_dir, f"part={src_part}.json")
+
+    def completed_partitions(self) -> dict[int, dict]:
+        """Map src_part → manifest row for partitions already built."""
+        out: dict[int, dict] = {}
+        for p in glob.glob(os.path.join(self.manifest_dir, "part=*.json")):
+            try:
+                with open(p) as f:
+                    row = json.load(f)
+                if row.get("status") == "done":
+                    out[int(row["src_part"])] = row
+            except (ValueError, OSError, json.JSONDecodeError):
+                continue
+        return out
+
+    # -- table readers --------------------------------------------------------
+    def doc_meta(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.doc_meta_dir, "*.parquet"))
+
+    def tf_runs(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.tf_runs_dir, "*.parquet"))
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.postings_dir)
+
+    def term_stats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.term_stats_dir)

@@ -1,0 +1,164 @@
+"""Engine facade — the public API surface mirroring the reference's
+``search_query_string`` lifecycle
+(/root/reference/openaleph_search/search/logic.py:25-33 →
+query/queries.py:111 → query/base.py:469-533), Spark-first.
+
+Lifecycle: parse (driver) → plan (IR + filter split) → execute
+(per-shard grouped-map scatter, tiny gather) → hydrate (join doc_meta).
+Facet/post_filter interplay (Q10/A8): each facet is computed with every
+*other* facet's filter applied; hits get all filters — the match set is
+computed once and the branches reuse it
+(/root/reference/openaleph_search/query/base.py:99-123,226-238).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..analysis.analyzer import analyze_text
+from ..index.storage import IndexStorage
+from .executor import SearchExecutor
+from .facets import cardinality, metric_aggs, terms_facet
+from .ir import Bool, MatchAll, Node, PrefixLeaf
+from .parser import SearchArgs, parse_args, parse_query_string
+
+
+@dataclass
+class SearchResult:
+    hits: DataFrame          # doc_id, score, repo, path, commit, lang, doc_len
+    total: int | None = None
+    facets: dict[str, DataFrame] = field(default_factory=dict)
+    facet_totals: dict[str, DataFrame] = field(default_factory=dict)
+    metrics: DataFrame | None = None
+
+    def hit_rows(self, offset: int = 0, limit: int = 20) -> list[dict]:
+        rows = self.hits.limit(offset + limit).collect()
+        return [r.asDict() for r in rows[offset:]]
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.storage = IndexStorage(index_dir)
+        self.executor = SearchExecutor(spark, self.storage)
+        self._doc_meta: DataFrame | None = None
+
+    # -- public surface -------------------------------------------------------
+    def analyze(self, text: str) -> list[tuple[str, int]]:
+        """Debug/UX tokenizer endpoint (reference search/logic.py:42-69)."""
+        return analyze_text(text)
+
+    @property
+    def doc_meta(self) -> DataFrame:
+        if self._doc_meta is None:
+            self._doc_meta = self.storage.doc_meta(self.spark)
+        return self._doc_meta
+
+    def search(self, args: dict | SearchArgs, with_total: bool = False
+               ) -> SearchResult:
+        sa = args if isinstance(args, SearchArgs) else parse_args(args)
+        tree = self._plan(sa)
+
+        # split filters: filters on faceted fields become post-filters
+        # (reference base.py:99-123) so each facet excludes its own.
+        post_fields = [f for f in sa.facets if f in sa.filters]
+        pre_filters = {f: v for f, v in sa.filters.items()
+                       if f not in post_fields}
+        pre_pred = self._predicate(pre_filters, sa)
+        base_meta = self.doc_meta.filter(pre_pred) if pre_pred is not None \
+            else self.doc_meta
+
+        need_full_match = bool(sa.facets or sa.facet_total or sa.metrics
+                               or sa.sort or with_total)
+        if isinstance(tree, MatchAll):
+            matched = base_meta.withColumn("score", F.lit(0.0))
+        elif need_full_match:
+            ids = self.executor.run(tree, k=None, filter_df=base_meta)
+            matched = base_meta.join(ids, "doc_id")
+        else:
+            filter_df = base_meta if (pre_pred is not None
+                                      or post_fields) else None
+            topk = self.executor.topk(tree, sa.k, filter_df=filter_df)
+            hits = (topk.join(self.doc_meta, "doc_id")
+                    .orderBy(F.desc("score"), F.asc("doc_id")))
+            if post_fields:
+                hits = hits.filter(self._post_pred(sa, post_fields))
+            return SearchResult(hits=hits.limit(sa.k))
+
+        facets, facet_totals = {}, {}
+        for f in sa.facets:
+            others = [g for g in post_fields if g != f]
+            branch = matched.filter(self._post_pred(sa, others)) \
+                if others else matched
+            facets[f] = terms_facet(branch, f, sa.facet_size.get(f, 20))
+            if f in sa.facet_total:
+                facet_totals[f] = cardinality(branch, f)
+
+        fully = matched.filter(self._post_pred(sa, post_fields)) \
+            if post_fields else matched
+        metrics_df = metric_aggs(fully, sa.metrics) if sa.metrics else None
+        total = fully.count() if with_total else None
+
+        if sa.sort:
+            order = [F.col(f).asc_nulls_last() if asc
+                     else F.col(f).desc_nulls_last() for f, asc in sa.sort]
+            hits = fully.orderBy(*order, F.asc("doc_id"))
+        elif isinstance(tree, MatchAll):
+            hits = fully.orderBy(F.asc("doc_id"))  # _doc order, no scoring
+        else:
+            hits = fully.orderBy(F.desc("score"), F.asc("doc_id"))
+        return SearchResult(hits=hits.limit(sa.k) if sa.k else hits.limit(0),
+                            total=total, facets=facets,
+                            facet_totals=facet_totals, metrics=metrics_df)
+
+    def count(self, args: dict | SearchArgs) -> int:
+        """Q31: filtered match count without hits."""
+        sa = args if isinstance(args, SearchArgs) else parse_args(args)
+        tree = self._plan(sa)
+        pred = self._predicate(sa.filters, sa)
+        base = self.doc_meta.filter(pred) if pred is not None else self.doc_meta
+        if isinstance(tree, MatchAll):
+            return base.count()
+        return self.executor.run(tree, k=None, filter_df=base).count()
+
+    # -- planning helpers -----------------------------------------------------
+    def _plan(self, sa: SearchArgs) -> Node:
+        tree = parse_query_string(sa.q)
+        if sa.prefix:
+            leaf = PrefixLeaf(sa.prefix.lower())
+            tree = leaf if isinstance(tree, MatchAll) \
+                else Bool(must=[tree, leaf])
+        return tree
+
+    def _predicate(self, filters: dict[str, list[str]], sa: SearchArgs):
+        pred = None
+
+        def conj(p):
+            nonlocal pred
+            pred = p if pred is None else (pred & p)
+
+        for f, vals in filters.items():
+            conj(F.col(f) == vals[0] if len(vals) == 1
+                 else F.col(f).isin(vals))
+        for f, vals in sa.excludes.items():
+            conj(~(F.col(f).isin(vals)) | F.col(f).isNull())
+        for f in sa.empties:
+            conj(F.col(f).isNull())
+        for f, ops in sa.ranges.items():
+            for op, v in ops.items():
+                col = F.col(f)
+                lit = F.lit(v).cast(self.doc_meta.schema[f].dataType) \
+                    if f in self.doc_meta.columns else F.lit(v)
+                conj({"gte": col >= lit, "lte": col <= lit,
+                      "gt": col > lit, "lt": col < lit}[op])
+        return pred
+
+    def _post_pred(self, sa: SearchArgs, fields: list[str]):
+        pred = F.lit(True)
+        for f in fields:
+            vals = sa.filters.get(f, [])
+            if vals:
+                pred = pred & (F.col(f) == vals[0] if len(vals) == 1
+                               else F.col(f).isin(vals))
+        return pred

@@ -1,0 +1,434 @@
+"""Distributed top-k BM25 execution over the postings table.
+
+The reference delegates retrieval to ES/Lucene (WAND + impacts,
+implicit; /root/reference/openaleph_search/query/base.py:515-533 just
+calls ``es.search``).  Here the physical strategy is Spark-native:
+
+  scatter:  postings filtered to the query's terms (parquet predicate
+            pushdown on ``term`` + partition pruning on ``shard``)
+            → per-shard grouped-map evaluator (one task per doc-range
+            shard ≈ one ES shard search)
+  gather:   each shard emits ≤ k rows → global orderBy().limit(k)
+            (tiny: shards × k rows)
+
+The per-shard evaluator is a vectorized **block-max term-at-a-time
+top-k** (MaxScore family, same skip machinery as block-max WAND):
+
+* terms processed in descending max-impact order
+  (``idf × max block_max_tfnorm``);
+* once the running k-th best score θ exceeds the summed max impacts of
+  the unprocessed terms, no new doc can enter the top-k → remaining
+  terms decode **only blocks whose [first_doc, last_doc] range overlaps
+  current candidates** (binary search on block metadata — this is the
+  block-max skip);
+* AND chains evaluate rarest-first and restrict later terms' block
+  decodes to the running intersection.
+
+Scores are exact float64 Lucene BM25 regardless of pruning (pruning
+only skips docs that provably cannot reach the top-k), so results are
+rank- AND score-identical across shard counts and parallelism levels.
+
+Filters (dataset/lang/… predicates) are pushed into the evaluator by
+cogrouping an allowed-doc_id DataFrame per shard — the filter stays
+distributed, never collected to the driver.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..index.build import DOC_ID_PART_SHIFT
+from ..index.codec import bm25_idf, bm25_tfnorm, decode_block, decode_positions
+from ..index.storage import IndexStorage
+from .ir import Bool, MatchAll, Node, PhraseLeaf, PrefixLeaf, TermLeaf
+
+RESULT_SCHEMA = "doc_id long, score double"
+
+
+# ---------------------------------------------------------------------------
+# sorted-array merge helpers (all vectorized)
+# ---------------------------------------------------------------------------
+
+def _merge_sum(ids_a, sc_a, ids_b, sc_b):
+    """Union of two sorted (ids, scores) maps, summing scores."""
+    ids = np.concatenate([ids_a, ids_b])
+    sc = np.concatenate([sc_a, sc_b])
+    order = np.argsort(ids, kind="mergesort")
+    ids, sc = ids[order], sc[order]
+    if ids.size == 0:
+        return ids, sc
+    new = np.empty(ids.size, dtype=bool)
+    new[0] = True
+    np.not_equal(ids[1:], ids[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    return ids[starts], np.add.reduceat(sc, starts)
+
+
+def _intersect_sum(ids_a, sc_a, ids_b, sc_b):
+    """Intersection of two sorted maps, summing scores."""
+    common, ia, ib = np.intersect1d(ids_a, ids_b, assume_unique=True,
+                                    return_indices=True)
+    return common, sc_a[ia] + sc_b[ib]
+
+
+def _setdiff(ids_a, sc_a, ids_b):
+    mask = ~np.isin(ids_a, ids_b, assume_unique=True)
+    return ids_a[mask], sc_a[mask]
+
+
+class _ShardEval:
+    """Evaluates one query tree over one shard's posting blocks."""
+
+    def __init__(self, blocks_by_term: dict[str, pd.DataFrame],
+                 idf: dict[str, float], k: int | None,
+                 allowed: np.ndarray | None, k1: float, b: float,
+                 avgdl: float):
+        self.blocks = blocks_by_term
+        self.idf = idf
+        self.k = k
+        self.allowed = allowed  # sorted doc_ids or None
+        self.k1 = k1
+        self.b = b
+        self.avgdl = avgdl
+
+    # -- postings decode ----------------------------------------------------
+    def _term_blocks(self, term: str,
+                     candidates: np.ndarray | None) -> pd.DataFrame | None:
+        pdf = self.blocks.get(term)
+        if pdf is None or pdf.empty:
+            return None
+        if candidates is not None:
+            lo = np.searchsorted(candidates, pdf["first_doc"].to_numpy())
+            hi = np.searchsorted(candidates, pdf["last_doc"].to_numpy(),
+                                 side="right")
+            pdf = pdf[hi > lo]  # block range contains ≥1 candidate
+            if pdf.empty:
+                return None
+        return pdf
+
+    def _decode_term(self, term: str, candidates: np.ndarray | None = None,
+                     want_positions: bool = False):
+        """→ (doc_ids, scores, dls, positions) sorted by doc_id,
+        restricted to ``allowed`` and optionally to ``candidates``.
+        ``positions`` is a list of per-doc arrays (empty unless asked)."""
+        pdf = self._term_blocks(term, candidates)
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64),
+                 np.empty(0, np.float64), [])
+        if pdf is None:
+            return empty
+        ids_l, tfs_l, dls_l, pos_l = [], [], [], []
+        for _, row in pdf.iterrows():
+            d, t, l = decode_block(row)
+            ps = decode_positions(row["pos_payload"], t) if want_positions \
+                else None
+            d = d.astype(np.int64)
+            keep = None
+            if candidates is not None:
+                keep = np.isin(d, candidates, assume_unique=True)
+            if self.allowed is not None:
+                m2 = np.isin(d, self.allowed, assume_unique=True)
+                keep = m2 if keep is None else (keep & m2)
+            if keep is not None:
+                d, t, l = d[keep], t[keep], l[keep]
+                if ps is not None:
+                    ps = [p for p, kf in zip(ps, keep) if kf]
+            if d.size == 0:
+                continue
+            ids_l.append(d)
+            tfs_l.append(t)
+            dls_l.append(l)
+            if ps is not None:
+                pos_l.extend(ps)
+        if not ids_l:
+            return empty
+        ids = np.concatenate(ids_l)
+        tfs = np.concatenate(tfs_l)
+        dls = np.concatenate(dls_l).astype(np.float64)
+        scores = self.idf.get(term, 0.0) * bm25_tfnorm(
+            tfs, dls, self.avgdl, self.k1, self.b)
+        return ids, scores, dls, pos_l
+
+    # -- node evaluation ------------------------------------------------------
+    def eval(self, node: Node, candidates: np.ndarray | None = None):
+        if isinstance(node, TermLeaf):
+            ids, sc, _, _ = self._decode_term(node.term, candidates)
+            return ids, sc * node.boost
+        if isinstance(node, PrefixLeaf):
+            acc = (np.empty(0, np.int64), np.empty(0, np.float64))
+            for t in (node.expanded or []):
+                ids, sc, _, _ = self._decode_term(t, candidates)
+                acc = _merge_sum(*acc, ids, sc * node.boost)
+            return acc
+        if isinstance(node, PhraseLeaf):
+            return self._eval_phrase(node, candidates)
+        if isinstance(node, Bool):
+            return self._eval_bool(node, candidates)
+        if isinstance(node, MatchAll):
+            raise ValueError("match_all reaches the executor only via the "
+                             "filter-only fast path")
+        raise TypeError(type(node))
+
+    def _eval_bool(self, node: Bool, candidates: np.ndarray | None):
+        ids = scores = None
+        if node.must:
+            # rarest-first: estimate df by total block doc_count in shard
+            def est(n: Node) -> int:
+                return sum(int(self.blocks[t]["doc_count"].sum())
+                           for leaf in n.leaves()
+                           for t in self._leaf_terms(leaf)
+                           if t in self.blocks)
+            for child in sorted(node.must, key=est):
+                c_ids, c_sc = self.eval(child, candidates)
+                if ids is None:
+                    ids, scores = c_ids, c_sc
+                else:
+                    ids, scores = _intersect_sum(ids, scores, c_ids, c_sc)
+                candidates = ids  # narrow later children's block decodes
+                if ids.size == 0:
+                    break
+        if node.should:
+            sh_ids, sh_sc = self._eval_should(node.should, candidates,
+                                              gate=not node.must)
+            if ids is None:
+                ids, scores = sh_ids, sh_sc
+            else:
+                # shoulds only boost docs already matching the musts
+                common, ii, si = np.intersect1d(ids, sh_ids,
+                                                assume_unique=True,
+                                                return_indices=True)
+                scores = scores.copy()
+                scores[ii] += sh_sc[si]
+        if ids is None:
+            ids = np.empty(0, np.int64)
+            scores = np.empty(0, np.float64)
+        if node.must_not and ids.size:
+            for child in node.must_not:
+                ex_ids, _ = self.eval(child, ids)
+                ids, scores = _setdiff(ids, scores, ex_ids)
+                if ids.size == 0:
+                    break
+        return ids, scores
+
+    def _leaf_terms(self, leaf) -> list[str]:
+        if isinstance(leaf, TermLeaf):
+            return [leaf.term]
+        if isinstance(leaf, PhraseLeaf):
+            return leaf.terms
+        if isinstance(leaf, PrefixLeaf):
+            return leaf.expanded or []
+        return []
+
+    def _eval_should(self, children: list[Node],
+                     candidates: np.ndarray | None, gate: bool):
+        """Disjunction with block-max pruning (MaxScore/BMW family).
+
+        Children are processed in descending max-impact order; once the
+        running k-th best partial score θ exceeds the summed remaining
+        max impacts, later children decode only candidate-overlapping
+        blocks (no new doc can still reach the top-k).
+        """
+        def max_impact(n: Node) -> float:
+            tot = 0.0
+            for leaf in n.leaves():
+                for t in self._leaf_terms(leaf):
+                    pdf = self.blocks.get(t)
+                    if pdf is not None and len(pdf):
+                        tot += (self.idf.get(t, 0.0)
+                                * float(pdf["block_max_tfnorm"].max()))
+            return tot
+
+        impacts = [(max_impact(c), i, c) for i, c in enumerate(children)]
+        impacts.sort(key=lambda x: (-x[0], x[1]))
+        remaining = sum(im for im, _, _ in impacts)
+        acc_ids = np.empty(0, np.int64)
+        acc_sc = np.empty(0, np.float64)
+        prune = self.k is not None and gate and candidates is None
+        for im, _, child in impacts:
+            remaining -= im
+            restricted = candidates
+            if prune and self.k and acc_ids.size >= self.k:
+                theta = np.partition(acc_sc, acc_sc.size - self.k)[
+                    acc_sc.size - self.k]
+                if theta >= remaining and remaining > 0.0:
+                    restricted = acc_ids  # block-max skip: candidates only
+            c_ids, c_sc = self.eval(child, restricted)
+            if restricted is acc_ids and restricted is not candidates:
+                # candidates-only mode: drop docs not already accumulated
+                m = np.isin(c_ids, acc_ids, assume_unique=True)
+                c_ids, c_sc = c_ids[m], c_sc[m]
+            acc_ids, acc_sc = _merge_sum(acc_ids, acc_sc, c_ids, c_sc)
+        return acc_ids, acc_sc
+
+    # -- phrase --------------------------------------------------------------
+    def _eval_phrase(self, node: PhraseLeaf, candidates: np.ndarray | None):
+        """Positional phrase: tf = #anchors with all terms within slop;
+        idf = Σ term idfs (Lucene PhraseQuery scoring shape)."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        terms = node.terms
+        uniq = sorted(set(terms))
+        # 1. intersect doc sets rarest-first (docs/tfs only)
+        inter = candidates
+        order = sorted(uniq, key=lambda t: (
+            int(self.blocks[t]["doc_count"].sum())
+            if t in self.blocks else 0))
+        for t in order:
+            ids, _, _, _ = self._decode_term(t, inter)
+            inter = ids if inter is None else np.intersect1d(
+                ids, inter, assume_unique=True)
+            if inter is None or inter.size == 0:
+                return empty
+        # 2. decode positions restricted to the intersection
+        pos_by_uterm: dict[str, dict[int, np.ndarray]] = {}
+        dls_final: dict[int, float] = {}
+        for t in uniq:
+            ids, _, dls, pos_list = self._decode_term(
+                t, inter, want_positions=True)
+            pos_by_uterm[t] = dict(zip(ids.tolist(), pos_list))
+            dls_final.update(zip(ids.tolist(), dls.tolist()))
+        # 3. per-candidate alignment count
+        out_ids, out_tf, out_dl = [], [], []
+        for d in inter:
+            plists = [pos_by_uterm[t].get(int(d)) for t in terms]
+            if any(p is None or len(p) == 0 for p in plists):
+                continue
+            adj = [np.asarray(p, dtype=np.int64) - i
+                   for i, p in enumerate(plists)]
+            if node.slop == 0:
+                common = adj[0]
+                for a in adj[1:]:
+                    common = np.intersect1d(common, a, assume_unique=True)
+                    if common.size == 0:
+                        break
+                tf = int(common.size)
+            else:
+                tf = 0
+                for anchor in adj[0]:
+                    ok = all(np.abs(a - anchor).min() <= node.slop
+                             for a in adj[1:])
+                    tf += bool(ok)
+            if tf > 0:
+                out_ids.append(int(d))
+                out_tf.append(tf)
+                out_dl.append(dls_final[int(d)])
+        if not out_ids:
+            return empty
+        ids = np.asarray(out_ids, dtype=np.int64)
+        tfs = np.asarray(out_tf, dtype=np.float64)
+        dls = np.asarray(out_dl, dtype=np.float64)
+        idf_sum = sum(self.idf.get(t, 0.0) for t in terms)
+        scores = idf_sum * bm25_tfnorm(tfs, dls, self.avgdl, self.k1, self.b)
+        return ids, scores * node.boost
+
+
+# ---------------------------------------------------------------------------
+# driver-side planning + Spark wiring
+# ---------------------------------------------------------------------------
+
+class SearchExecutor:
+    def __init__(self, spark: SparkSession, storage: IndexStorage):
+        self.spark = spark
+        self.storage = storage
+        self.meta = storage.read_meta()
+
+    def _expand_prefixes(self, tree: Node) -> None:
+        """Plan-time prefix rewrite against the term dictionary
+        (ES query_string top-terms rewrite, capped expansions)."""
+        prefixes = [l for l in tree.leaves() if isinstance(l, PrefixLeaf)]
+        if not prefixes:
+            return
+        ts = self.storage.term_stats(self.spark)
+        for leaf in prefixes:
+            hi = leaf.prefix + "￿"
+            rows = (ts.filter((F.col("term") >= leaf.prefix)
+                              & (F.col("term") < hi))
+                      .orderBy(F.desc("df"), "term")
+                      .limit(leaf.max_expansions).collect())
+            leaf.expanded = [r["term"] for r in rows]
+
+    def _collect_terms(self, tree: Node) -> list[str]:
+        terms: set[str] = set()
+        for leaf in tree.leaves():
+            if isinstance(leaf, TermLeaf):
+                terms.add(leaf.term)
+            elif isinstance(leaf, PhraseLeaf):
+                terms.update(leaf.terms)
+            elif isinstance(leaf, PrefixLeaf):
+                terms.update(leaf.expanded or [])
+        return sorted(terms)
+
+    def shard_col(self, doc_id_col):
+        P = self.meta["num_partitions"]
+        S = self.meta["num_shards"]
+        return ((F.shiftright(doc_id_col, DOC_ID_PART_SHIFT) * S) / F.lit(P)
+                ).cast("int")
+
+    def run(self, tree: Node, k: int | None,
+            filter_df: DataFrame | None = None) -> DataFrame:
+        """Execute a scored query → DataFrame(doc_id, score).
+
+        ``k=None`` returns ALL matching docs (facet/count path);
+        otherwise each shard emits ≤ k rows and the caller applies the
+        global orderBy/limit (the gather phase is shards × k rows).
+        ``filter_df`` is a DataFrame with a ``doc_id`` column; it is
+        cogrouped per shard (stays distributed).
+        """
+        self._expand_prefixes(tree)
+        terms = self._collect_terms(tree)
+        if not terms:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+
+        n_docs = float(self.meta["n_docs"])
+        avgdl = float(self.meta["avgdl"])
+        k1, b = float(self.meta["k1"]), float(self.meta["b"])
+        stats = (self.storage.term_stats(self.spark)
+                 .filter(F.col("term").isin(terms)).collect())
+        idf = {r["term"]: float(bm25_idf(float(r["df"]), n_docs))
+               for r in stats}
+
+        postings = (self.storage.postings(self.spark)
+                    .filter(F.col("term").isin(terms)))
+
+        def make_eval(blocks_pdf: pd.DataFrame,
+                      allowed: np.ndarray | None) -> pd.DataFrame:
+            if blocks_pdf.empty:
+                return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                     "score": pd.Series(dtype=np.float64)})
+            by_term = {
+                t: g.sort_values(["first_doc"])
+                for t, g in blocks_pdf.groupby("term", sort=False)}
+            ev = _ShardEval(by_term, idf, k, allowed, k1, b, avgdl)
+            ids, scores = ev.eval(tree)
+            if k is not None and ids.size > k:
+                # per-shard top-k: exact selection incl. doc_id tiebreak
+                order = np.lexsort((ids, -scores))[:k]
+                ids, scores = ids[order], scores[order]
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+
+        if filter_df is not None:
+            fdf = (filter_df.select("doc_id")
+                   .withColumn("shard", self.shard_col(F.col("doc_id"))))
+
+            def cg(pkey, posting_pdf: pd.DataFrame,
+                   allow_pdf: pd.DataFrame) -> pd.DataFrame:
+                allowed = np.sort(allow_pdf["doc_id"].to_numpy(np.int64))
+                if allowed.size == 0 or posting_pdf.empty:
+                    return pd.DataFrame({
+                        "doc_id": pd.Series(dtype=np.int64),
+                        "score": pd.Series(dtype=np.float64)})
+                return make_eval(posting_pdf, allowed)
+
+            res = (postings.groupBy("shard")
+                   .cogroup(fdf.groupBy("shard"))
+                   .applyInPandas(lambda key, l, r: cg(key, l, r),
+                                  RESULT_SCHEMA))
+        else:
+            res = postings.groupBy("shard").applyInPandas(
+                lambda key, pdf: make_eval(pdf, None), RESULT_SCHEMA)
+        return res
+
+    def topk(self, tree: Node, k: int,
+             filter_df: DataFrame | None = None) -> DataFrame:
+        """Global top-k: per-shard heaps → tiny global sort-limit."""
+        res = self.run(tree, k, filter_df)
+        return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

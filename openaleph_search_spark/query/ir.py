@@ -1,0 +1,80 @@
+"""Query IR — the logical search plan.
+
+The reference compiles parser args into Elasticsearch bool-DSL JSON
+(/root/reference/openaleph_search/query/base.py:135-144,469-487); our
+compiler targets this dataclass IR instead, and the executor lowers it
+onto postings DataFrames.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Node:
+    """Base class for scored query-tree nodes."""
+
+    def leaves(self) -> list["TermLeaf | PhraseLeaf | PrefixLeaf"]:
+        raise NotImplementedError
+
+
+@dataclass
+class TermLeaf(Node):
+    """Single analyzed term against the fulltext field (scored, BM25)."""
+    term: str
+    boost: float = 1.0
+
+    def leaves(self):
+        return [self]
+
+
+@dataclass
+class PhraseLeaf(Node):
+    """Positional phrase ("..." / "..."~slop); ES match_phrase analogue.
+
+    Score: Lucene PhraseQuery — idf = Σ idf(term), tf = phrase freq
+    (number of in-order alignments with span width ≤ len + slop).
+    """
+    terms: list[str]
+    slop: int = 0
+    boost: float = 1.0
+
+    def leaves(self):
+        return [self]
+
+
+@dataclass
+class PrefixLeaf(Node):
+    """Trailing-wildcard term (``vla*``); expands against the term
+    dictionary at plan time (ES query_string prefix rewrite)."""
+    prefix: str
+    boost: float = 1.0
+    expanded: list[str] | None = None  # filled by the planner
+    max_expansions: int = 50
+
+    def leaves(self):
+        return [self]
+
+
+@dataclass
+class Bool(Node):
+    """should/must/must_not composition; additive BM25 scoring
+    (reference Q9, query/util.py:20-26). ``min_should`` defaults to 1
+    when there are no musts (pure disjunction gate)."""
+    must: list[Node] = field(default_factory=list)
+    should: list[Node] = field(default_factory=list)
+    must_not: list[Node] = field(default_factory=list)
+
+    def leaves(self):
+        out = []
+        for n in (*self.must, *self.should, *self.must_not):
+            out.extend(n.leaves())
+        return out
+
+
+@dataclass
+class MatchAll(Node):
+    """Empty query → match_all, no scoring, _doc order
+    (reference base.py:50-53,373-374)."""
+
+    def leaves(self):
+        return []

@@ -1,0 +1,245 @@
+"""Query-string parser + search-args parser.
+
+Mirrors the reference's Lucene ``query_string`` surface (terms,
+"phrases", "phrase"~N proximity, AND/OR/NOT/-, parentheses, trailing
+wildcards, **default operator AND**;
+/root/reference/openaleph_search/query/base.py:55-66,
+settings.py:139, semantics exercised in tests/test_search.py:157-173,
+771-921) and the URL-arg dialect of
+/root/reference/openaleph_search/parse/parser.py:145-341 (filter:*,
+exclude:*, empty:*, facet*, metric:*, sort, offset/limit).
+
+Query text is run through the SAME analyzer as index time, so folding/
+lowercasing match (``Félix`` finds ``felix``).
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from ..analysis.analyzer import analyze_query_terms
+from .ir import Bool, MatchAll, Node, PhraseLeaf, PrefixLeaf, TermLeaf
+
+MAX_PAGE = 9999  # reference settings.py:7
+
+_TOKEN_SPLIT = re.compile(
+    r'"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?'
+    r"|\((?P<lparen>)"
+    r"|\)(?P<rparen>)"
+    r"|(?P<word>[^\s()]+)"
+)
+
+
+@dataclass
+class _Tok:
+    kind: str  # phrase | word | lparen | rparen
+    text: str = ""
+    slop: int = 0
+
+
+def _lex(q: str) -> list[_Tok]:
+    toks = []
+    for m in _TOKEN_SPLIT.finditer(q):
+        if m.group("phrase") is not None:
+            toks.append(_Tok("phrase", m.group("phrase"),
+                             int(m.group("slop") or 0)))
+        elif m.group("lparen") is not None:
+            toks.append(_Tok("lparen"))
+        elif m.group("rparen") is not None:
+            toks.append(_Tok("rparen"))
+        else:
+            toks.append(_Tok("word", m.group("word")))
+    return toks
+
+
+class QueryStringParser:
+    """Recursive-descent parser → IR. Lenient: unbalanced parens and
+    dangling operators degrade to terms (reference uses ES lenient mode)."""
+
+    def __init__(self, q: str):
+        self.toks = _lex(q)
+        self.i = 0
+
+    def _peek(self) -> _Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse(self) -> Node:
+        node = self._or_expr()
+        return node if node is not None else MatchAll()
+
+    def _or_expr(self) -> Node | None:
+        parts = []
+        left = self._and_expr()
+        if left is not None:
+            parts.append(left)
+        while True:
+            t = self._peek()
+            if t and t.kind == "word" and t.text.upper() == "OR":
+                self._next()
+                nxt = self._and_expr()
+                if nxt is not None:
+                    parts.append(nxt)
+            else:
+                break
+        if not parts:
+            return None
+        if len(parts) == 1:
+            return parts[0]
+        return Bool(should=parts)
+
+    def _and_expr(self) -> Node | None:
+        must: list[Node] = []
+        must_not: list[Node] = []
+        while True:
+            t = self._peek()
+            if t is None or t.kind == "rparen":
+                break
+            if t.kind == "word" and t.text.upper() == "OR":
+                break
+            if t.kind == "word" and t.text.upper() == "AND":
+                self._next()
+                continue
+            negate = False
+            if t.kind == "word" and (t.text.upper() == "NOT" or t.text == "-"):
+                self._next()
+                negate = True
+                t = self._peek()
+                if t is None:
+                    break
+            node = self._atom()
+            if node is None:
+                continue
+            (must_not if negate else must).append(node)
+        if not must and not must_not:
+            return None
+        if len(must) == 1 and not must_not:
+            return must[0]
+        return Bool(must=must, must_not=must_not)
+
+    def _atom(self) -> Node | None:
+        t = self._next()
+        if t.kind == "lparen":
+            inner = self._or_expr()
+            nxt = self._peek()
+            if nxt and nxt.kind == "rparen":
+                self._next()
+            return inner
+        if t.kind == "rparen":
+            return None
+        if t.kind == "phrase":
+            terms = analyze_query_terms(t.text)
+            if not terms:
+                return None
+            if len(terms) == 1:
+                return TermLeaf(terms[0])
+            return PhraseLeaf(terms, slop=t.slop)
+        # word
+        word = t.text
+        if word.startswith("-") and len(word) > 1:
+            inner = QueryStringParser.__new__(QueryStringParser)
+            inner.toks = [_Tok("word", word[1:])]
+            inner.i = 0
+            node = inner._atom()
+            return Bool(must_not=[node]) if node else None
+        if word.endswith("*") and len(word) > 1 and "*" not in word[:-1]:
+            terms = analyze_query_terms(word[:-1])
+            if terms:
+                return PrefixLeaf(terms[0])
+            return None
+        terms = analyze_query_terms(word)
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return TermLeaf(terms[0])
+        # one input word analyzing into several terms (e.g. ZWJ capture,
+        # hyphenated): all at the same position → treat as conjunction
+        return Bool(must=[TermLeaf(x) for x in terms])
+
+
+def parse_query_string(q: str | None) -> Node:
+    if not q or not q.strip():
+        return MatchAll()
+    return QueryStringParser(q).parse()
+
+
+# ---------------------------------------------------------------------------
+# search args (the URL-dialect of the reference SearchQueryParser)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SearchArgs:
+    q: str | None = None
+    prefix: str | None = None
+    offset: int = 0
+    limit: int = 20
+    filters: dict[str, list[str]] = field(default_factory=dict)
+    excludes: dict[str, list[str]] = field(default_factory=dict)
+    empties: list[str] = field(default_factory=list)
+    ranges: dict[str, dict[str, str]] = field(default_factory=dict)  # f→op→v
+    facets: list[str] = field(default_factory=list)
+    facet_size: dict[str, int] = field(default_factory=dict)
+    facet_total: list[str] = field(default_factory=list)
+    facet_interval: dict[str, str] = field(default_factory=dict)
+    metrics: dict[str, list[str]] = field(default_factory=dict)  # op→props
+    sort: list[tuple[str, bool]] = field(default_factory=list)  # (field, asc)
+
+    @property
+    def k(self) -> int:
+        return min(self.offset + self.limit, MAX_PAGE)
+
+
+_RANGE_OPS = ("gte", "lte", "gt", "lt")
+
+
+def parse_args(args: dict[str, list[str] | str]) -> SearchArgs:
+    """Parse a reference-dialect arg multidict
+    (/root/reference/openaleph_search/parse/parser.py:145-341)."""
+    out = SearchArgs()
+    for key, vals in args.items():
+        if not isinstance(vals, (list, tuple)):
+            vals = [str(vals)]
+        else:
+            vals = [str(v) for v in vals]
+        if key == "q":
+            out.q = vals[-1]
+        elif key == "prefix":
+            out.prefix = vals[-1]
+        elif key == "offset":
+            out.offset = max(0, int(vals[-1]))
+        elif key == "limit":
+            out.limit = max(0, int(vals[-1]))
+        elif key == "facet":
+            out.facets.extend(vals)
+        elif key == "sort":
+            for v in vals:
+                fieldname, _, direction = v.partition(":")
+                out.sort.append((fieldname, direction != "desc"))
+        elif key.startswith("filter:"):
+            rest = key[len("filter:"):]
+            op, _, fieldname = rest.partition(":")
+            if op in _RANGE_OPS and fieldname:
+                out.ranges.setdefault(fieldname, {})[op] = vals[-1]
+            else:
+                out.filters.setdefault(rest, []).extend(vals)
+        elif key.startswith("exclude:"):
+            out.excludes.setdefault(key[len("exclude:"):], []).extend(vals)
+        elif key.startswith("empty:"):
+            out.empties.append(key[len("empty:"):])
+        elif key.startswith("facet_size:"):
+            out.facet_size[key[len("facet_size:"):]] = int(vals[-1])
+        elif key.startswith("facet_total:"):
+            out.facet_total.append(key[len("facet_total:"):])
+        elif key.startswith("facet_interval:"):
+            out.facet_interval[key[len("facet_interval:"):]] = vals[-1]
+        elif key.startswith("metric:"):
+            op = key[len("metric:"):]
+            out.metrics.setdefault(op, []).extend(vals)
+    # pagination ceiling, reference parser.py:153-155
+    if out.offset + out.limit > MAX_PAGE:
+        out.limit = max(0, MAX_PAGE - out.offset)
+    return out
