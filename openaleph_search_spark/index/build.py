@@ -100,7 +100,11 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int):
             g_term = t[starts]
             pos_lists = (np.split(p.astype(np.int32), starts[1:])
                          if with_positions else [None] * starts.size)
-            dl_per_doc = np.bincount(row_idx, minlength=n).astype(np.int32)
+            # doc length = #positions (same-position ZWJ annotation terms
+            # count once — Lucene norm discountOverlaps semantics)
+            dl_per_doc = np.zeros(n, dtype=np.int32)
+            np.maximum.at(dl_per_doc, row_idx,
+                          (positions + 1).astype(np.int32))
             run = pd.DataFrame({
                 "term": g_term,
                 "doc_id": doc_ids[g_row],
@@ -163,7 +167,7 @@ def _encode_group(avgdl: float, num_parts: int, num_shards: int,
                   with_positions: bool):
     """Grouped-map fn: (term, shard) posting rows → compressed block rows."""
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         term, shard = key
         pdf = pdf.sort_values("doc_id")
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)

@@ -1,0 +1,98 @@
+"""Index-build invariants: sha256 per-row equality, resume-from-
+checkpoint identity, deterministic rebuild, manifest lineage
+(north_rule + input_hint; FIXTURES.md §6)."""
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from openaleph_search_spark.index.build import build_index
+from openaleph_search_spark.index.storage import IndexStorage
+
+
+def _postings_digest(spark, path):
+    df = spark.read.parquet(os.path.join(path, "postings"))
+    return df.select(
+        F.xxhash64("term", "shard", "block_ord", "first_doc", "last_doc",
+                   "doc_count", "sum_tf", "max_tf", "docs_payload",
+                   "tfs_payload", "dls_payload", "pos_payload").alias("h")
+    ).agg(F.expr("bit_xor(h)").alias("x"), F.count("*").alias("n")).collect()[0]
+
+
+def test_sha256_invariant(spark, fixture_docs_df, fixture_engine):
+    """input_hint: every indexed row preserves content sha256 equality
+    against the source table."""
+    src = fixture_docs_df.select(
+        "repo", "path", "commit", F.sha2("content", 256).alias("h"))
+    dm = fixture_engine.doc_meta.select(
+        "repo", "path", "commit", F.col("content_sha256").alias("h2"))
+    joined = src.join(dm, ["repo", "path", "commit"])
+    assert joined.count() == fixture_docs_df.count()
+    assert joined.filter(F.col("h") != F.col("h2")).count() == 0
+
+
+def test_deterministic_rebuild(spark, fixture_docs_df, fixture_index,
+                               tmp_path):
+    out = str(tmp_path / "idx2")
+    build_index(spark, fixture_docs_df, out, num_partitions=4, num_shards=2)
+    assert tuple(_postings_digest(spark, fixture_index)) == \
+        tuple(_postings_digest(spark, out))
+
+
+def test_resume_from_checkpoint(spark, fixture_docs_df, fixture_index,
+                                tmp_path):
+    """Kill after a subset of partitions → resumed build byte-identical."""
+    out = str(tmp_path / "idx3")
+    build_index(spark, fixture_docs_df, out, num_partitions=4, num_shards=2)
+    # simulate mid-build failure: drop 2 partitions' artifacts
+    victims = [0, 2]
+    removed = 0
+    for k in victims:
+        for d in ("manifest", "tf_runs", "doc_meta"):
+            for p in glob.glob(os.path.join(out, d, f"part={k}*")):
+                os.remove(p)
+                removed += 1
+    assert removed > 0
+    st = build_index(spark, fixture_docs_df, out, num_partitions=4,
+                     num_shards=2, attempt=2)
+    meta = st.read_meta()
+    assert meta["resumed_from"] >= 1
+    assert tuple(_postings_digest(spark, fixture_index)) == \
+        tuple(_postings_digest(spark, out))
+
+
+def test_manifest_lineage_metrics(spark, fixture_index):
+    """north_rule: per-partition lineage with doc/posting-count metrics."""
+    st = IndexStorage(fixture_index)
+    done = st.completed_partitions()
+    assert done
+    total_docs = sum(r["docs"] for r in done.values())
+    assert total_docs == 10  # the fixture corpus
+    for r in done.values():
+        assert r["status"] == "done"
+        assert {"docs", "postings", "tokens", "seconds", "attempt"} <= set(r)
+
+
+def test_doc_ids_monotone_within_partition(fixture_engine):
+    dm = fixture_engine.doc_meta.select("doc_id", "src_part").collect()
+    by_part = {}
+    for r in dm:
+        by_part.setdefault(r["src_part"], []).append(r["doc_id"])
+    for part, ids in by_part.items():
+        assert all((i >> 33) == part for i in ids)
+
+
+def test_stats_and_postings_consistency(spark, fixture_engine,
+                                        fixture_index):
+    st = IndexStorage(fixture_index)
+    meta = st.read_meta()
+    dm = fixture_engine.doc_meta
+    assert meta["n_docs"] == dm.count()
+    avg = dm.agg(F.avg("doc_len")).collect()[0][0]
+    assert abs(meta["avgdl"] - avg) < 1e-9
+    # term_stats df == distinct docs per term in postings
+    ts = st.term_stats(spark)
+    p = st.postings(spark).groupBy("term").agg(
+        F.sum("doc_count").alias("df2"))
+    bad = ts.join(p, "term").filter(F.col("df") != F.col("df2")).count()
+    assert bad == 0

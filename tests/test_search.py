@@ -1,0 +1,205 @@
+"""End-to-end golden search tests: engine (doc_id, score) output vs the
+independent pure-Python BM25 oracle, over the fixture corpus — the
+reference's golden-ranking discipline
+(/root/reference/tests/test_search.py, test_matching.py:42)."""
+import pytest
+
+from tests.conftest import FIXTURE_DOCS
+from tests.oracle import OracleIndex
+
+TOL = 1e-9
+
+
+@pytest.fixture(scope="module")
+def ids_by_path(fixture_engine):
+    rows = fixture_engine.doc_meta.select("doc_id", "path").collect()
+    return {r["path"]: r["doc_id"] for r in rows}
+
+
+@pytest.fixture(scope="module")
+def oracle(ids_by_path):
+    docs = {}
+    for repo, path, commit, lang, content in FIXTURE_DOCS:
+        docs[ids_by_path[path]] = content
+    return OracleIndex(docs)
+
+
+def engine_topk(engine, q, k=10, **args):
+    res = engine.search({"q": q, "limit": k, **args})
+    return [(r["doc_id"], r["score"]) for r in res.hit_rows(0, k)]
+
+
+def assert_rank_identical(got, want):
+    assert len(got) == len(want), (got, want)
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gd == wd, (got, want)
+        assert abs(gs - ws) < TOL, (got, want)
+
+
+def test_single_term(fixture_engine, oracle):
+    got = engine_topk(fixture_engine, "banana")
+    want = oracle.topk(oracle.or_query(["banana"]), 10)
+    assert_rank_identical(got, want)
+    assert len(got) == 2  # banana.txt + crime.go
+
+
+def test_multi_term_default_and(fixture_engine, oracle):
+    got = engine_topk(fixture_engine, "banana nana")
+    want = oracle.topk(oracle.and_query(["banana", "nana"]), 10)
+    assert_rank_identical(got, want)
+
+
+def test_or_query(fixture_engine, oracle):
+    got = engine_topk(fixture_engine, "banana OR kwazulu")
+    want = oracle.topk(oracle.or_query(["banana", "kwazulu"]), 10)
+    assert_rank_identical(got, want)
+    assert len(got) == 4
+
+
+def test_not_query(fixture_engine, oracle):
+    got = engine_topk(fixture_engine, "banana NOT crime")
+    want = oracle.topk(
+        oracle.not_filter(oracle.or_query(["banana"]), ["crime"]), 10)
+    assert_rank_identical(got, want)
+    assert len(got) == 1
+
+
+def test_and_or_combination(fixture_engine, oracle):
+    got = engine_topk(fixture_engine, "banana AND crime OR kwazulu")
+    # grammar: OR binds last → (banana AND crime) OR (kwazulu)
+    want_and = oracle.and_query(["banana", "crime"])
+    want_or = oracle.or_query(["kwazulu"])
+    merged = dict(want_or)
+    for d, s in want_and.items():
+        merged[d] = merged.get(d, 0.0) + s
+    assert_rank_identical(got, oracle.topk(merged, 10))
+
+
+def test_phrase_exact(fixture_engine, oracle):
+    got = engine_topk(fixture_engine, '"banana crime"')
+    want = oracle.topk(oracle.phrase_query(["banana", "crime"]), 10)
+    assert_rank_identical(got, want)
+    assert len(got) == 1
+
+
+def test_phrase_no_match_wrong_order(fixture_engine, oracle):
+    got = engine_topk(fixture_engine, '"crime banana"')
+    assert got == []
+
+
+def test_phrase_slop(fixture_engine, oracle):
+    # "banana wave"~2: crime.go has "banana crime wave" → slop 1 apart
+    got = engine_topk(fixture_engine, '"banana wave"~2')
+    want = oracle.topk(oracle.phrase_query(["banana", "wave"], slop=2), 10)
+    assert_rank_identical(got, want)
+    assert len(got) == 1
+
+
+def test_phrase_three_terms(fixture_engine, oracle):
+    got = engine_topk(fixture_engine, '"paul manafort former"')
+    want = oracle.topk(
+        oracle.phrase_query(["paul", "manafort", "former"]), 10)
+    assert_rank_identical(got, want)
+
+
+def test_folding_cross_script_query(fixture_engine, oracle):
+    # query with accents finds folded terms and vice versa
+    got = engine_topk(fixture_engine, "Félix")
+    want = oracle.topk(oracle.or_query(["felix"]), 10)
+    assert_rank_identical(got, want)
+    assert len(got) == 1
+    got2 = engine_topk(fixture_engine, "cafe")
+    assert len(got2) == 1
+
+
+def test_cyrillic_query(fixture_engine, oracle):
+    got = engine_topk(fixture_engine, "Путин")
+    want = oracle.topk(oracle.or_query(["путин"]), 10)
+    assert_rank_identical(got, want)
+
+
+def test_zwj_annotation_searchable(fixture_engine, oracle):
+    # annotated marker terms are searchable (reference test_search.py:713+)
+    got = engine_topk(fixture_engine, "__per__")
+    want = oracle.topk(oracle.or_query(["__per__"]), 10)
+    assert_rank_identical(got, want)
+    assert len(got) == 1
+
+
+def test_zwj_proximity_phrase(fixture_engine, oracle):
+    # "crime __PER__"~5: marker and crime co-occur within window
+    got = engine_topk(fixture_engine, '"__per__ crime"~5')
+    want = oracle.topk(oracle.phrase_query(["__per__", "crime"], slop=5), 10)
+    assert_rank_identical(got, want)
+    assert len(got) == 1
+
+
+def test_prefix_query(fixture_engine, oracle):
+    got = engine_topk(fixture_engine, "kwaz*")
+    want = oracle.topk(oracle.or_query(["kwazulu"]), 10)
+    assert_rank_identical(got, want)
+    assert len(got) == 2  # kwazulu.txt + long.rs
+
+
+def test_term_filter(fixture_engine, ids_by_path):
+    res = fixture_engine.search(
+        {"q": "banana", "filter:lang": "go", "limit": 10})
+    rows = res.hit_rows(0, 10)
+    assert [r["doc_id"] for r in rows] == [ids_by_path["b/crime.go"]]
+
+
+def test_exclude_filter(fixture_engine, ids_by_path):
+    res = fixture_engine.search(
+        {"q": "banana", "exclude:lang": "go", "limit": 10})
+    rows = res.hit_rows(0, 10)
+    assert [r["doc_id"] for r in rows] == [ids_by_path["a/banana.txt"]]
+
+
+def test_range_filter(fixture_engine):
+    res = fixture_engine.search(
+        {"q": "kwazulu", "filter:gte:doc_len": "100", "limit": 10})
+    rows = res.hit_rows(0, 10)
+    assert len(rows) == 1 and rows[0]["path"] == "c/long.rs"
+
+
+def test_empty_query_match_all(fixture_engine):
+    res = fixture_engine.search({"limit": 100}, with_total=True)
+    assert res.total == len(FIXTURE_DOCS)
+    ids = [r["doc_id"] for r in res.hit_rows(0, 100)]
+    assert ids == sorted(ids)  # _doc order
+
+
+def test_pagination(fixture_engine):
+    all_ids = [r["doc_id"] for r in
+               fixture_engine.search({"limit": 100}).hit_rows(0, 100)]
+    page = fixture_engine.search({"limit": 3, "offset": 2})
+    assert [r["doc_id"] for r in page.hit_rows(2, 3)] == all_ids[2:5]
+
+
+def test_limit_zero(fixture_engine):
+    res = fixture_engine.search({"q": "banana", "limit": 0},
+                                with_total=True)
+    assert res.total == 2
+    assert res.hits.count() == 0
+
+
+def test_count(fixture_engine):
+    assert fixture_engine.count({"q": "banana"}) == 2
+    assert fixture_engine.count({"q": "banana", "filter:lang": "go"}) == 1
+    assert fixture_engine.count({}) == len(FIXTURE_DOCS)
+
+
+def test_sort_by_field(fixture_engine):
+    res = fixture_engine.search(
+        {"q": "banana OR kwazulu", "sort": "doc_len:desc", "limit": 10})
+    lens = [r["doc_len"] for r in res.hit_rows(0, 10)]
+    assert lens == sorted(lens, reverse=True)
+
+
+def test_bm25_score_values_pinned(fixture_engine, oracle, ids_by_path):
+    """Hard-pin one score: crime.go 'banana' tf=3."""
+    d = ids_by_path["b/crime.go"]
+    got = dict(engine_topk(fixture_engine, "banana"))
+    idf = oracle.idf("banana")
+    tfn = oracle.tfnorm(3, oracle.doc_len[d])
+    assert abs(got[d] - idf * tfn) < TOL
