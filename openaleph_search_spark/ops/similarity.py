@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``          — brute-force exact top-k for one probe
+                             vector: per-partition numpy matmul via
+                             mapInPandas, partial top-k per partition,
+                             tiny global merge. The correctness
+                             baseline; O(N·d) but embarrassingly
+                             parallel and shuffle-free until the final
+                             k-row gather.
+* ``knn_join``             — brute-force exact k-NN for a (small)
+                             probe set: the probe matrix is broadcast,
+                             each partition does ONE matmul for all
+                             probes.
+* ``lsh_cosine_topk``      — random-hyperplane LSH bucket scan: only
+                             rows whose sign-bucket is within Hamming
+                             ``probe_radius`` of the query's bucket are
+                             scored (the 100 TB scale path; recall
+                             traded via n_planes/radius).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _norm(v: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(v, axis=-1, keepdims=True)
+    n[n == 0] = 1.0
+    return v / n
+
+
+def _topk_partition(probe: np.ndarray, k: int, id_col: str, vec_col: str):
+    probe_n = _norm(probe.astype(np.float64))
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = _norm(mat) @ probe_n
+            m = min(k, sims.shape[0])
+            idx = np.argpartition(-sims, m - 1)[:m]
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy()[idx],
+                "cosine": sims[idx]})
+    return fn
+
+
+def cosine_topk(df: DataFrame, probe: list[float] | np.ndarray, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding"
+                ) -> DataFrame:
+    """Exact brute-force cosine top-k: scatter (matmul per partition,
+    ≤k rows out each) → gather (global sort-limit over ≤ P·k rows)."""
+    probe = np.asarray(probe, dtype=np.float64)
+    part = df.select(id_col, vec_col).mapInPandas(
+        _topk_partition(probe, k, id_col, vec_col),
+        "vec_id long, cosine double")
+    return (part
+            .withColumn("cosine", F.round("cosine", 6))
+            .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k))
+
+
+def knn_join(df: DataFrame, probes: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             probe_id_col: str = "probe_id") -> DataFrame:
+    """Exact k-NN join for a small probe set (broadcast): one matmul
+    per (partition × probe-matrix), per-partition top-k per probe,
+    global window top-k."""
+    probe_rows = probes.select(probe_id_col, vec_col).collect()
+    pids = np.array([r[probe_id_col] for r in probe_rows])
+    pmat = _norm(np.vstack([np.asarray(r[vec_col], dtype=np.float64)
+                            for r in probe_rows]))
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = _norm(np.vstack(pdf[vec_col].to_numpy())
+                        .astype(np.float64))
+            sims = mat @ pmat.T  # rows × probes
+            m = min(k, sims.shape[0])
+            idx = np.argpartition(-sims, m - 1, axis=0)[:m]  # m × probes
+            n_p = sims.shape[1]
+            yield pd.DataFrame({
+                "probe_id": np.repeat(pids, m),
+                "vec_id": pdf[id_col].to_numpy()[idx.T.ravel()],
+                "cosine": np.take_along_axis(sims, idx, axis=0).T.ravel()})
+    part = df.select(id_col, vec_col).mapInPandas(
+        fn, "probe_id long, vec_id long, cosine double")
+    from pyspark.sql import Window
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (part.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).drop("rn")
+            .withColumn("cosine", F.round("cosine", 6)))
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    return np.random.RandomState(seed).standard_normal((n_planes, dim))
+
+
+def bucket_col(vec_col: str, planes: np.ndarray):
+    """Sign-bucket of each vector as an int column (vectorized UDF)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _bucket(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        bits = (mat @ planes.T) > 0
+        vals = (bits.astype(np.int64)
+                << np.arange(planes.shape[0], dtype=np.int64)).sum(axis=1)
+        return pd.Series(vals.astype(np.int32))
+    return _bucket(vec_col)
+
+
+def lsh_cosine_topk(df: DataFrame, probe: list[float] | np.ndarray,
+                    k: int = 10, n_planes: int = 16, probe_radius: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42) -> DataFrame:
+    """ANN: score only rows whose random-hyperplane bucket lies within
+    Hamming ``probe_radius`` of the probe's bucket. The bucket filter
+    is a JVM-side bit_count predicate → parquet scan prunes the rest."""
+    probe = np.asarray(probe, dtype=np.float64)
+    planes = hyperplanes(probe.shape[0], n_planes, seed)
+    pbits = int(((probe @ planes.T) > 0).astype(np.int64)
+                @ (1 << np.arange(n_planes)))
+    bucketed = df.withColumn("_bucket", bucket_col(vec_col, planes))
+    cand = bucketed.filter(
+        F.expr(f"bit_count(_bucket ^ {pbits}) <= {probe_radius}"))
+    return cosine_topk(cand, probe, k, id_col, vec_col)

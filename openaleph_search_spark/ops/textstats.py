@@ -1,0 +1,105 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions / built-ins (JVM-side, whole-stage codegen)
+— no Python in the hot path; designed to run over a 100 TB documents
+table as a single projection pass.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Tiny deterministic stopword banks per language (the n-gram/stopword
+# heuristic signal; real deployments would broadcast larger tables).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "nicht"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "es", "por"],
+}
+
+_WORD_RE = r"[a-zA-Z0-9_]+"
+
+
+def tokens_col(col):
+    """Analyzer-lite token array (lowercase word tokens)."""
+    return F.filter(
+        F.split(F.lower(col), r"[^a-z0-9_]+"), lambda t: t != "")
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate (regex word
+    chars / 4, the common chars-per-token heuristic)."""
+    c = F.col(text_col)
+    return (df
+            .withColumn("ws_tokens", F.size(F.split(F.trim(c), r"\s+")))
+            .withColumn("word_tokens", F.size(tokens_col(c)))
+            .withColumn("bpe_tokens_est",
+                        F.ceil(F.length(F.regexp_replace(c, r"\s+", "")) / 4)
+                        .cast("int")))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality heuristics: length, punctuation ratio, stopword ratio,
+    mean word length → composite [0,1] score (each signal a pure
+    Column expr)."""
+    c = F.col(text_col)
+    toks = tokens_col(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    punct = (F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", ""))
+             / F.greatest(n_chars, F.lit(1)))
+    stop_en = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    stop_ratio = (F.size(F.array_intersect(F.array_distinct(toks), stop_en))
+                  / F.greatest(F.size(F.array_distinct(toks)), F.lit(1)))
+    mean_wl = (F.aggregate(toks, F.lit(0),
+                           lambda acc, t: acc + F.length(t))
+               / F.greatest(n_tok, F.lit(1)))
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct * 4, F.lit(1.0))
+    wl_score = F.when((mean_wl >= 3) & (mean_wl <= 10), 1.0).otherwise(0.5)
+    return (df
+            .withColumn("punct_ratio", punct)
+            .withColumn("stopword_ratio", stop_ratio)
+            .withColumn("mean_word_len", mean_wl)
+            .withColumn("quality_score",
+                        F.round((len_score + punct_score + wl_score) / 3.0, 6)))
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language ID: argmax over per-language distinct
+    stopword hits, ties broken lexicographically, 'und' (undetermined)
+    when nothing matches. Deterministic and SQL-expressible (oracle)."""
+    toks = F.array_distinct(tokens_col(F.col(text_col)))
+    langs = sorted(STOPWORDS)
+    n = len(langs)
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(
+                toks, F.array([F.lit(w) for w in STOPWORDS[lang]])))
+            .alias("hits"),
+            F.lit(n - 1 - i).alias("r"),  # desc sort → lex-asc lang tiebreak
+            F.lit(lang).alias("lang"))
+        for i, lang in enumerate(langs)]
+    best = F.sort_array(F.array(*scores), asc=False)[0]
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints:
+    * ``fingerprint_md5``: md5 of the normalized token stream (exact
+      content identity up to whitespace/punct),
+    * ``fingerprint_min8``: min md5 over 8-char sliding shingles of the
+      normalized text (winnowing-style rolling fingerprint; robust to
+      local edits)."""
+    norm = F.array_join(tokens_col(F.col(text_col)), " ")
+    out = df.withColumn("_norm", norm)
+    shingles = F.expr(
+        "transform(sequence(1, greatest(length(_norm) - 7, 1)), "
+        "i -> md5(substring(_norm, i, 8)))")
+    return (out
+            .withColumn("fingerprint_md5", F.md5(F.col("_norm")))
+            .withColumn("fingerprint_min8", F.array_min(shingles))
+            .drop("_norm"))

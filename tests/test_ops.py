@@ -1,0 +1,196 @@
+"""Training-data ops tests: dedup / similarity / textstats / multimodal,
+checked against independent numpy or DuckDB computations."""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- dedup --
+def test_exact_duplicates(spark):
+    from openaleph_search_spark.ops.dedup import exact_duplicates
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y"), (4, " a b c ")],
+        "doc_id long, text string")
+    out = exact_duplicates(df).collect()
+    assert len(out) == 1
+    assert out[0]["doc_ids"] == [1, 2, 4]  # trim-normalized
+
+
+def test_minhash_lsh_finds_identical_sets(spark):
+    from openaleph_search_spark.ops.dedup import minhash_lsh_pairs
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha"),
+         (3, "completely different words here"),
+         (4, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in minhash_lsh_pairs(df, threshold=0.7).collect()}
+    assert out[(1, 2)] == 1.0          # same token set
+    assert (1, 4) in out and abs(out[(1, 4)] - 0.8) < 1e-6
+    assert not any(3 in p for p in out)
+
+
+def test_minhash_vs_exact_jaccard_oracle(spark, documents):
+    """On the real sf0.001 documents: every LSH-verified pair must match
+    the exact all-pairs jaccard at the same threshold (recall check on
+    j=1.0 region where LSH recall is certain)."""
+    from openaleph_search_spark.ops.dedup import minhash_lsh_pairs
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in minhash_lsh_pairs(documents, threshold=0.95).collect()}
+    import duckdb
+    con = duckdb.connect()
+    exact = con.sql(f"""
+        with d as (select doc_id,
+                          list_distinct(string_split(text, ' ')) toks
+                   from '{SF}/documents.parquet')
+        select a.doc_id ia, b.doc_id ib,
+               round(len(list_intersect(a.toks, b.toks))::double /
+               (len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks))), 6) j
+        from d a join d b on a.doc_id < b.doc_id
+        where len(list_intersect(a.toks, b.toks))::double /
+              (len(a.toks) + len(b.toks)
+               - len(list_intersect(a.toks, b.toks))) >= 0.95
+    """).fetchall()
+    want = {(r[0], r[1]): r[2] for r in exact}
+    assert got == want
+
+
+def test_simhash_identical_and_pairs(spark):
+    from openaleph_search_spark.ops.dedup import simhash, simhash_pairs
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha"),
+         (3, "omega psi chi phi")],
+        "doc_id long, text string")
+    sims = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert sims[1] == sims[2]  # same token set → same simhash
+    pairs = simhash_pairs(df, max_hamming=0).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+def test_ngram_jaccard_pairs(spark):
+    from openaleph_search_spark.ops.dedup import ngram_jaccard_pairs
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "a b c x e f")],
+        "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) not in out  # only 4 shared of 4+4 trigram sets − …
+
+
+# ----------------------------------------------------------- similarity --
+def test_cosine_topk_vs_numpy(spark, embeddings):
+    from openaleph_search_spark.ops.similarity import cosine_topk
+    rows = embeddings.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.vstack([r["embedding"] for r in rows]).astype(np.float64)
+    probe = mat[0]
+    got = [(r["vec_id"], r["cosine"])
+           for r in cosine_topk(embeddings, probe, k=10).collect()]
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = matn @ (probe / np.linalg.norm(probe))
+    order = sorted(zip(ids, sims), key=lambda x: (-round(x[1], 6), x[0]))[:10]
+    want = [(int(i), round(float(s), 6)) for i, s in order]
+    assert got == want
+    assert got[0][0] == 0 and abs(got[0][1] - 1.0) < 1e-6
+
+
+def test_knn_join(spark, embeddings):
+    from openaleph_search_spark.ops.similarity import knn_join
+    probes = embeddings.limit(3).select(
+        F.col("vec_id").alias("probe_id"), "embedding")
+    out = knn_join(embeddings, probes, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for pid, rs in by_probe.items():
+        best = max(rs, key=lambda r: r["cosine"])
+        assert best["vec_id"] == pid  # self is nearest
+
+
+def test_lsh_cosine_topk_high_recall(spark, embeddings):
+    from openaleph_search_spark.ops.similarity import (
+        cosine_topk, lsh_cosine_topk)
+    probe = embeddings.limit(1).collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in cosine_topk(embeddings, probe, 10).collect()]
+    approx = [r["vec_id"] for r in
+              lsh_cosine_topk(embeddings, probe, 10, n_planes=8,
+                              probe_radius=3).collect()]
+    # the probe's own vector shares its bucket (hamming 0) → always found
+    assert approx and approx[0] == exact[0]
+    # candidates are scored exactly → any overlap preserves exact order
+    assert len(set(exact) & set(approx)) >= 3
+
+
+# ------------------------------------------------------------ textstats --
+def test_token_counts(spark):
+    from openaleph_search_spark.ops.textstats import with_token_counts
+    df = spark.createDataFrame([(1, "hello world  foo")],
+                               "doc_id long, text string")
+    r = with_token_counts(df).collect()[0]
+    assert r["ws_tokens"] == 3 and r["word_tokens"] == 3
+    assert r["bpe_tokens_est"] == int(np.ceil(len("helloworldfoo") / 4))
+
+
+def test_language_id(spark):
+    from openaleph_search_spark.ops.textstats import with_language_id
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is in that house"),
+         (2, "der Hund ist nicht mit der Katze und"),
+         (3, "le chat et la maison est pour les amis"),
+         (4, "zzz qqq www")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["lang_pred"]
+           for r in with_language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_quality_score_bounds(spark, documents):
+    from openaleph_search_spark.ops.textstats import with_quality_score
+    out = with_quality_score(documents)
+    row = out.agg(F.min("quality_score"), F.max("quality_score")).collect()[0]
+    assert 0.0 <= row[0] <= row[1] <= 1.0
+
+
+def test_fingerprint_stability(spark):
+    from openaleph_search_spark.ops.textstats import with_fingerprint
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["fingerprint_md5"], r["fingerprint_min8"])
+           for r in with_fingerprint(df).collect()}
+    assert out[1] == out[2]          # normalization-invariant
+    assert out[1] != out[3]
+
+
+# ----------------------------------------------------------- multimodal --
+def test_multimodal_features(spark):
+    from openaleph_search_spark.ops.multimodal import (
+        extract_features, frame_sample_plan, resize_stub, synthesize_media)
+    media = synthesize_media(spark, 30)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["features"]) == 16 for r in rows)
+    # deterministic: same payload → same features
+    again = {r["media_id"]: r["features"] for r in feats.collect()}
+    assert all(again[r["media_id"]] == r["features"] for r in rows)
+    plan = frame_sample_plan(media, every_ms=1000)
+    assert plan.count() > 0
+    rz = resize_stub(media, 224, 224).collect()
+    assert all(r["width"] == 224 and r["height"] == 224 for r in rz)
