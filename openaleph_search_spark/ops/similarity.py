@@ -38,12 +38,13 @@ def _topk_partition(probe: np.ndarray, k: int, id_col: str, vec_col: str):
             if not len(pdf):
                 continue
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            sims = _norm(mat) @ probe_n
+            sims = np.round(_norm(mat) @ probe_n, 6)
+            ids = pdf[id_col].to_numpy()
             m = min(k, sims.shape[0])
-            idx = np.argpartition(-sims, m - 1)[:m]
-            yield pd.DataFrame({
-                "vec_id": pdf[id_col].to_numpy()[idx],
-                "cosine": sims[idx]})
+            # select by the FINAL ordering (rounded desc, id asc) so the
+            # per-partition cut agrees with the global merge
+            idx = np.lexsort((ids, -sims))[:m]
+            yield pd.DataFrame({"vec_id": ids[idx], "cosine": sims[idx]})
     return fn
 
 
