@@ -408,9 +408,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     jacc = """
-WITH d AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-  FROM documents
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tt FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tt) - 1),
+             i -> array_to_string(tt[i:i+2], ' '))) AS toks
+  FROM t
 ),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,

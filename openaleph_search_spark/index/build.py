@@ -45,13 +45,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..analysis.analyzer import tokenize_flat
-from .codec import BLOCK_SIZE, K1, B, encode_blocks
+from .codec import (BLOCK_SIZE, K1, B, encode_blocks,
+                    encode_positions_grouped)
 from .storage import IndexStorage
 
 DOC_ID_PART_SHIFT = 33  # doc_id = (src_part << 33) | local_row
 
 TF_RUN_SCHEMA = ("term string, doc_id long, tf int, dl int, "
-                 "positions array<int>")
+                 "positions binary")
 DOC_META_SCHEMA = ("doc_id long, repo string, path string, commit string, "
                    "lang string, content_sha256 string, doc_len int, "
                    "src_part int")
@@ -98,8 +99,8 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int):
             tfs = np.diff(np.append(starts, r.size)).astype(np.int32)
             g_row = r[starts]
             g_term = t[starts]
-            pos_lists = (np.split(p.astype(np.int32), starts[1:])
-                         if with_positions else [None] * starts.size)
+            pos_payloads = (encode_positions_grouped(p, starts)
+                            if with_positions else [b""] * starts.size)
             # doc length = #positions (same-position ZWJ annotation terms
             # count once — Lucene norm discountOverlaps semantics)
             dl_per_doc = np.zeros(n, dtype=np.int32)
@@ -110,7 +111,7 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int):
                 "doc_id": doc_ids[g_row],
                 "tf": tfs,
                 "dl": dl_per_doc[g_row],
-                "positions": pos_lists,
+                "positions": pos_payloads,
             })
         else:
             dl_per_doc = np.zeros(n, dtype=np.int32)
@@ -139,7 +140,7 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int):
         run_schema = pa.schema([
             ("term", pa.string()), ("doc_id", pa.int64()),
             ("tf", pa.int32()), ("dl", pa.int32()),
-            ("positions", pa.list_(pa.int32())),
+            ("positions", pa.binary()),
         ])
         pq.write_table(
             pa.Table.from_pandas(run, schema=run_schema, preserve_index=False),
@@ -173,10 +174,10 @@ def _encode_group(avgdl: float, num_parts: int, num_shards: int,
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64).astype(np.uint64)
         dls = pdf["dl"].to_numpy(dtype=np.int64).astype(np.uint64)
-        positions = (
-            [np.asarray(p, dtype=np.uint64) for p in pdf["positions"]]
-            if with_positions else None)
-        blocks = encode_blocks(doc_ids, tfs, dls, avgdl, positions=positions,
+        pos_payloads = (list(pdf["positions"]) if with_positions
+                        else None)
+        blocks = encode_blocks(doc_ids, tfs, dls, avgdl,
+                               pos_payloads=pos_payloads,
                                block_size=BLOCK_SIZE)
         out = pd.DataFrame(blocks)
         out.insert(0, "term", term)

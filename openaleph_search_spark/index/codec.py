@@ -124,6 +124,32 @@ def encode_positions(positions: list[np.ndarray]) -> bytes:
     return varint_encode(np.concatenate(flat))
 
 
+def encode_positions_grouped(flat_positions: np.ndarray,
+                             group_starts: np.ndarray) -> list[bytes]:
+    """Vectorized per-group positions encoding: delta within each group,
+    one varint byte-chunk per group. The chunks concatenate to exactly
+    :func:`encode_positions`'s output — so SPIMI can pre-encode per
+    (term, doc) and the merge stage just joins bytes (the shuffle then
+    carries compressed binary, not int arrays)."""
+    n = flat_positions.shape[0]
+    if n == 0:
+        return []
+    p = np.ascontiguousarray(flat_positions, dtype=np.uint64)
+    d = np.empty_like(p)
+    d[0] = p[0]
+    np.subtract(p[1:], p[:-1], out=d[1:])
+    d[group_starts] = p[group_starts]  # restart delta at group heads
+    buf = varint_encode(d)
+    # byte length per value (same rule as the encoder)
+    nbytes = np.ones(n, dtype=np.int64)
+    for t in _THRESH:
+        nbytes += d >= t
+    ends = np.cumsum(nbytes)
+    starts_b = np.concatenate([[0], ends[:-1]])
+    bounds = list(starts_b[group_starts]) + [int(ends[-1])]
+    return [buf[bounds[i]:bounds[i + 1]] for i in range(len(bounds) - 1)]
+
+
 def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
     """Inverse of :func:`encode_positions`; splits by tf counts."""
     flat = varint_decode(buf)
@@ -140,12 +166,16 @@ def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
 def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                   avgdl: float,
                   positions: list[np.ndarray] | None = None,
+                  pos_payloads: list[bytes] | None = None,
                   block_size: int = BLOCK_SIZE) -> list[dict]:
     """Split one (term, shard) posting list into compressed block rows.
 
-    ``doc_ids`` must be sorted ascending and unique.  Returns a list of
-    dicts matching the postings-table block columns (minus term/shard,
-    which the caller adds).
+    ``doc_ids`` must be sorted ascending and unique.  Positions can be
+    given either as raw per-doc arrays (``positions``) or as per-doc
+    pre-encoded varint chunks (``pos_payloads``, the SPIMI fast path —
+    the merge then only concatenates bytes).  Returns a list of dicts
+    matching the postings-table block columns (minus term/shard, which
+    the caller adds).
     """
     n = doc_ids.shape[0]
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
@@ -172,8 +202,10 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
             "docs_payload": varint_encode(deltas),
             "tfs_payload": varint_encode(t - np.uint64(1)),
             "dls_payload": varint_encode(l),
-            "pos_payload": (encode_positions(positions[lo:hi])
-                            if positions is not None else b""),
+            "pos_payload": (
+                b"".join(pos_payloads[lo:hi]) if pos_payloads is not None
+                else encode_positions(positions[lo:hi])
+                if positions is not None else b""),
         }
         blocks.append(row)
     return blocks

@@ -40,44 +40,85 @@ def _token_set(text_col: str):
     return F.array_distinct(tokens_col(F.col(text_col)))
 
 
-def minhash_signature(tokens_col_name: str, num_hashes: int):
-    """MinHash signature as an array<long> column: h_i = min over tokens
-    of xxhash64(token, seed_i). Pure higher-order functions — JVM-side."""
+def _shingle_set(text_col: str, n: int):
+    """Distinct n-token shingles (the MinHash input — shingling keeps
+    the signature space large even over a small vocabulary)."""
+    t = (f"filter(split(lower({text_col}), '[^a-z0-9_]+'), "
+         f"x -> x != '')")
+    shingles = (f"transform(sequence(0, size({t}) - {n}), "
+                f"i -> array_join(slice({t}, i + 1, {n}), ' '))")
     return F.expr(
-        f"transform(sequence(0, {num_hashes - 1}), "
-        f"i -> array_min(transform({tokens_col_name}, "
-        f"t -> xxhash64(t, i))))")
+        f"if(size({t}) >= {n}, array_distinct({shingles}), "
+        f"cast(array() as array<string>))")
+
+
+def _band_hash_batches(num_hashes: int, bands: int, seed: int = 7):
+    """mapInPandas fn: (doc_id, _toks) → (doc_id, band, bh) rows.
+
+    Vectorized MinHash: one base-hash pass over the flattened shingles,
+    64 universal hashes via odd-multiplier affine maps (natural uint64
+    wraparound), per-doc minima via ``np.minimum.reduceat``, FNV-style
+    band folding. (A nested JVM higher-order-function formulation is
+    ~50× slower — HOF lambdas are interpreted, not codegen'd.)
+    """
+    rows = num_hashes // bands
+    rs = np.random.RandomState(seed)
+    A = ((rs.randint(1, 2**62, size=num_hashes).astype(np.uint64) << 1)
+         | np.uint64(1))
+    Bv = rs.randint(0, 2**62, size=num_hashes).astype(np.uint64)
+
+    def fn(it):
+        with np.errstate(over="ignore"):
+            for pdf in it:
+                counts = pdf["_toks"].str.len().fillna(0).astype(
+                    np.int64).to_numpy()
+                nz = counts > 0
+                if not nz.any():
+                    yield pd.DataFrame({"doc_id": [], "band": [], "bh": []})
+                    continue
+                flat = np.concatenate(
+                    [np.asarray(t, dtype=object) for t in pdf["_toks"][nz]])
+                base = pd.util.hash_array(flat, hash_key="minhash000000000")
+                H = base[:, None] * A[None, :] + Bv[None, :]
+                starts = np.cumsum(counts[nz]) - counts[nz]
+                sig = np.minimum.reduceat(H, starts, axis=0)  # docs×hashes
+                bv = sig.reshape(-1, bands, rows)
+                bh = np.full(bv.shape[:2], 14695981039346656037,
+                             dtype=np.uint64)
+                for r in range(rows):
+                    bh = (bh ^ bv[:, :, r]) * np.uint64(1099511628211)
+                n = int(nz.sum())
+                yield pd.DataFrame({
+                    "doc_id": np.repeat(
+                        pdf["doc_id"].to_numpy()[nz], bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                    "bh": bh.reshape(-1).astype(np.int64)})
+    return fn
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 64,
-                      bands: int = 16, threshold: float = 0.9) -> DataFrame:
-    """Near-duplicate pairs via MinHash banding, verified by exact
-    Jaccard on token sets.
+                      bands: int = 16, threshold: float = 0.9,
+                      shingle: int = 3) -> DataFrame:
+    """Near-duplicate pairs via shingle→MinHash banding, verified by
+    exact Jaccard on the shingle sets.
 
     LSH recall at j ≥ 0.9 with 16 bands × 4 rows: miss probability
     (1 − 0.9⁴)¹⁶ ≈ 3e-4 per pair; identical sets are always caught.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    rows = num_hashes // bands
     base = (df.select(F.col(id_col).alias("doc_id"),
-                      _token_set(text_col).alias("_toks"))
-            .filter(F.size("_toks") > 0)
-            .withColumn("sig", minhash_signature("_toks", num_hashes)))
-    banded = base.select(
-        "doc_id",
-        F.explode(F.expr(
-            f"transform(sequence(0, {bands - 1}), "
-            f"b -> struct(b as band, "
-            f"xxhash64(array_join(transform(sequence(b*{rows}, "
-            f"b*{rows}+{rows - 1}), i -> cast(sig[i] as string)), ',')) "
-            f"as bh))")).alias("bb"))
-    # candidate pairs: docs sharing any (band, band-hash) bucket
-    left = banded.select("doc_id", "bb")
+                      _shingle_set(text_col, shingle).alias("_toks"))
+            .filter(F.size("_toks") > 0))
+    banded = base.mapInPandas(
+        _band_hash_batches(num_hashes, bands),
+        "doc_id long, band int, bh long")
+    # candidate pairs: docs sharing any (band, band-hash) bucket —
+    # an equi-join Catalyst shuffles on (band, bh); AQE splits skew
     right = banded.select(F.col("doc_id").alias("doc_id_b"),
-                          F.col("bb").alias("bb_b"))
-    cand = (left.join(right, (left["bb"] == right["bb_b"])
-                      & (left["doc_id"] < right["doc_id_b"]))
+                          "band", "bh")
+    cand = (banded.join(right, ["band", "bh"])
+            .filter(F.col("doc_id") < F.col("doc_id_b"))
             .select(F.col("doc_id").alias("id_a"),
                     F.col("doc_id_b").alias("id_b"))
             .distinct())

@@ -38,11 +38,21 @@ class SearchResult:
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 synonyms=None, source_docs: DataFrame | None = None):
+        """``synonyms``: a SynonymTable or a path to a synonym file
+        (search-time expansion, Q22/Q23). ``source_docs``: the original
+        docs table — needed only for content-bearing features
+        (highlighting), mirroring the reference's _source excludes."""
         self.spark = spark
         self.storage = IndexStorage(index_dir)
         self.executor = SearchExecutor(spark, self.storage)
         self._doc_meta: DataFrame | None = None
+        self.source_docs = source_docs
+        if isinstance(synonyms, str):
+            from .synonyms import SynonymTable
+            synonyms = SynonymTable.from_file(synonyms)
+        self.synonyms = synonyms
 
     # -- public surface -------------------------------------------------------
     def analyze(self, text: str) -> list[tuple[str, int]]:
@@ -84,7 +94,10 @@ class Engine:
                     .orderBy(F.desc("score"), F.asc("doc_id")))
             if post_fields:
                 hits = hits.filter(self._post_pred(sa, post_fields))
-            return SearchResult(hits=hits.limit(sa.k))
+            hits = hits.limit(sa.k)
+            if sa.highlight:
+                hits = self._highlight(hits, tree, sa.highlight_count)
+            return SearchResult(hits=hits)
 
         facets, facet_totals = {}, {}
         for f in sa.facets:
@@ -108,7 +121,10 @@ class Engine:
             hits = fully.orderBy(F.asc("doc_id"))  # _doc order, no scoring
         else:
             hits = fully.orderBy(F.desc("score"), F.asc("doc_id"))
-        return SearchResult(hits=hits.limit(sa.k) if sa.k else hits.limit(0),
+        hits = hits.limit(sa.k) if sa.k else hits.limit(0)
+        if sa.highlight and not isinstance(tree, MatchAll):
+            hits = self._highlight(hits, tree, sa.highlight_count)
+        return SearchResult(hits=hits,
                             total=total, facets=facets,
                             facet_totals=facet_totals, metrics=metrics_df)
 
@@ -125,6 +141,9 @@ class Engine:
     # -- planning helpers -----------------------------------------------------
     def _plan(self, sa: SearchArgs) -> Node:
         tree = parse_query_string(sa.q)
+        if sa.synonyms and self.synonyms is not None \
+                and not isinstance(tree, MatchAll):
+            tree = self.synonyms.rewrite(tree)
         if sa.prefix:
             leaf = PrefixLeaf(sa.prefix.lower())
             tree = leaf if isinstance(tree, MatchAll) \
@@ -153,6 +172,44 @@ class Engine:
                 conj({"gte": col >= lit, "lte": col <= lit,
                       "gt": col > lit, "lt": col < lit}[op])
         return pred
+
+    def _highlight(self, hits: DataFrame, tree: Node,
+                   max_fragments: int) -> DataFrame:
+        """Q24: fragment extraction on the top-k hit set only. Content
+        comes from the source docs table (the index stores none —
+        reference _source-excludes design); the join side is k rows →
+        broadcast."""
+        if self.source_docs is None:
+            return hits
+        from .ir import PhraseLeaf, PrefixLeaf, TermLeaf
+        terms: set[str] = set()
+        for leaf in tree.leaves():
+            if isinstance(leaf, TermLeaf):
+                terms.add(leaf.term)
+            elif isinstance(leaf, PhraseLeaf):
+                terms.update(leaf.terms)
+            elif isinstance(leaf, PrefixLeaf):
+                terms.update(leaf.expanded or [])
+
+        from .highlight import highlight_text
+        import pandas as pd
+
+        def add_hl(it):
+            for pdf in it:
+                pdf = pdf.copy()
+                pdf["highlights"] = pdf["content"].map(
+                    lambda t: highlight_text(t or "", terms,
+                                             max_fragments=max_fragments))
+                yield pdf.drop(columns=["content"])
+
+        joined = hits.join(
+            self.source_docs.select("repo", "path", "commit", "content"),
+            ["repo", "path", "commit"], "left")
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in joined.schema.fields if f.name != "content"
+        ) + ", highlights array<string>"
+        return joined.mapInPandas(add_hl, schema)
 
     def _post_pred(self, sa: SearchArgs, fields: list[str]):
         pred = F.lit(True)

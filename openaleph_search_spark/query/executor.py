@@ -65,6 +65,24 @@ def _merge_sum(ids_a, sc_a, ids_b, sc_b):
     return ids[starts], np.add.reduceat(sc, starts)
 
 
+def _merge_sum_multi(ids_a, vals_a: list, ids_b, vals_b: list):
+    """Union of two sorted maps with several parallel value arrays."""
+    ids = np.concatenate([ids_a, ids_b])
+    order = np.argsort(ids, kind="mergesort")
+    ids = ids[order]
+    if ids.size == 0:
+        return ids, [v.copy() for v in vals_a]
+    new = np.empty(ids.size, dtype=bool)
+    new[0] = True
+    np.not_equal(ids[1:], ids[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    out_vals = []
+    for va, vb in zip(vals_a, vals_b):
+        v = np.concatenate([va, vb])[order]
+        out_vals.append(np.add.reduceat(v, starts))
+    return ids[starts], out_vals
+
+
 def _intersect_sum(ids_a, sc_a, ids_b, sc_b):
     """Intersection of two sorted maps, summing scores."""
     common, ia, ib = np.intersect1d(ids_a, ids_b, assume_unique=True,
@@ -188,8 +206,9 @@ class _ShardEval:
                 if ids.size == 0:
                     break
         if node.should:
-            sh_ids, sh_sc = self._eval_should(node.should, candidates,
-                                              gate=not node.must)
+            sh_ids, sh_sc = self._eval_should(
+                node.should, candidates, gate=not node.must,
+                min_should=(node.min_should or 1) if not node.must else 0)
             if ids is None:
                 ids, scores = sh_ids, sh_sc
             else:
@@ -220,13 +239,18 @@ class _ShardEval:
         return []
 
     def _eval_should(self, children: list[Node],
-                     candidates: np.ndarray | None, gate: bool):
+                     candidates: np.ndarray | None, gate: bool,
+                     min_should: int = 1):
         """Disjunction with block-max pruning (MaxScore/BMW family).
 
         Children are processed in descending max-impact order; once the
         running k-th best partial score θ exceeds the summed remaining
         max impacts, later children decode only candidate-overlapping
         blocks (no new doc can still reach the top-k).
+
+        ``min_should > 1`` (reference Q16 more_like_this) additionally
+        requires that many matching children per doc; pruning is
+        disabled there (θ would overestimate the k-th *valid* score).
         """
         def max_impact(n: Node) -> float:
             tot = 0.0
@@ -243,7 +267,10 @@ class _ShardEval:
         remaining = sum(im for im, _, _ in impacts)
         acc_ids = np.empty(0, np.int64)
         acc_sc = np.empty(0, np.float64)
-        prune = self.k is not None and gate and candidates is None
+        acc_cnt = np.empty(0, np.int64)
+        track_counts = min_should > 1
+        prune = (self.k is not None and gate and candidates is None
+                 and not track_counts)
         for im, _, child in impacts:
             remaining -= im
             restricted = candidates
@@ -257,7 +284,15 @@ class _ShardEval:
                 # candidates-only mode: drop docs not already accumulated
                 m = np.isin(c_ids, acc_ids, assume_unique=True)
                 c_ids, c_sc = c_ids[m], c_sc[m]
-            acc_ids, acc_sc = _merge_sum(acc_ids, acc_sc, c_ids, c_sc)
+            if track_counts:
+                acc_ids, (acc_sc, acc_cnt) = _merge_sum_multi(
+                    acc_ids, [acc_sc, acc_cnt], c_ids,
+                    [c_sc, np.ones(c_ids.size, np.int64)])
+            else:
+                acc_ids, acc_sc = _merge_sum(acc_ids, acc_sc, c_ids, c_sc)
+        if track_counts:
+            keep = acc_cnt >= min_should
+            return acc_ids[keep], acc_sc[keep]
         return acc_ids, acc_sc
 
     # -- phrase --------------------------------------------------------------

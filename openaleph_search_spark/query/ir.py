@@ -63,6 +63,9 @@ class Bool(Node):
     must: list[Node] = field(default_factory=list)
     should: list[Node] = field(default_factory=list)
     must_not: list[Node] = field(default_factory=list)
+    # minimum_should_match (reference Q9/Q16): only meaningful when
+    # there are no musts; None → 1 (pure disjunction gate)
+    min_should: int | None = None
 
     def leaves(self):
         out = []

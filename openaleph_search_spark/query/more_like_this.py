@@ -1,0 +1,63 @@
+"""more_like_this (reference Q16,
+/root/reference/openaleph_search/query/more_like_this.py:13-80; knobs
+settings.py:94-99): pick the source doc's "interesting terms" — tf ≥
+min_tf, df within [min_df, max_df], length ≥ min_len — rank by
+tf·idf, take the top ``max_terms``, then run a disjunctive BM25 query
+with ``minimum_should_match = ceil(pct · n_terms)``, excluding the
+source doc itself.
+"""
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..index.codec import bm25_idf
+from ..index.storage import IndexStorage
+from .ir import Bool, TermLeaf
+
+
+DEFAULTS = dict(min_tf=1, min_df=1, max_df_ratio=0.9, min_len=3,
+                max_terms=25, min_should_pct=0.1)
+
+
+def interesting_terms(spark: SparkSession, storage: IndexStorage,
+                      doc_id: int, **kw) -> list[str]:
+    """Driver-side term selection from the doc's indexed tf run —
+    deterministic: tf·idf desc, then term asc."""
+    opts = {**DEFAULTS, **kw}
+    meta = storage.read_meta()
+    n_docs = float(meta["n_docs"])
+    max_df = opts.get("max_df", int(n_docs * opts["max_df_ratio"]))
+    tf_rows = (storage.tf_runs(spark)
+               .filter(F.col("doc_id") == doc_id)
+               .select("term", "tf").collect())
+    if not tf_rows:
+        return []
+    terms = [r["term"] for r in tf_rows]
+    stats = {r["term"]: int(r["df"]) for r in
+             storage.term_stats(spark)
+             .filter(F.col("term").isin(terms)).collect()}
+    scored = []
+    for r in tf_rows:
+        t, tf = r["term"], int(r["tf"])
+        df = stats.get(t, 0)
+        if (tf >= opts["min_tf"] and opts["min_df"] <= df <= max_df
+                and len(t) >= opts["min_len"]):
+            scored.append((tf * float(bm25_idf(float(df), n_docs)), t))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    return [t for _, t in scored[:opts["max_terms"]]]
+
+
+def more_like_this(engine, doc_id: int, k: int = 10, **kw) -> DataFrame:
+    """→ DataFrame(doc_id, score) of the k most similar docs
+    (source excluded)."""
+    terms = interesting_terms(engine.spark, engine.storage, doc_id, **kw)
+    if not terms:
+        return engine.spark.createDataFrame([], "doc_id long, score double")
+    pct = {**DEFAULTS, **kw}["min_should_pct"]
+    tree = Bool(should=[TermLeaf(t) for t in terms],
+                min_should=max(1, math.ceil(pct * len(terms))))
+    res = engine.executor.run(tree, k=None)
+    return (res.filter(F.col("doc_id") != doc_id)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))

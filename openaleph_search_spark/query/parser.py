@@ -187,6 +187,9 @@ class SearchArgs:
     facet_interval: dict[str, str] = field(default_factory=dict)
     metrics: dict[str, list[str]] = field(default_factory=dict)  # op→props
     sort: list[tuple[str, bool]] = field(default_factory=list)  # (field, asc)
+    synonyms: bool = False
+    highlight: bool = False
+    highlight_count: int = 3
 
     @property
     def k(self) -> int:
@@ -239,6 +242,12 @@ def parse_args(args: dict[str, list[str] | str]) -> SearchArgs:
         elif key.startswith("metric:"):
             op = key[len("metric:"):]
             out.metrics.setdefault(op, []).extend(vals)
+        elif key == "synonyms":
+            out.synonyms = vals[-1].lower() in ("true", "1", "yes")
+        elif key == "highlight":
+            out.highlight = vals[-1].lower() in ("true", "1", "yes")
+        elif key == "highlight_count":
+            out.highlight_count = int(vals[-1])
     # pagination ceiling, reference parser.py:153-155
     if out.offset + out.limit > MAX_PAGE:
         out.limit = max(0, MAX_PAGE - out.offset)

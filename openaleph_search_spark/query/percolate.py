@@ -1,0 +1,215 @@
+"""Percolation (reverse search, Q15) + mentions queries (Q19).
+
+The reference stores one ES percolator query per watchlist entity
+(phrase shoulds over its names, boost 2.0 primary / 0.8 other names,
+slop 2 — /root/reference/openaleph_search/transform/util.py:163-233,
+query/queries.py:373-528, docs/percolation.md) and asks ES which stored
+queries match a document. Spark-first this inverts into a **broadcast
+watchlist join**: analyze each document once (vectorized), then check
+every entity's phrase clauses against the token-position map inside one
+``mapInPandas`` pass — no index round-trip, embarrassingly parallel
+over the docs table.
+
+Name cleaning (T9, transform/util.py:98-156 + settings.py:122,131):
+multi-token names kept (unless initials-only); single tokens kept only
+when ≥ ``single_token_min_length`` chars.
+
+Scoring (pinned, documented divergence from ES BM25-of-percolator):
+score = Σ boost over matched clauses; primary names boost 2.0, other
+names 0.8 (reference T10 boosts).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..analysis.analyzer import analyze_query_terms, tokenize_flat
+from .ir import Bool, PhraseLeaf, TermLeaf
+
+SINGLE_TOKEN_MIN_LENGTH = 7  # reference pytest env pins 7
+NAME_BOOST = 2.0
+OTHER_NAME_BOOST = 0.8
+DEFAULT_SLOP = 2
+
+
+def clean_names(names: list[str],
+                single_token_min_length: int = SINGLE_TOKEN_MIN_LENGTH
+                ) -> list[list[str]]:
+    """→ list of analyzed token lists that survive the cleaner."""
+    out = []
+    for name in names or []:
+        toks = analyze_query_terms(name)
+        if not toks:
+            continue
+        if len(toks) == 1:
+            if len(toks[0]) >= single_token_min_length:
+                out.append(toks)
+        else:
+            # drop initials-only multi-token names ("J. D.")
+            if any(len(t) > 1 for t in toks):
+                out.append(toks)
+    return out
+
+
+@dataclass
+class StoredQuery:
+    entity_id: str
+    clauses: list[tuple[list[str], float]]  # (tokens, boost)
+
+
+def compile_watchlist(rows: list[dict],
+                      single_token_min_length: int = SINGLE_TOKEN_MIN_LENGTH
+                      ) -> list[StoredQuery]:
+    """rows: [{"entity_id", "names": [...], "other_names": [...]}]."""
+    out = []
+    for r in rows:
+        clauses = [(t, NAME_BOOST) for t in
+                   clean_names(r.get("names"), single_token_min_length)]
+        clauses += [(t, OTHER_NAME_BOOST) for t in
+                    clean_names(r.get("other_names"),
+                                single_token_min_length)]
+        if clauses:
+            out.append(StoredQuery(str(r["entity_id"]), clauses))
+    return out
+
+
+def _phrase_hits(pos_map: dict[str, np.ndarray], tokens: list[str],
+                 slop: int) -> int:
+    """#anchors where every token aligns within slop (same pinned
+    semantics as the index-side phrase matcher)."""
+    plists = [pos_map.get(t) for t in tokens]
+    if any(p is None for p in plists):
+        return 0
+    adj = [p - i for i, p in enumerate(plists)]
+    if slop == 0:
+        common = adj[0]
+        for a in adj[1:]:
+            common = np.intersect1d(common, a, assume_unique=False)
+        return int(common.size)
+    tf = 0
+    for anchor in adj[0]:
+        if all(np.abs(a - anchor).min() <= slop for a in adj[1:]):
+            tf += 1
+    return tf
+
+
+def percolate_text(text: str, stored: list[StoredQuery],
+                   slop: int = DEFAULT_SLOP) -> list[dict]:
+    """Single-document percolation (the reference's percolate-text CLI).
+    → [{"entity_id", "score", "matched_names": [...]}] score-desc."""
+    ridx, terms, pos = tokenize_flat(pd.Series([text]))
+    pos_map: dict[str, list[int]] = {}
+    for t, p in zip(terms.tolist(), pos.tolist()):
+        pos_map.setdefault(t, []).append(p)
+    pos_np = {t: np.asarray(v, dtype=np.int64) for t, v in pos_map.items()}
+    out = []
+    for sq in stored:
+        score, matched = 0.0, []
+        for tokens, boost in sq.clauses:
+            tf = _phrase_hits(pos_np, tokens, slop)
+            if tf > 0:
+                score += boost
+                matched.append(" ".join(tokens))
+        if matched:
+            out.append({"entity_id": sq.entity_id, "score": score,
+                        "matched_names": matched})
+    out.sort(key=lambda r: (-r["score"], r["entity_id"]))
+    return out
+
+
+def percolate_docs(docs: DataFrame, stored: list[StoredQuery],
+                   id_cols: list[str] | None = None,
+                   text_col: str = "content",
+                   slop: int = DEFAULT_SLOP) -> DataFrame:
+    """Batch percolation: broadcast the compiled watchlist, analyze each
+    partition's docs once, emit (doc ids..., entity_id, score, matched).
+
+    Scale shape: watchlist is driver-compiled & closure-broadcast (the
+    reference caps percolator candidates per shard the same way); docs
+    stream through mapInPandas with constant memory.
+    """
+    id_cols = id_cols or ["repo", "path", "commit"]
+    cols = [*id_cols, text_col]
+
+    def fn(it):
+        for pdf in it:
+            ridx, terms, pos = tokenize_flat(pdf[text_col])
+            term_arr = terms.to_numpy()
+            out_rows = []
+            for i in range(len(pdf)):
+                mask = ridx == i
+                pos_np: dict[str, np.ndarray] = {}
+                if mask.any():
+                    t_i = term_arr[mask]
+                    p_i = pos[mask]
+                    order = np.argsort(t_i, kind="mergesort")
+                    t_s, p_s = t_i[order], p_i[order]
+                    bounds = np.flatnonzero(
+                        np.r_[True, t_s[1:] != t_s[:-1]])
+                    for b, e in zip(bounds, np.r_[bounds[1:], t_s.size]):
+                        pos_np[t_s[b]] = np.sort(p_s[b:e])
+                for sq in stored:
+                    score, matched = 0.0, []
+                    for tokens, boost in sq.clauses:
+                        if _phrase_hits(pos_np, tokens, slop) > 0:
+                            score += boost
+                            matched.append(" ".join(tokens))
+                    if matched:
+                        out_rows.append((
+                            *[pdf[c].iloc[i] for c in id_cols],
+                            sq.entity_id, score, matched))
+            yield pd.DataFrame(
+                out_rows,
+                columns=[*id_cols, "entity_id", "score", "matched_names"])
+
+    id_schema = ", ".join(
+        f"{c} {docs.schema[c].dataType.simpleString()}" for c in id_cols)
+    return docs.select(*cols).mapInPandas(
+        fn, f"{id_schema}, entity_id string, score double, "
+            f"matched_names array<string>")
+
+
+def mentions_tree(names: list[str], slop: int = DEFAULT_SLOP,
+                  single_token_min_length: int = SINGLE_TOKEN_MIN_LENGTH
+                  ) -> Bool | None:
+    """Q19: index-side mentions query — phrase shoulds over the
+    entity's cleaned names (runs through the normal executor, using
+    stored positions)."""
+    clauses = []
+    for toks in clean_names(names, single_token_min_length):
+        if len(toks) == 1:
+            clauses.append(TermLeaf(toks[0]))
+        else:
+            clauses.append(PhraseLeaf(toks, slop=slop))
+    return Bool(should=clauses) if clauses else None
+
+
+def mentions_query(engine, names: list[str], k: int = 10,
+                   slop: int = DEFAULT_SLOP) -> DataFrame:
+    tree = mentions_tree(names, slop)
+    if tree is None:
+        return engine.spark.createDataFrame([], "doc_id long, score double")
+    return engine.executor.topk(tree, k)
+
+
+def multi_mentions(engine, entities: dict[str, list[str]], k: int = 10,
+                   slop: int = DEFAULT_SLOP) -> DataFrame:
+    """Per-entity attribution: union of per-entity mention queries
+    (entity count is driver-bounded, reference caps at 10k names)."""
+    parts = []
+    for eid, names in sorted(entities.items()):
+        tree = mentions_tree(names, slop)
+        if tree is None:
+            continue
+        parts.append(engine.executor.topk(tree, k)
+                     .withColumn("entity_id", F.lit(eid)))
+    if not parts:
+        return engine.spark.createDataFrame(
+            [], "doc_id long, score double, entity_id string")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

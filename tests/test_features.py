@@ -1,0 +1,179 @@
+"""Phase-8 feature tests: highlighting (Q24), more_like_this (Q16),
+synonyms (Q22/Q23), percolation (Q15), mentions (Q19) — semantics
+pinned against the reference's feature suites
+(/root/reference/tests/test_highlighting.py, test_percolator.py,
+tests/test_search.py:927-1105)."""
+import pytest
+
+from openaleph_search_spark.query.highlight import highlight_text
+from openaleph_search_spark.query.percolate import (
+    clean_names, compile_watchlist, percolate_docs, percolate_text)
+from openaleph_search_spark.query.synonyms import SynonymTable
+
+
+# ------------------------------------------------------------- highlight --
+def test_highlight_basic():
+    frags = highlight_text("Paul Manafort, former chairman, proclaimed",
+                           {"manafort"})
+    assert frags == ["Paul <em>Manafort</em>, former chairman, proclaimed"]
+
+
+def test_highlight_html_escaped():
+    frags = highlight_text("hello <h1 class='foo'>Félix!</h1> bye",
+                           {"felix"})
+    assert len(frags) == 1
+    assert "<h1" not in frags[0]
+    assert "<em>Félix</em>" in frags[0]
+
+
+def test_highlight_no_match_fallback():
+    text = "x" * 1000
+    frags = highlight_text(text, {"absent"})
+    assert len(frags) == 1 and len(frags[0]) == 300  # no_match_size
+
+
+def test_highlight_fragment_windowing():
+    text = ("banana " + "filler " * 100 + "banana split " +
+            "filler " * 100 + "banana")
+    frags = highlight_text(text, {"banana", "split"})
+    assert 1 <= len(frags) <= 3
+    # the best fragment contains both distinct hits
+    assert "<em>banana</em> <em>split</em>" in frags[0]
+
+
+def test_highlight_empty():
+    assert highlight_text("", {"x"}) == []
+
+
+def test_engine_highlight(spark, fixture_index, fixture_docs_df):
+    from openaleph_search_spark.query.engine import Engine
+    eng = Engine(spark, fixture_index, source_docs=fixture_docs_df)
+    res = eng.search({"q": "manafort", "highlight": "true", "limit": 5})
+    rows = res.hit_rows(0, 5)
+    assert rows and any("<em>Manafort</em>" in f
+                        for f in rows[0]["highlights"])
+
+
+# ---------------------------------------------------------------- MLT ----
+def test_more_like_this(spark, fixture_engine, fixture_docs_df):
+    from openaleph_search_spark.query.more_like_this import more_like_this
+    meta = {r["path"]: r["doc_id"]
+            for r in fixture_engine.doc_meta.select("doc_id", "path")
+            .collect()}
+    src = meta["a/banana.txt"]  # "Banana ba Nana is a fruit stand"
+    out = more_like_this(fixture_engine, src, k=5, min_len=2,
+                         min_should_pct=0.1)
+    rows = out.collect()
+    ids = [r["doc_id"] for r in rows]
+    assert src not in ids
+    assert meta["b/crime.go"] in ids  # shares 'banana'
+
+
+def test_mlt_min_should_match(spark, fixture_engine):
+    """min_should=2 requires ≥2 distinct matching terms."""
+    from openaleph_search_spark.query.ir import Bool, TermLeaf
+    tree = Bool(should=[TermLeaf("banana"), TermLeaf("kwazulu"),
+                        TermLeaf("crime")], min_should=2)
+    rows = fixture_engine.executor.run(tree, k=None).collect()
+    # only crime.go (banana+crime) and jane.py (crime only→no) qualify;
+    # long.rs has kwazulu only → no
+    metas = {r["doc_id"]: r for r in
+             fixture_engine.doc_meta.collect()}
+    paths = sorted(metas[r["doc_id"]]["path"] for r in rows)
+    assert paths == ["b/crime.go"]
+
+
+# ------------------------------------------------------------- synonyms --
+@pytest.fixture(scope="module")
+def syn_table():
+    return SynonymTable([["schkuro", "shkuro", "škuro"],
+                         ["igumnov", "igumnow"],
+                         ["vladimir", "wladimir", "владимир"]])
+
+
+def test_synonyms_off_exact_only(fixture_engine):
+    res = fixture_engine.search({"q": "vladimir", "limit": 10})
+    assert len(res.hit_rows(0, 10)) == 1  # igumnov doc only (latin)
+
+
+def test_synonyms_on_cross_variant(spark, fixture_index, syn_table):
+    from openaleph_search_spark.query.engine import Engine
+    eng = Engine(spark, fixture_index, synonyms=syn_table)
+    res = eng.search({"q": "vladimir", "synonyms": "true", "limit": 10})
+    rows = res.hit_rows(0, 10)
+    paths = {r["path"] for r in rows}
+    # finds both the latin (vladimir/wladimir) and cyrillic (владимир) docs
+    assert paths == {"a/igumnov.md", "b/putin.txt"}
+
+
+def test_synonyms_no_false_positives(spark, fixture_index, syn_table):
+    from openaleph_search_spark.query.engine import Engine
+    eng = Engine(spark, fixture_index, synonyms=syn_table)
+    res = eng.search({"q": "banana", "synonyms": "true", "limit": 10})
+    assert len(res.hit_rows(0, 10)) == 2  # unchanged
+
+
+# ------------------------------------------------------------ percolate --
+def test_clean_names_thresholds():
+    # reference: single tokens <7 chars dropped, "KwaZulu" (7) kept
+    assert clean_names(["Banana"]) == []            # 6 chars
+    assert clean_names(["Doe"]) == []
+    assert clean_names(["KwaZulu"]) == [["kwazulu"]]
+    assert clean_names(["Jane Doe"]) == [["jane", "doe"]]
+    assert clean_names(["J. D."]) == []             # initials only
+
+
+def test_percolate_text():
+    stored = compile_watchlist([
+        {"entity_id": "e1", "names": ["Paul Manafort"],
+         "other_names": ["Manafort Paul"]},
+        {"entity_id": "e2", "names": ["Jane Doe"]},
+        {"entity_id": "e3", "names": ["KwaZulu"]},
+    ])
+    out = percolate_text(
+        "Paul Manafort, former chairman, met Jane Doe.", stored)
+    by_id = {r["entity_id"]: r for r in out}
+    assert set(by_id) == {"e1", "e2"}
+    # primary "paul manafort" (2.0) + reversed other_name "manafort
+    # paul" also within slop 2 (0.8) → 2.8
+    assert by_id["e1"]["score"] == pytest.approx(2.8)
+    assert by_id["e1"]["matched_names"] == ["paul manafort",
+                                            "manafort paul"]
+    assert by_id["e2"]["score"] == 2.0
+
+
+def test_percolate_docs_batch(spark, fixture_docs_df):
+    stored = compile_watchlist([
+        {"entity_id": "e1", "names": ["Paul Manafort"]},
+        {"entity_id": "e2", "names": ["Vladimir Igumnov"]},
+        {"entity_id": "e3", "names": ["Владимир Путин"]},
+    ])
+    out = percolate_docs(fixture_docs_df, stored, slop=2).collect()
+    hits = {(r["path"], r["entity_id"]) for r in out}
+    assert ("b/manafort.js", "e1") in hits
+    assert ("a/igumnov.md", "e2") in hits
+    assert ("b/putin.txt", "e3") in hits  # slop 2 skips patronymic
+    assert all(r["score"] == 2.0 for r in out)
+
+
+# ------------------------------------------------------------- mentions --
+def test_mentions_query(fixture_engine):
+    from openaleph_search_spark.query.percolate import mentions_query
+    out = mentions_query(fixture_engine, ["Paul Manafort", "KwaZulu"],
+                         k=10)
+    metas = {r["doc_id"]: r["path"]
+             for r in fixture_engine.doc_meta.collect()}
+    paths = {metas[r["doc_id"]] for r in out.collect()}
+    assert paths == {"b/manafort.js", "a/kwazulu.txt", "c/long.rs"}
+
+
+def test_multi_mentions_attribution(fixture_engine):
+    from openaleph_search_spark.query.percolate import multi_mentions
+    out = multi_mentions(fixture_engine,
+                         {"e1": ["Paul Manafort"], "e2": ["KwaZulu"]},
+                         k=10).collect()
+    by_entity = {}
+    for r in out:
+        by_entity.setdefault(r["entity_id"], set()).add(r["doc_id"])
+    assert len(by_entity["e1"]) == 1
+    assert len(by_entity["e2"]) == 2

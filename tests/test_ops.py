@@ -28,33 +28,38 @@ def test_exact_duplicates(spark):
     assert out[0]["doc_ids"] == [1, 2, 4]  # trim-normalized
 
 
-def test_minhash_lsh_finds_identical_sets(spark):
+def test_minhash_lsh_finds_near_dups(spark):
     from openaleph_search_spark.ops.dedup import minhash_lsh_pairs
     df = spark.createDataFrame(
-        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha"),
-         (3, "completely different words here"),
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "completely different words here today friend"),
          (4, "alpha beta gamma delta epsilon")],
         "doc_id long, text string")
     out = {(r["id_a"], r["id_b"]): r["jaccard"]
-           for r in minhash_lsh_pairs(df, threshold=0.7).collect()}
-    assert out[(1, 2)] == 1.0          # same token set
-    assert (1, 4) in out and abs(out[(1, 4)] - 0.8) < 1e-6
+           for r in minhash_lsh_pairs(df, threshold=0.6).collect()}
+    assert out[(1, 2)] == 1.0          # identical shingle set
+    # 1 has trigram shingles {abg, bgd}; 4 adds {gde} → j = 2/3
+    assert (1, 4) in out and abs(out[(1, 4)] - 2 / 3) < 1e-5
     assert not any(3 in p for p in out)
 
 
 def test_minhash_vs_exact_jaccard_oracle(spark, documents):
-    """On the real sf0.001 documents: every LSH-verified pair must match
-    the exact all-pairs jaccard at the same threshold (recall check on
-    j=1.0 region where LSH recall is certain)."""
+    """On the real sf0.001 documents: LSH-verified pairs must equal the
+    exact all-pairs trigram-shingle jaccard at the same threshold
+    (recall certain in the j≈1 region)."""
     from openaleph_search_spark.ops.dedup import minhash_lsh_pairs
     got = {(r["id_a"], r["id_b"]): r["jaccard"]
            for r in minhash_lsh_pairs(documents, threshold=0.95).collect()}
     import duckdb
     con = duckdb.connect()
     exact = con.sql(f"""
-        with d as (select doc_id,
-                          list_distinct(string_split(text, ' ')) toks
-                   from '{SF}/documents.parquet')
+        with t as (select doc_id, string_split(text, ' ') tt
+                   from '{SF}/documents.parquet'
+                   where len(string_split(text, ' ')) >= 3),
+        d as (select doc_id,
+                     list_distinct(list_transform(range(1, len(tt) - 1),
+                         i -> array_to_string(tt[i:i+2], ' '))) toks
+              from t)
         select a.doc_id ia, b.doc_id ib,
                round(len(list_intersect(a.toks, b.toks))::double /
                (len(a.toks) + len(b.toks)
