@@ -1,0 +1,124 @@
+"""CLI — the spark-submit entry point (north_rule: run via
+``spark-submit --py-files openaleph_search_spark.zip cli.py ...``).
+
+Mirrors the reference CLI surface
+(/root/reference/openaleph_search/cli.py:68-341: upgrade/reset ≈ build,
+index-entities ≈ build, search query-string, analyze, percolate-text,
+delete) re-based on the code-document table.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def get_spark(cores: str | None = None):
+    from pyspark.sql import SparkSession
+    b = SparkSession.builder.appName("openaleph-search-spark")
+    if cores:
+        b = b.master(f"local[{cores}]")
+    return (b.config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.adaptive.enabled", "true")
+            .getOrCreate())
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="openaleph-search-spark")
+    ap.add_argument("--cores", default=None,
+                    help="local[N] override; omit under spark-submit")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True,
+                   help="parquet/iceberg path of docs(repo,path,commit,"
+                        "lang,content)")
+    b.add_argument("--output", required=True, help="index directory")
+    b.add_argument("--partitions", type=int, default=None)
+    b.add_argument("--shards", type=int, default=8)
+    b.add_argument("--no-positions", action="store_true")
+    b.add_argument("--no-resume", action="store_true")
+
+    s = sub.add_parser("search", help="query-string search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--q", required=True)
+    s.add_argument("--limit", type=int, default=10)
+    s.add_argument("--filter", action="append", default=[],
+                   help="field=value (repeatable)")
+    s.add_argument("--facet", action="append", default=[])
+
+    a = sub.add_parser("analyze", help="tokenize text with the analyzer")
+    a.add_argument("text")
+
+    p = sub.add_parser("percolate-text",
+                       help="match a document against a watchlist")
+    p.add_argument("--watchlist", required=True,
+                   help="jsonl of {entity_id, names, other_names}")
+    p.add_argument("text")
+
+    d = sub.add_parser("delete", help="tombstone docs by filter")
+    d.add_argument("--index", required=True)
+    d.add_argument("--filter", action="append", default=[], required=True)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "analyze":  # no Spark needed
+        from openaleph_search_spark.analysis.analyzer import analyze_text
+        print(json.dumps(analyze_text(args.text)))
+        return 0
+
+    if args.cmd == "percolate-text":
+        from openaleph_search_spark.query.percolate import (
+            compile_watchlist, percolate_text)
+        rows = [json.loads(line) for line in open(args.watchlist)
+                if line.strip()]
+        out = percolate_text(args.text, compile_watchlist(rows))
+        print(json.dumps(out))
+        return 0
+
+    spark = get_spark(args.cores)
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        if args.cmd == "build":
+            from openaleph_search_spark.index.build import build_index
+            docs = spark.read.parquet(args.input)
+            st = build_index(spark, docs, args.output,
+                             num_partitions=args.partitions,
+                             num_shards=args.shards,
+                             with_positions=not args.no_positions,
+                             resume=not args.no_resume)
+            print(json.dumps(st.read_meta()))
+        elif args.cmd == "search":
+            from openaleph_search_spark.query.engine import Engine
+            eng = Engine(spark, args.index)
+            req = {"q": args.q, "limit": args.limit}
+            for f in args.filter:
+                k, _, v = f.partition("=")
+                req[f"filter:{k}"] = v
+            for f in args.facet:
+                req.setdefault("facet", []).append(f)
+            res = eng.search(req)
+            for r in res.hit_rows(0, args.limit):
+                print(json.dumps({k: v for k, v in r.items()
+                                  if k != "content"}, default=str))
+            for f, df in res.facets.items():
+                print(json.dumps({"facet": f, "buckets": [
+                    r.asDict() for r in df.collect()]}))
+        elif args.cmd == "delete":
+            from pyspark.sql import functions as F
+            from openaleph_search_spark.index.mutate import delete_docs
+            from openaleph_search_spark.index.storage import IndexStorage
+            pred = None
+            for f in args.filter:
+                k, _, v = f.partition("=")
+                c = F.col(k) == v
+                pred = c if pred is None else (pred & c)
+            n = delete_docs(spark, IndexStorage(args.index), pred)
+            print(json.dumps({"tombstoned": n}))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

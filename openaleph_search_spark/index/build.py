@@ -248,6 +248,7 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         "num_partitions": P, "num_shards": num_shards,
         "block_size": BLOCK_SIZE, "k1": K1, "b": B,
         "with_positions": with_positions, "n_docs": n_docs, "avgdl": avgdl,
+        "encode_avgdl_min": avgdl,
         "analyzer": "icu-default-v1",
         "built_partitions": len(done) + len(new_rows),
         "resumed_from": len(done),

@@ -48,6 +48,7 @@ class Engine:
         self.storage = IndexStorage(index_dir)
         self.executor = SearchExecutor(spark, self.storage)
         self._doc_meta: DataFrame | None = None
+        self._has_tombstones = False
         self.source_docs = source_docs
         if isinstance(synonyms, str):
             from .synonyms import SynonymTable
@@ -61,8 +62,16 @@ class Engine:
 
     @property
     def doc_meta(self) -> DataFrame:
+        """Live docs only — tombstoned (deleted) ids are subtracted
+        (Lucene-style soft deletes, index/mutate.py)."""
         if self._doc_meta is None:
-            self._doc_meta = self.storage.doc_meta(self.spark)
+            dm = self.storage.doc_meta(self.spark)
+            from ..index.mutate import read_tombstones
+            tombs = read_tombstones(self.spark, self.storage)
+            self._has_tombstones = tombs is not None
+            if tombs is not None:
+                dm = dm.join(tombs, "doc_id", "left_anti")
+            self._doc_meta = dm
         return self._doc_meta
 
     def search(self, args: dict | SearchArgs, with_total: bool = False
@@ -87,8 +96,9 @@ class Engine:
             ids = self.executor.run(tree, k=None, filter_df=base_meta)
             matched = base_meta.join(ids, "doc_id")
         else:
-            filter_df = base_meta if (pre_pred is not None
-                                      or post_fields) else None
+            self.doc_meta  # ensure tombstone state resolved
+            filter_df = base_meta if (pre_pred is not None or post_fields
+                                      or self._has_tombstones) else None
             topk = self.executor.topk(tree, sa.k, filter_df=filter_df)
             hits = (topk.join(self.doc_meta, "doc_id")
                     .orderBy(F.desc("score"), F.asc("doc_id")))

@@ -416,6 +416,13 @@ class SearchExecutor:
         n_docs = float(self.meta["n_docs"])
         avgdl = float(self.meta["avgdl"])
         k1, b = float(self.meta["k1"]), float(self.meta["b"])
+        # encoded block-max bounds are true upper bounds only while the
+        # live avgdl hasn't grown past any encode-time avgdl (appends
+        # can change stats; see streaming/incremental.py) — else fall
+        # back to exact full evaluation until compact()
+        prune_ok = avgdl <= float(
+            self.meta.get("encode_avgdl_min", avgdl)) + 1e-9
+        k_prune = k if prune_ok else None
         stats = (self.storage.term_stats(self.spark)
                  .filter(F.col("term").isin(terms)).collect())
         idf = {r["term"]: float(bm25_idf(float(r["df"]), n_docs))
@@ -432,7 +439,7 @@ class SearchExecutor:
             by_term = {
                 t: g.sort_values(["first_doc"])
                 for t, g in blocks_pdf.groupby("term", sort=False)}
-            ev = _ShardEval(by_term, idf, k, allowed, k1, b, avgdl)
+            ev = _ShardEval(by_term, idf, k_prune, allowed, k1, b, avgdl)
             ids, scores = ev.eval(tree)
             if k is not None and ids.size > k:
                 # per-shard top-k: exact selection incl. doc_id tiebreak
