@@ -7,32 +7,36 @@ drives it, Lucene executes it).  Pipeline:
 
   docs(repo, path, commit, lang, content)
     │  F.sha2(content) / deterministic src_part (JVM-side)
-    ├─ groupBy(src_part).applyInPandas(SPIMI)         ── scatter
-    │     tokenize (vectorized analyzer) → (term, doc_id, tf, dl, pos[])
+    ├─ groupBy(src_part).applyInPandas(SPIMI)          ── scatter
+    │     tokenize (vectorized analyzer) → per-partition PACKED posting
+    │     blocks (≤128 docs, delta+varint docs/tfs/dls/positions)
     │     write tf_runs/part=K.parquet + doc_meta/part=K.parquet
-    │     commit manifest/part=K.json  ← per-partition checkpoint
+    │     commit manifest/part=K.json   ← per-partition checkpoint
     ├─ global_stats (N, avgdl) from doc_meta           ── tiny agg
-    ├─ shard = docid-range bucket; groupBy(term, shard)
-    │     .applyInPandas(encode_blocks)                ── the ONE shuffle
-    │     delta+varint blocks w/ block_max_tfnorm
-    └─ postings/ partitioned by shard; term_stats/ ; meta.json
+    ├─ fill block_max_tfnorm (vectorized batch decode of tf/dl payloads)
+    └─ repartition(shard) → postings/ sorted by (term, first_doc);
+       term_stats from a map-side-combined sum over block rows
 
 Scale properties (designed for 1000-executor / 100 TB):
 
-* Doc ids are ``(src_part << 33) | row_in_partition`` with rows sorted by
-  (repo, path, commit) — deterministic, monotone, no global count pass,
-  no driver materialization (SURVEY.md §7.0.2).
-* The term shuffle is keyed on (term, shard): a hot term (``the``,
-  ``def``, ``license``) fans out across all ``num_shards`` reducers —
-  doc-range sharding IS the salt, and salts are docid-contiguous so
-  blocks concatenate globally sorted (SURVEY.md §7.0.6).
+* Doc ids are ``(src_part << 33) | row_in_partition`` with rows sorted
+  by (repo, path, commit) — deterministic, monotone, no global count
+  pass, no driver materialization (SURVEY.md §7.0.2).
+* **The merge shuffle moves packed binary blocks, not postings**: SPIMI
+  emits one row per (term, ≤128-doc block), so shuffle row count is
+  ~|postings|/128 and each row is already compressed. A hot term
+  (``the``, ``def``, ``license``) is emitted from every source
+  partition independently — doc-range sharding makes the classic
+  hot-term salting structural rather than a special case (SURVEY.md
+  §7.0.6): no reducer ever sees more than one partition's share of a
+  term without wanting to.
+* Blocks of one (term, shard) never overlap in doc range across source
+  partitions (ids are partition-prefixed), so the "merge" is a sort by
+  (term, first_doc) — no re-encoding, no posting-level merge sort.
 * Resumability: each source partition commits its run atomically
   (parquet first, manifest JSON last); a re-run prunes completed
   partitions driver-side and step B overwrites idempotently
   (north_rule checkpoint + lineage + per-task metrics).
-* Map-side partial aggregation: tf aggregation happens before the
-  shuffle (inside SPIMI), so shuffle volume is O(distinct (term, doc)),
-  not O(token occurrences).
 """
 from __future__ import annotations
 
@@ -45,39 +49,38 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..analysis.analyzer import tokenize_flat
-from .codec import (BLOCK_SIZE, K1, B, encode_blocks,
-                    encode_positions_grouped)
+from .codec import (BLOCK_SIZE, K1, B, bm25_tfnorm, encode_blocks,
+                    encode_positions_grouped, varint_decode)
 from .storage import IndexStorage
 
 DOC_ID_PART_SHIFT = 33  # doc_id = (src_part << 33) | local_row
 
-TF_RUN_SCHEMA = ("term string, doc_id long, tf int, dl int, "
-                 "positions binary")
 DOC_META_SCHEMA = ("doc_id long, repo string, path string, commit string, "
                    "lang string, content_sha256 string, doc_len int, "
                    "src_part int")
 MANIFEST_SCHEMA = ("src_part int, status string, docs long, postings long, "
                    "tokens long, seconds double, attempt int")
-POSTINGS_SCHEMA = ("term string, shard int, block_ord int, first_doc long, "
+POSTINGS_SCHEMA = ("term string, shard int, first_doc long, "
                    "last_doc long, doc_count int, sum_tf long, max_tf int, "
                    "block_max_tfnorm double, docs_payload binary, "
                    "tfs_payload binary, dls_payload binary, "
                    "pos_payload binary")
+_BLOCK_COLS = ["term", "shard", "first_doc", "last_doc", "doc_count",
+               "sum_tf", "max_tf", "block_max_tfnorm", "docs_payload",
+               "tfs_payload", "dls_payload", "pos_payload"]
 
 
-def shard_of_part(src_part: int | np.ndarray, num_parts: int, num_shards: int):
-    """Docid-range shard for a source partition (contiguous ranges)."""
-    return (np.asarray(src_part, dtype=np.int64) * num_shards) // num_parts
-
-
-def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int):
-    """Grouped-map fn: one source partition → SPIMI run + checkpoint."""
+def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
+                  shard_of_part):
+    """Grouped-map fn: one source partition → packed block run +
+    doc_meta + atomic manifest checkpoint."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.time()
         src_part = int(pdf["src_part"].iloc[0])
+        shard = int(shard_of_part(src_part))
         pdf = pdf.sort_values(["repo", "path", "commit"], kind="mergesort")
         pdf = pdf.reset_index(drop=True)
         n = len(pdf)
@@ -85,9 +88,10 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int):
             n, dtype=np.int64)
 
         row_idx, terms, positions = tokenize_flat(pdf["content"])
-        # aggregate (doc, term) → tf + position list, vectorized:
-        # sort by (row, term, pos); run-length detect (row, term) groups.
+        block_rows: list[dict] = []
+        dl_per_doc = np.zeros(n, dtype=np.int32)
         if row_idx.size:
+            # (doc, term) aggregation: sort by (row, term, pos), run-length
             order = np.lexsort((positions, terms.to_numpy(), row_idx))
             r = row_idx[order]
             t = terms.to_numpy()[order]
@@ -96,32 +100,47 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int):
             new_grp[0] = True
             new_grp[1:] = (r[1:] != r[:-1]) | (t[1:] != t[:-1])
             starts = np.flatnonzero(new_grp)
-            tfs = np.diff(np.append(starts, r.size)).astype(np.int32)
+            tfs = np.diff(np.append(starts, r.size)).astype(np.int64)
             g_row = r[starts]
             g_term = t[starts]
-            pos_payloads = (encode_positions_grouped(p, starts)
-                            if with_positions else [b""] * starts.size)
-            # doc length = #positions (same-position ZWJ annotation terms
-            # count once — Lucene norm discountOverlaps semantics)
-            dl_per_doc = np.zeros(n, dtype=np.int32)
+            pos_payloads = (
+                np.array(encode_positions_grouped(p, starts), dtype=object)
+                if with_positions else None)
+            # doc length = #positions (same-position ZWJ terms count once
+            # — Lucene norm discountOverlaps semantics)
             np.maximum.at(dl_per_doc, row_idx,
                           (positions + 1).astype(np.int32))
-            run = pd.DataFrame({
-                "term": g_term,
-                "doc_id": doc_ids[g_row],
-                "tf": tfs,
-                "dl": dl_per_doc[g_row],
-                "positions": pos_payloads,
-            })
-        else:
-            dl_per_doc = np.zeros(n, dtype=np.int32)
-            run = pd.DataFrame({
-                "term": pd.Series([], dtype=object),
-                "doc_id": pd.Series([], dtype=np.int64),
-                "tf": pd.Series([], dtype=np.int32),
-                "dl": pd.Series([], dtype=np.int32),
-                "positions": pd.Series([], dtype=object),
-            })
+            # term-major resort → per-term posting slices (docs ascend)
+            order2 = np.lexsort((g_row, g_term))
+            g_term = g_term[order2]
+            g_doc = doc_ids[g_row[order2]]
+            g_tf = tfs[order2]
+            g_dl = dl_per_doc[g_row[order2]].astype(np.int64)
+            if pos_payloads is not None:
+                pos_payloads = pos_payloads[order2]
+            t_bounds = np.flatnonzero(
+                np.r_[True, g_term[1:] != g_term[:-1]])
+            t_ends = np.r_[t_bounds[1:], g_term.size]
+            for lo, hi in zip(t_bounds, t_ends):
+                blocks = encode_blocks(
+                    g_doc[lo:hi].astype(np.uint64),
+                    g_tf[lo:hi].astype(np.uint64),
+                    g_dl[lo:hi].astype(np.uint64),
+                    avgdl=None,  # impact bound filled at merge
+                    pos_payloads=(list(pos_payloads[lo:hi])
+                                  if pos_payloads is not None else None),
+                    block_size=BLOCK_SIZE)
+                term_str = str(g_term[lo])
+                for brow in blocks:
+                    brow.pop("block_ord", None)
+                    brow["term"] = term_str
+                    brow["shard"] = shard
+                    brow["block_max_tfnorm"] = 0.0
+                    block_rows.append(brow)
+
+        run = pd.DataFrame(block_rows, columns=_BLOCK_COLS) \
+            if block_rows else pd.DataFrame(
+                {c: [] for c in _BLOCK_COLS})
 
         meta = pd.DataFrame({
             "doc_id": doc_ids,
@@ -138,12 +157,16 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int):
         os.makedirs(storage.doc_meta_dir, exist_ok=True)
         os.makedirs(storage.manifest_dir, exist_ok=True)
         run_schema = pa.schema([
-            ("term", pa.string()), ("doc_id", pa.int64()),
-            ("tf", pa.int32()), ("dl", pa.int32()),
-            ("positions", pa.binary()),
+            ("term", pa.string()), ("shard", pa.int32()),
+            ("first_doc", pa.int64()), ("last_doc", pa.int64()),
+            ("doc_count", pa.int32()), ("sum_tf", pa.int64()),
+            ("max_tf", pa.int32()), ("block_max_tfnorm", pa.float64()),
+            ("docs_payload", pa.binary()), ("tfs_payload", pa.binary()),
+            ("dls_payload", pa.binary()), ("pos_payload", pa.binary()),
         ])
         pq.write_table(
-            pa.Table.from_pandas(run, schema=run_schema, preserve_index=False),
+            pa.Table.from_pandas(run, schema=run_schema,
+                                 preserve_index=False),
             os.path.join(storage.tf_runs_dir, f"part={src_part}.parquet"))
         pq.write_table(
             pa.Table.from_pandas(meta, preserve_index=False),
@@ -164,26 +187,24 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int):
     return fn
 
 
-def _encode_group(avgdl: float, num_parts: int, num_shards: int,
-                  with_positions: bool):
-    """Grouped-map fn: (term, shard) posting rows → compressed block rows."""
+def fill_block_max(avgdl: float, k1: float = K1, b: float = B):
+    """mapInPandas fn: decode tf/dl payloads (one concatenated varint
+    pass per batch) and set the per-block BM25 impact upper bound."""
 
-    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, shard = key
-        pdf = pdf.sort_values("doc_id")
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64).astype(np.uint64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64).astype(np.uint64)
-        pos_payloads = (list(pdf["positions"]) if with_positions
-                        else None)
-        blocks = encode_blocks(doc_ids, tfs, dls, avgdl,
-                               pos_payloads=pos_payloads,
-                               block_size=BLOCK_SIZE)
-        out = pd.DataFrame(blocks)
-        out.insert(0, "term", term)
-        out.insert(1, "shard", int(shard))
-        return out
-
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                yield pdf
+                continue
+            tf_flat = varint_decode(
+                b"".join(pdf["tfs_payload"])) + np.uint64(1)
+            dl_flat = varint_decode(b"".join(pdf["dls_payload"]))
+            counts = pdf["doc_count"].to_numpy(np.int64)
+            starts = np.cumsum(counts) - counts
+            tfn = bm25_tfnorm(tf_flat, dl_flat, avgdl, k1, b)
+            pdf = pdf.copy()
+            pdf["block_max_tfnorm"] = np.maximum.reduceat(tfn, starts)
+            yield pdf
     return fn
 
 
@@ -209,12 +230,13 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
 
     done = storage.completed_partitions() if resume else {}
     if done:
-        done_ids = list(done.keys())
-        prepared = prepared.filter(~F.col("src_part").isin(done_ids))
+        prepared = prepared.filter(~F.col("src_part").isin(list(done)))
 
-    # ---- step A: SPIMI runs, checkpointed per source partition ----------
+    # ---- step A: SPIMI packed-block runs, checkpointed per partition ----
     manifests = prepared.groupBy("src_part").applyInPandas(
-        _spimi_writer(storage, with_positions, attempt), MANIFEST_SCHEMA)
+        _spimi_writer(storage, with_positions, attempt,
+                      lambda sp: (sp * num_shards) // P),
+        MANIFEST_SCHEMA)
     new_rows = manifests.collect()  # tiny: one row per partition
 
     # ---- global stats (over ALL partitions incl. previously done) -------
@@ -224,23 +246,19 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         F.avg("doc_len").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"] or 0.0)
 
-    # ---- step B: term-partitioned merge + block encode (the shuffle) ----
+    # ---- step B: fill impact bounds + shard-layout write (ONE shuffle
+    # of packed block rows, ~|postings|/128 rows) -------------------------
     runs = storage.tf_runs(spark)
-    runs = runs.withColumn(
-        "shard",
-        ((F.shiftright("doc_id", DOC_ID_PART_SHIFT) * num_shards)
-         / F.lit(P)).cast("int"))
-    postings = runs.groupBy("term", "shard").applyInPandas(
-        _encode_group(avgdl, P, num_shards, with_positions),
-        POSTINGS_SCHEMA)
+    postings = runs.mapInPandas(fill_block_max(avgdl), POSTINGS_SCHEMA)
     (postings
+        .repartition(max(num_shards, sc_parallelism), "shard")
         .sortWithinPartitions("shard", "term", "first_doc")
         .write.mode("overwrite").partitionBy("shard")
         .parquet(storage.postings_dir))
 
-    # ---- term stats (global df/cf — unlike ES's per-shard idf) ----------
-    (spark.read.parquet(storage.postings_dir)
-        .groupBy("term")
+    # ---- term stats (global df/cf — unlike ES's per-shard idf);
+    # map-side partial agg over block rows ---------------------------------
+    (runs.groupBy("term")
         .agg(F.sum("doc_count").alias("df"), F.sum("sum_tf").alias("cf"))
         .write.mode("overwrite").parquet(storage.term_stats_dir))
 

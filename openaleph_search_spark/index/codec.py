@@ -164,7 +164,7 @@ def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
 
 
 def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-                  avgdl: float,
+                  avgdl: float | None,
                   positions: list[np.ndarray] | None = None,
                   pos_payloads: list[bytes] | None = None,
                   block_size: int = BLOCK_SIZE) -> list[dict]:
@@ -190,7 +190,10 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         deltas = np.empty_like(d)
         deltas[0] = d[0]
         np.subtract(d[1:], d[:-1], out=deltas[1:])
-        tfn = bm25_tfnorm(t, l, avgdl)
+        # avgdl=None → SPIMI first pass: the impact bound is filled in
+        # by the merge once global stats exist (build.py step B)
+        tfn = (bm25_tfnorm(t, l, avgdl) if avgdl is not None
+               else np.zeros(1))
         row = {
             "block_ord": ord_,
             "first_doc": int(d[0]),

@@ -56,31 +56,77 @@ def delete_by_ids(spark: SparkSession, storage: IndexStorage,
     return delete_docs(spark, storage, F.col("doc_id").isin(doc_ids))
 
 
-def compact(spark: SparkSession, storage: IndexStorage,
-            num_shards: int | None = None) -> None:
-    """Fold tombstones in and refresh stats/bounds: rebuild from the
-    surviving doc_meta + the original source rows are NOT needed —
-    postings are rewritten by filtering tombstoned doc_ids out of
-    tf_runs and re-encoding (same one-shuffle pipeline as the build)."""
-    from .build import DOC_ID_PART_SHIFT, POSTINGS_SCHEMA, _encode_group
+def _drop_docs_from_blocks(dead_ids, avgdl: float, with_positions: bool):
+    """mapInPandas fn: decode each packed block, drop tombstoned docs,
+    re-encode, refresh the impact bound with the post-delete avgdl."""
+    import numpy as np
+    import pandas as pd
+    from .codec import (bm25_tfnorm, decode_block, decode_positions,
+                        encode_positions, varint_encode)
+
+    dead = np.sort(np.asarray(dead_ids, dtype=np.int64))
+
+    def fn(it):
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                d, t, l = decode_block(row)
+                keep = ~np.isin(d.astype(np.int64), dead,
+                                assume_unique=True)
+                if keep.all():
+                    rows.append(row)
+                    continue
+                if not keep.any():
+                    continue
+                pos = (decode_positions(row["pos_payload"], t)
+                       if with_positions else None)
+                d, t, l = d[keep], t[keep], l[keep]
+                deltas = np.empty_like(d)
+                deltas[0] = d[0]
+                np.subtract(d[1:], d[:-1], out=deltas[1:])
+                new = row.copy()
+                new["first_doc"] = int(d[0])
+                new["last_doc"] = int(d[-1])
+                new["doc_count"] = int(d.size)
+                new["sum_tf"] = int(t.sum())
+                new["max_tf"] = int(t.max())
+                new["block_max_tfnorm"] = float(
+                    bm25_tfnorm(t, l, avgdl).max())
+                new["docs_payload"] = varint_encode(deltas)
+                new["tfs_payload"] = varint_encode(t - np.uint64(1))
+                new["dls_payload"] = varint_encode(l)
+                new["pos_payload"] = (encode_positions(
+                    [p for p, k in zip(pos, keep) if k])
+                    if with_positions else b"")
+                rows.append(new)
+            yield (pd.DataFrame(rows) if rows
+                   else pdf.iloc[0:0])
+    return fn
+
+
+def compact(spark: SparkSession, storage: IndexStorage) -> None:
+    """Fold tombstones in and refresh stats/bounds: packed blocks are
+    decoded, tombstoned docs dropped, re-encoded in place (doc-range
+    layout unchanged — no shuffle at all)."""
+    from .build import POSTINGS_SCHEMA, fill_block_max
     meta = storage.read_meta()
     tombs = read_tombstones(spark, storage)
     if tombs is None:
         return
-    P = meta["num_partitions"]
-    S = num_shards or meta["num_shards"]
 
-    runs = storage.tf_runs(spark).join(tombs, "doc_id", "left_anti")
     doc_meta = storage.doc_meta(spark).join(tombs, "doc_id", "left_anti")
     stats = doc_meta.agg(F.count("*").alias("n"),
                          F.avg("doc_len").alias("a")).collect()[0]
     n_docs, avgdl = int(stats["n"]), float(stats["a"] or 0.0)
 
-    runs = runs.withColumn(
-        "shard", ((F.shiftright("doc_id", DOC_ID_PART_SHIFT) * S)
-                  / F.lit(P)).cast("int"))
-    postings = runs.groupBy("term", "shard").applyInPandas(
-        _encode_group(avgdl, P, S, meta["with_positions"]),
+    # deletes are a small fraction by assumption; ids broadcast via the
+    # task closure (a cogrouped variant drops this limit if ever needed)
+    dead_ids = [r["doc_id"] for r in tombs.collect()]
+    postings = storage.postings(spark).mapInPandas(
+        _drop_docs_from_blocks(dead_ids, avgdl, meta["with_positions"]),
+        POSTINGS_SCHEMA)
+    runs_clean_src = storage.tf_runs(spark).mapInPandas(
+        _drop_docs_from_blocks(dead_ids, avgdl, meta["with_positions"]),
         POSTINGS_SCHEMA)
     import shutil
 
@@ -99,8 +145,7 @@ def compact(spark: SparkSession, storage: IndexStorage,
     # / re-encodes can't resurrect deleted docs)
     swap(lambda d: doc_meta.write.mode("overwrite").parquet(d),
          storage.doc_meta_dir)
-    runs_clean = storage.tf_runs(spark).join(tombs, "doc_id", "left_anti")
-    swap(lambda d: runs_clean.write.mode("overwrite").parquet(d),
+    swap(lambda d: runs_clean_src.write.mode("overwrite").parquet(d),
          storage.tf_runs_dir)
     (spark.read.parquet(storage.postings_dir)
      .groupBy("term")

@@ -21,17 +21,46 @@ DEFAULTS = dict(min_tf=1, min_df=1, max_df_ratio=0.9, min_len=3,
                 max_terms=25, min_should_pct=0.1)
 
 
+def doc_term_vector(spark: SparkSession, storage: IndexStorage,
+                    doc_id: int) -> list[tuple[str, int]]:
+    """(term, tf) pairs of one doc, decoded from its shard's blocks —
+    shard partition pruning + first/last_doc rowgroup pruning narrow the
+    scan to the doc's own partition's vocabulary."""
+    import numpy as np
+    import pandas as pd
+    from .executor import SearchExecutor
+    from ..index.codec import decode_block
+    ex = SearchExecutor(spark, storage)
+    blocks = (storage.postings(spark)
+              .filter((F.col("shard") == ex.shard_col(F.lit(doc_id)))
+                      & (F.col("first_doc") <= doc_id)
+                      & (F.col("last_doc") >= doc_id)))
+
+    def extract(it):
+        for pdf in it:
+            terms, tfs = [], []
+            for _, row in pdf.iterrows():
+                d, t, _ = decode_block(row)
+                j = np.searchsorted(d, np.uint64(doc_id))
+                if j < d.size and d[j] == np.uint64(doc_id):
+                    terms.append(row["term"])
+                    tfs.append(int(t[j]))
+            yield pd.DataFrame({"term": terms, "tf": tfs})
+
+    return [(r["term"], r["tf"]) for r in
+            blocks.mapInPandas(extract, "term string, tf int").collect()]
+
+
 def interesting_terms(spark: SparkSession, storage: IndexStorage,
                       doc_id: int, **kw) -> list[str]:
-    """Driver-side term selection from the doc's indexed tf run —
+    """Driver-side term selection from the doc's indexed term vector —
     deterministic: tf·idf desc, then term asc."""
     opts = {**DEFAULTS, **kw}
     meta = storage.read_meta()
     n_docs = float(meta["n_docs"])
     max_df = opts.get("max_df", int(n_docs * opts["max_df_ratio"]))
-    tf_rows = (storage.tf_runs(spark)
-               .filter(F.col("doc_id") == doc_id)
-               .select("term", "tf").collect())
+    tf_rows = [{"term": t, "tf": tf}
+               for t, tf in doc_term_vector(spark, storage, doc_id)]
     if not tf_rows:
         return []
     terms = [r["term"] for r in tf_rows]

@@ -18,15 +18,15 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..index.build import (DOC_ID_PART_SHIFT, MANIFEST_SCHEMA,
-                           POSTINGS_SCHEMA, _encode_group, _spimi_writer)
+from ..index.build import (MANIFEST_SCHEMA, POSTINGS_SCHEMA,
+                           _spimi_writer, fill_block_max)
 from ..index.storage import IndexStorage
 
 
 def append_batch(spark: SparkSession, docs: DataFrame, index_dir: str,
                  epoch_id: int) -> None:
     """Index one micro-batch: new src_part namespace per epoch, same
-    SPIMI → encode pipeline, postings appended, stats refreshed."""
+    SPIMI packed-block pipeline, postings appended, stats refreshed."""
     storage = IndexStorage(index_dir)
     meta = storage.read_meta()
     P = meta["num_partitions"]
@@ -41,7 +41,8 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_dir: str,
             F.xxhash64("repo", "path", "commit"), F.lit(P)))
         .cast("int").alias("src_part"))
     (prepared.groupBy("src_part")
-     .applyInPandas(_spimi_writer(storage, meta["with_positions"], 1),
+     .applyInPandas(_spimi_writer(storage, meta["with_positions"], 1,
+                                  lambda sp: sp % S),
                     MANIFEST_SCHEMA)).collect()
 
     doc_meta = storage.doc_meta(spark)
@@ -49,23 +50,16 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_dir: str,
                          F.avg("doc_len").alias("a")).collect()[0]
     n_docs, avgdl = int(stats["n"]), float(stats["a"] or 0.0)
 
-    # encode ONLY the new partitions' runs (appended files)
-    new_parts = list(range(base_part, base_part + P))
+    # append ONLY the new partitions' blocks (their doc ids sit above
+    # the base namespace, so within-(term,shard) sortedness holds)
     runs = (storage.tf_runs(spark)
-            .filter((F.shiftright("doc_id", DOC_ID_PART_SHIFT)
-                     >= base_part)))
-    runs = runs.withColumn(
-        "shard", F.pmod(F.shiftright("doc_id", DOC_ID_PART_SHIFT),
-                        F.lit(S)).cast("int"))
-    postings = runs.groupBy("term", "shard").applyInPandas(
-        _encode_group(avgdl, P, S, meta["with_positions"]),
-        POSTINGS_SCHEMA)
+            .filter(F.shiftright("first_doc", 33) >= base_part))
+    postings = runs.mapInPandas(fill_block_max(avgdl), POSTINGS_SCHEMA)
     (postings.sortWithinPartitions("shard", "term", "first_doc")
      .write.mode("append").partitionBy("shard")
      .parquet(storage.postings_dir))
 
-    (spark.read.parquet(storage.postings_dir)
-     .groupBy("term")
+    (storage.tf_runs(spark).groupBy("term")
      .agg(F.sum("doc_count").alias("df"), F.sum("sum_tf").alias("cf"))
      .write.mode("overwrite").parquet(storage.term_stats_dir))
 

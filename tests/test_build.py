@@ -13,7 +13,7 @@ from openaleph_search_spark.index.storage import IndexStorage
 def _postings_digest(spark, path):
     df = spark.read.parquet(os.path.join(path, "postings"))
     return df.select(
-        F.xxhash64("term", "shard", "block_ord", "first_doc", "last_doc",
+        F.xxhash64("term", "shard", "first_doc", "last_doc",
                    "doc_count", "sum_tf", "max_tf", "docs_payload",
                    "tfs_payload", "dls_payload", "pos_payload").alias("h")
     ).agg(F.expr("bit_xor(h)").alias("x"), F.count("*").alias("n")).collect()[0]
