@@ -90,7 +90,10 @@ def tokenize_flat(texts: pd.Series) -> tuple[np.ndarray, pd.Series, np.ndarray]:
     terms share one position, mirroring ES ``ann_capture``).
     """
     texts = strip_html_series(texts.reset_index(drop=True))
-    token_lists = texts.str.findall(_TOKEN_RE)
+    # lowercase at DOC level (N ops, not N_tokens) — tokenization is
+    # case-insensitive here (the token regex treats cases alike)
+    lowered = texts.str.lower()
+    token_lists = lowered.str.findall(_TOKEN_RE)
     counts = token_lists.str.len().fillna(0).astype(np.int64).to_numpy()
     row_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
     if row_idx.size == 0:
@@ -101,8 +104,15 @@ def tokenize_flat(texts: pd.Series) -> tuple[np.ndarray, pd.Series, np.ndarray]:
     starts = np.repeat(np.cumsum(counts) - counts, counts)
     positions = np.arange(row_idx.size, dtype=np.int64) - starts
 
-    # ZWJ annotation capture: split multi-segment tokens at equal position
-    zwj_mask = flat.str.contains(ZWJ, regex=False).to_numpy()
+    # ZWJ annotation capture: split multi-segment tokens at equal
+    # position. Doc-level pre-mask: only tokens from ZWJ-bearing docs
+    # are scanned (the common all-ASCII batch pays nothing).
+    zwj_docs = lowered.str.contains(ZWJ, regex=False).to_numpy()
+    zwj_mask = np.zeros(row_idx.size, dtype=bool)
+    if zwj_docs.any():
+        cand = zwj_docs[row_idx]
+        zwj_mask[cand] = flat[cand].str.contains(
+            ZWJ, regex=False).to_numpy()
     if zwj_mask.any():
         keep_flat = flat[~zwj_mask]
         parts = flat[zwj_mask].str.split(ZWJ)
@@ -117,9 +127,20 @@ def tokenize_flat(texts: pd.Series) -> tuple[np.ndarray, pd.Series, np.ndarray]:
         row_idx = np.concatenate([row_idx[~zwj_mask], exp_rows])
         positions = np.concatenate([positions[~zwj_mask], exp_pos])
         flat = pd.concat([keep_flat, exp_terms], ignore_index=True)
+        zwj_docs = None  # row_idx reordered; fold mask recomputed below
 
-    terms = fold_series(flat.str.lower())
-    return row_idx, terms.reset_index(drop=True), positions
+    # ICU folding: doc-level pre-mask again — only tokens from docs
+    # containing non-ASCII go through the per-token fold
+    flat = flat.reset_index(drop=True)
+    na_docs = lowered.str.contains(_NONASCII_RE, regex=True,
+                                   na=False).to_numpy()
+    if na_docs.any():
+        cand = na_docs[row_idx]
+        if cand.any():
+            folded = fold_series(flat[cand])
+            flat = flat.copy()
+            flat[np.flatnonzero(cand)] = folded.to_numpy()
+    return row_idx, flat, positions
 
 
 def analyze_text(text: str) -> list[tuple[str, int]]:

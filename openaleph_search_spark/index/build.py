@@ -91,18 +91,21 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
         block_rows: list[dict] = []
         dl_per_doc = np.zeros(n, dtype=np.int32)
         if row_idx.size:
-            # (doc, term) aggregation: sort by (row, term, pos), run-length
-            order = np.lexsort((positions, terms.to_numpy(), row_idx))
+            # factorize terms to int codes first: lexsort over object
+            # strings is the single hottest op in the scatter pass
+            codes, uniq = pd.factorize(terms, sort=True)
+            # (doc, term) aggregation: sort by (row, code, pos), run-length
+            order = np.lexsort((positions, codes, row_idx))
             r = row_idx[order]
-            t = terms.to_numpy()[order]
+            c = codes[order]
             p = positions[order]
             new_grp = np.empty(r.size, dtype=bool)
             new_grp[0] = True
-            new_grp[1:] = (r[1:] != r[:-1]) | (t[1:] != t[:-1])
+            new_grp[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
             starts = np.flatnonzero(new_grp)
             tfs = np.diff(np.append(starts, r.size)).astype(np.int64)
             g_row = r[starts]
-            g_term = t[starts]
+            g_code = c[starts]
             pos_payloads = (
                 np.array(encode_positions_grouped(p, starts), dtype=object)
                 if with_positions else None)
@@ -111,16 +114,17 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
             np.maximum.at(dl_per_doc, row_idx,
                           (positions + 1).astype(np.int32))
             # term-major resort → per-term posting slices (docs ascend)
-            order2 = np.lexsort((g_row, g_term))
-            g_term = g_term[order2]
+            order2 = np.lexsort((g_row, g_code))
+            g_code = g_code[order2]
             g_doc = doc_ids[g_row[order2]]
             g_tf = tfs[order2]
             g_dl = dl_per_doc[g_row[order2]].astype(np.int64)
             if pos_payloads is not None:
                 pos_payloads = pos_payloads[order2]
             t_bounds = np.flatnonzero(
-                np.r_[True, g_term[1:] != g_term[:-1]])
-            t_ends = np.r_[t_bounds[1:], g_term.size]
+                np.r_[True, g_code[1:] != g_code[:-1]])
+            t_ends = np.r_[t_bounds[1:], g_code.size]
+            uniq_arr = np.asarray(uniq, dtype=object)
             for lo, hi in zip(t_bounds, t_ends):
                 blocks = encode_blocks(
                     g_doc[lo:hi].astype(np.uint64),
@@ -130,7 +134,7 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
                     pos_payloads=(list(pos_payloads[lo:hi])
                                   if pos_payloads is not None else None),
                     block_size=BLOCK_SIZE)
-                term_str = str(g_term[lo])
+                term_str = str(uniq_arr[g_code[lo]])
                 for brow in blocks:
                     brow.pop("block_ord", None)
                     brow["term"] = term_str
@@ -156,6 +160,7 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
         os.makedirs(storage.tf_runs_dir, exist_ok=True)
         os.makedirs(storage.doc_meta_dir, exist_ok=True)
         os.makedirs(storage.manifest_dir, exist_ok=True)
+        os.makedirs(storage.term_stats_parts_dir, exist_ok=True)
         run_schema = pa.schema([
             ("term", pa.string()), ("shard", pa.int32()),
             ("first_doc", pa.int64()), ("last_doc", pa.int64()),
@@ -171,6 +176,22 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
         pq.write_table(
             pa.Table.from_pandas(meta, preserve_index=False),
             os.path.join(storage.doc_meta_dir, f"part={src_part}.parquet"))
+        # per-partition term-stat partials: the global term dictionary
+        # aggregation then runs over tiny pre-combined rows
+        if block_rows:
+            ts = (run.groupby("term", sort=False)
+                  .agg(df=("doc_count", "sum"), cf=("sum_tf", "sum"))
+                  .reset_index())
+        else:
+            ts = pd.DataFrame({"term": [], "df": [], "cf": []})
+        pq.write_table(
+            pa.Table.from_pandas(ts, preserve_index=False,
+                                 schema=pa.schema([
+                                     ("term", pa.string()),
+                                     ("df", pa.int64()),
+                                     ("cf", pa.int64())])),
+            os.path.join(storage.term_stats_parts_dir,
+                         f"part={src_part}.parquet"))
 
         row = {
             "src_part": src_part, "status": "done", "docs": n,
@@ -239,27 +260,29 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         MANIFEST_SCHEMA)
     new_rows = manifests.collect()  # tiny: one row per partition
 
-    # ---- global stats (over ALL partitions incl. previously done) -------
-    doc_meta = storage.doc_meta(spark)
-    stats = doc_meta.agg(
-        F.count("*").alias("n_docs"),
-        F.avg("doc_len").alias("avgdl")).collect()[0]
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"] or 0.0)
+    # ---- global stats: free — summed from the manifest checkpoints
+    # (docs + token counts are per-partition lineage metrics) -------------
+    all_manifests = list(done.values()) + [r.asDict() for r in new_rows]
+    n_docs = sum(m["docs"] for m in all_manifests)
+    total_tokens = sum(m["tokens"] for m in all_manifests)
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
-    # ---- step B: fill impact bounds + shard-layout write (ONE shuffle
-    # of packed block rows, ~|postings|/128 rows) -------------------------
+    # ---- step B: fill impact bounds + shard-layout write. No shuffle:
+    # each run file is already (term, first_doc)-sorted per shard, and
+    # every output file stays sorted → term rowgroup pruning works ------
     runs = storage.tf_runs(spark)
     postings = runs.mapInPandas(fill_block_max(avgdl), POSTINGS_SCHEMA)
     (postings
-        .repartition(max(num_shards, sc_parallelism), "shard")
         .sortWithinPartitions("shard", "term", "first_doc")
         .write.mode("overwrite").partitionBy("shard")
         .parquet(storage.postings_dir))
 
-    # ---- term stats (global df/cf — unlike ES's per-shard idf);
-    # map-side partial agg over block rows ---------------------------------
-    (runs.groupBy("term")
-        .agg(F.sum("doc_count").alias("df"), F.sum("sum_tf").alias("cf"))
+    # ---- term stats (global df/cf — unlike ES's per-shard idf) over the
+    # per-partition partials written in step A ---------------------------
+    (spark.read.parquet(
+        os.path.join(storage.term_stats_parts_dir, "*.parquet"))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         .write.mode("overwrite").parquet(storage.term_stats_dir))
 
     storage.write_meta({

@@ -53,6 +53,8 @@ def varint_encode(values: np.ndarray) -> bytes:
     n = arr.shape[0]
     if n == 0:
         return b""
+    if arr.max() < 128:  # common fast path: every value is one byte
+        return arr.astype(np.uint8).tobytes()
     # bytes needed per value: 1 + count of thresholds <= value
     nbytes = np.ones(n, dtype=np.int64)
     for t in _THRESH:
@@ -77,6 +79,8 @@ def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_terminal = (b & 0x80) == 0
+    if is_terminal.all():  # 1-byte fast path
+        return b.astype(np.uint64)
     # group id per byte = number of terminals strictly before it
     gid = np.zeros(b.size, dtype=np.int64)
     np.cumsum(is_terminal[:-1], out=gid[1:])
@@ -124,30 +128,54 @@ def encode_positions(positions: list[np.ndarray]) -> bytes:
     return varint_encode(np.concatenate(flat))
 
 
-def encode_positions_grouped(flat_positions: np.ndarray,
-                             group_starts: np.ndarray) -> list[bytes]:
-    """Vectorized per-group positions encoding: delta within each group,
-    one varint byte-chunk per group. The chunks concatenate to exactly
-    :func:`encode_positions`'s output — so SPIMI can pre-encode per
-    (term, doc) and the merge stage just joins bytes (the shuffle then
-    carries compressed binary, not int arrays)."""
-    n = flat_positions.shape[0]
+def varint_encode_sliced(values: np.ndarray,
+                         group_starts: np.ndarray) -> list[bytes]:
+    """One vectorized varint pass over ``values``, returned as one byte
+    chunk per group (the chunks concatenate to ``varint_encode``'s
+    output). The workhorse behind per-doc position payloads and per-
+    block payload slicing — avoids per-small-array encoder calls."""
+    n = values.shape[0]
     if n == 0:
         return []
-    p = np.ascontiguousarray(flat_positions, dtype=np.uint64)
-    d = np.empty_like(p)
-    d[0] = p[0]
-    np.subtract(p[1:], p[:-1], out=d[1:])
-    d[group_starts] = p[group_starts]  # restart delta at group heads
-    buf = varint_encode(d)
-    # byte length per value (same rule as the encoder)
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.max() < 128:  # 1-byte fast path: byte offsets == value offsets
+        buf = v.astype(np.uint8).tobytes()
+        bounds = list(group_starts) + [n]
+        return [buf[bounds[i]:bounds[i + 1]]
+                for i in range(len(bounds) - 1)]
+    buf = varint_encode(v)
     nbytes = np.ones(n, dtype=np.int64)
     for t in _THRESH:
-        nbytes += d >= t
+        nbytes += v >= t
     ends = np.cumsum(nbytes)
     starts_b = np.concatenate([[0], ends[:-1]])
     bounds = list(starts_b[group_starts]) + [int(ends[-1])]
     return [buf[bounds[i]:bounds[i + 1]] for i in range(len(bounds) - 1)]
+
+
+def delta_restarting(values: np.ndarray,
+                     group_starts: np.ndarray) -> np.ndarray:
+    """Delta-encode with the delta restarting (absolute value) at each
+    group head."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    d = np.empty_like(v)
+    if v.size:
+        d[0] = v[0]
+        np.subtract(v[1:], v[:-1], out=d[1:])
+        d[group_starts] = v[group_starts]
+    return d
+
+
+def encode_positions_grouped(flat_positions: np.ndarray,
+                             group_starts: np.ndarray) -> list[bytes]:
+    """Vectorized per-group positions encoding: delta within each group,
+    one varint byte-chunk per group — so SPIMI can pre-encode per
+    (term, doc) and the merge stage just joins bytes (the shuffle then
+    carries compressed binary, not int arrays)."""
+    if flat_positions.shape[0] == 0:
+        return []
+    d = delta_restarting(flat_positions, group_starts)
+    return varint_encode_sliced(d, group_starts)
 
 
 def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
@@ -181,36 +209,40 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
     dls = np.ascontiguousarray(dls, dtype=np.uint64)
-    blocks = []
-    for ord_, lo in enumerate(range(0, n, block_size)):
-        hi = min(lo + block_size, n)
-        d = doc_ids[lo:hi]
-        t = tfs[lo:hi]
-        l = dls[lo:hi]
-        deltas = np.empty_like(d)
-        deltas[0] = d[0]
-        np.subtract(d[1:], d[:-1], out=deltas[1:])
+    if positions is not None and pos_payloads is None:
+        pos_payloads = [encode_positions([p]) for p in positions]
+    block_starts = np.arange(0, n, block_size, dtype=np.int64)
+    block_ends = np.minimum(block_starts + block_size, n)
+    # ONE vectorized varint pass per payload type, sliced per block
+    docs_chunks = varint_encode_sliced(
+        delta_restarting(doc_ids, block_starts), block_starts)
+    tfs_chunks = varint_encode_sliced(tfs - np.uint64(1), block_starts)
+    dls_chunks = varint_encode_sliced(dls, block_starts)
+    sums = np.add.reduceat(tfs.astype(np.int64), block_starts)
+    maxs = np.maximum.reduceat(tfs.astype(np.int64), block_starts)
+    if avgdl is not None:
         # avgdl=None → SPIMI first pass: the impact bound is filled in
         # by the merge once global stats exist (build.py step B)
-        tfn = (bm25_tfnorm(t, l, avgdl) if avgdl is not None
-               else np.zeros(1))
-        row = {
+        tfn_max = np.maximum.reduceat(
+            bm25_tfnorm(tfs, dls, avgdl), block_starts)
+    else:
+        tfn_max = np.zeros(block_starts.size)
+    blocks = []
+    for ord_, (lo, hi) in enumerate(zip(block_starts, block_ends)):
+        blocks.append({
             "block_ord": ord_,
-            "first_doc": int(d[0]),
-            "last_doc": int(d[-1]),
+            "first_doc": int(doc_ids[lo]),
+            "last_doc": int(doc_ids[hi - 1]),
             "doc_count": int(hi - lo),
-            "sum_tf": int(t.sum()),
-            "max_tf": int(t.max()),
-            "block_max_tfnorm": float(tfn.max()),
-            "docs_payload": varint_encode(deltas),
-            "tfs_payload": varint_encode(t - np.uint64(1)),
-            "dls_payload": varint_encode(l),
-            "pos_payload": (
-                b"".join(pos_payloads[lo:hi]) if pos_payloads is not None
-                else encode_positions(positions[lo:hi])
-                if positions is not None else b""),
-        }
-        blocks.append(row)
+            "sum_tf": int(sums[ord_]),
+            "max_tf": int(maxs[ord_]),
+            "block_max_tfnorm": float(tfn_max[ord_]),
+            "docs_payload": docs_chunks[ord_],
+            "tfs_payload": tfs_chunks[ord_],
+            "dls_payload": dls_chunks[ord_],
+            "pos_payload": (b"".join(pos_payloads[lo:hi])
+                            if pos_payloads is not None else b""),
+        })
     return blocks
 
 

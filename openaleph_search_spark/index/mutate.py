@@ -151,6 +151,10 @@ def compact(spark: SparkSession, storage: IndexStorage) -> None:
      .groupBy("term")
      .agg(F.sum("doc_count").alias("df"), F.sum("sum_tf").alias("cf"))
      .write.mode("overwrite").parquet(storage.term_stats_dir))
+    # refresh the per-partition partials too (future appends re-agg them)
+    swap(lambda d: spark.read.parquet(storage.term_stats_dir)
+         .write.mode("overwrite").parquet(d),
+         storage.term_stats_parts_dir)
     meta.update({"n_docs": n_docs, "avgdl": avgdl,
                  "encode_avgdl_min": avgdl})
     storage.write_meta(meta)

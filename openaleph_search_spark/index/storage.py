@@ -37,6 +37,8 @@ class IndexStorage:
         self.tf_runs_dir = os.path.join(index_dir, "tf_runs")
         self.postings_dir = os.path.join(index_dir, "postings")
         self.term_stats_dir = os.path.join(index_dir, "term_stats")
+        self.term_stats_parts_dir = os.path.join(index_dir,
+                                                 "term_stats_parts")
 
     # -- meta ---------------------------------------------------------------
     def write_meta(self, meta: dict) -> None:

@@ -90,8 +90,18 @@ class Engine:
 
         need_full_match = bool(sa.facets or sa.facet_total or sa.metrics
                                or sa.sort or with_total)
+        pure_negative = (isinstance(tree, Bool) and tree.must_not
+                         and not tree.must and not tree.should)
         if isinstance(tree, MatchAll):
             matched = base_meta.withColumn("score", F.lit(0.0))
+        elif pure_negative:
+            # "NOT x" = match_all minus the negated set (ES lenient
+            # query_string semantics); unscored, _doc order
+            banned = self.executor.run(
+                Bool(should=tree.must_not), k=None)
+            matched = (base_meta.join(banned.select("doc_id"),
+                                      "doc_id", "left_anti")
+                       .withColumn("score", F.lit(0.0)))
         elif need_full_match:
             ids = self.executor.run(tree, k=None, filter_df=base_meta)
             matched = base_meta.join(ids, "doc_id")
@@ -146,6 +156,11 @@ class Engine:
         base = self.doc_meta.filter(pred) if pred is not None else self.doc_meta
         if isinstance(tree, MatchAll):
             return base.count()
+        if isinstance(tree, Bool) and tree.must_not and not tree.must \
+                and not tree.should:
+            banned = self.executor.run(Bool(should=tree.must_not), k=None)
+            return base.join(banned.select("doc_id"), "doc_id",
+                             "left_anti").count()
         return self.executor.run(tree, k=None, filter_df=base).count()
 
     # -- planning helpers -----------------------------------------------------

@@ -39,7 +39,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..index.build import DOC_ID_PART_SHIFT
-from ..index.codec import bm25_idf, bm25_tfnorm, decode_block, decode_positions
+from ..index.codec import (bm25_idf, bm25_tfnorm, decode_positions,
+                           varint_decode)
 from ..index.storage import IndexStorage
 from .ir import Bool, MatchAll, Node, PhraseLeaf, PrefixLeaf, TermLeaf
 
@@ -49,6 +50,16 @@ RESULT_SCHEMA = "doc_id long, score double"
 # ---------------------------------------------------------------------------
 # sorted-array merge helpers (all vectorized)
 # ---------------------------------------------------------------------------
+
+def _in_sorted(values: np.ndarray, sorted_ref: np.ndarray) -> np.ndarray:
+    """Membership of ``values`` in a SORTED unique reference array —
+    O(n log m) binary search, no re-sorting (np.isin sorts per call)."""
+    if sorted_ref.size == 0:
+        return np.zeros(values.size, dtype=bool)
+    idx = np.searchsorted(sorted_ref, values)
+    np.minimum(idx, sorted_ref.size - 1, out=idx)
+    return sorted_ref[idx] == values
+
 
 def _merge_sum(ids_a, sc_a, ids_b, sc_b):
     """Union of two sorted (ids, scores) maps, summing scores."""
@@ -91,7 +102,7 @@ def _intersect_sum(ids_a, sc_a, ids_b, sc_b):
 
 
 def _setdiff(ids_a, sc_a, ids_b):
-    mask = ~np.isin(ids_a, ids_b, assume_unique=True)
+    mask = ~_in_sorted(ids_a, ids_b)
     return ids_a[mask], sc_a[mask]
 
 
@@ -129,43 +140,49 @@ class _ShardEval:
                      want_positions: bool = False):
         """→ (doc_ids, scores, dls, positions) sorted by doc_id,
         restricted to ``allowed`` and optionally to ``candidates``.
-        ``positions`` is a list of per-doc arrays (empty unless asked)."""
+        ``positions`` is a list of per-doc arrays (empty unless asked).
+
+        Batched decode: ONE varint pass per payload type over all kept
+        blocks (segmented cumsum restores absolute doc ids), then one
+        binary-search membership pass for the filters.
+        """
         pdf = self._term_blocks(term, candidates)
         empty = (np.empty(0, np.int64), np.empty(0, np.float64),
                  np.empty(0, np.float64), [])
         if pdf is None:
             return empty
-        ids_l, tfs_l, dls_l, pos_l = [], [], [], []
-        for _, row in pdf.iterrows():
-            d, t, l = decode_block(row)
-            ps = decode_positions(row["pos_payload"], t) if want_positions \
-                else None
-            d = d.astype(np.int64)
-            keep = None
-            if candidates is not None:
-                keep = np.isin(d, candidates, assume_unique=True)
-            if self.allowed is not None:
-                m2 = np.isin(d, self.allowed, assume_unique=True)
-                keep = m2 if keep is None else (keep & m2)
-            if keep is not None:
-                d, t, l = d[keep], t[keep], l[keep]
-                if ps is not None:
-                    ps = [p for p, kf in zip(ps, keep) if kf]
-            if d.size == 0:
-                continue
-            ids_l.append(d)
-            tfs_l.append(t)
-            dls_l.append(l)
-            if ps is not None:
-                pos_l.extend(ps)
-        if not ids_l:
+        counts = pdf["doc_count"].to_numpy(np.int64)
+        n = int(counts.sum())
+        if n == 0:
             return empty
-        ids = np.concatenate(ids_l)
-        tfs = np.concatenate(tfs_l)
-        dls = np.concatenate(dls_l).astype(np.float64)
+        starts = np.cumsum(counts) - counts
+        deltas = varint_decode(b"".join(pdf["docs_payload"]))
+        # segmented cumsum: deltas restart absolute at each block head
+        total = np.cumsum(deltas.astype(np.int64))
+        base = np.zeros(counts.size, dtype=np.int64)
+        base[1:] = total[starts[1:] - 1]
+        ids = total - np.repeat(base, counts)
+        tfs = varint_decode(b"".join(pdf["tfs_payload"])) + np.uint64(1)
+        dls = varint_decode(b"".join(pdf["dls_payload"]))
+        pos_l = (decode_positions(b"".join(pdf["pos_payload"]), tfs)
+                 if want_positions else None)
+
+        keep = None
+        if candidates is not None:
+            keep = _in_sorted(ids, candidates)
+        if self.allowed is not None:
+            m2 = _in_sorted(ids, self.allowed)
+            keep = m2 if keep is None else (keep & m2)
+        if keep is not None:
+            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+            if pos_l is not None:
+                pos_l = [p for p, kf in zip(pos_l, keep) if kf]
+        if ids.size == 0:
+            return empty
+        dls = dls.astype(np.float64)
         scores = self.idf.get(term, 0.0) * bm25_tfnorm(
             tfs, dls, self.avgdl, self.k1, self.b)
-        return ids, scores, dls, pos_l
+        return ids, scores, dls, pos_l if pos_l is not None else []
 
     # -- node evaluation ------------------------------------------------------
     def eval(self, node: Node, candidates: np.ndarray | None = None):
@@ -282,7 +299,7 @@ class _ShardEval:
             c_ids, c_sc = self.eval(child, restricted)
             if restricted is acc_ids and restricted is not candidates:
                 # candidates-only mode: drop docs not already accumulated
-                m = np.isin(c_ids, acc_ids, assume_unique=True)
+                m = _in_sorted(c_ids, acc_ids)
                 c_ids, c_sc = c_ids[m], c_sc[m]
             if track_counts:
                 acc_ids, (acc_sc, acc_cnt) = _merge_sum_multi(

@@ -34,10 +34,14 @@ def docs_from_documents(documents: DataFrame, replicate: int = 1) -> DataFrame:
         F.col("text").alias("content"),
     )
     if replicate > 1:
+        # spread the (single-file) base across the cluster BEFORE
+        # replication so downstream map-side work parallelizes — a real
+        # multi-file table arrives pre-partitioned
+        spark = documents.sparkSession
+        base = base.repartition(spark.sparkContext.defaultParallelism * 2)
         base = base.crossJoin(
-            F.broadcast(
-                documents.sparkSession.range(replicate)
-                .select(F.col("id").alias("rep"))))
+            F.broadcast(spark.range(replicate)
+                        .select(F.col("id").alias("rep"))))
     else:
         base = base.withColumn("rep", F.lit(0))
     return base.select(

@@ -59,8 +59,10 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_dir: str,
      .write.mode("append").partitionBy("shard")
      .parquet(storage.postings_dir))
 
-    (storage.tf_runs(spark).groupBy("term")
-     .agg(F.sum("doc_count").alias("df"), F.sum("sum_tf").alias("cf"))
+    (spark.read.parquet(
+        os.path.join(storage.term_stats_parts_dir, "*.parquet"))
+     .groupBy("term")
+     .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
      .write.mode("overwrite").parquet(storage.term_stats_dir))
 
     meta.update({

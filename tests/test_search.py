@@ -64,6 +64,16 @@ def test_not_query(fixture_engine, oracle):
     assert len(got) == 1
 
 
+def test_pure_negative_query(fixture_engine, oracle):
+    """'NOT x' = match_all minus x (ES lenient query_string)."""
+    res = fixture_engine.search({"q": "NOT banana", "limit": 100},
+                                with_total=True)
+    assert res.total == len(FIXTURE_DOCS) - 2
+    ids = [r["doc_id"] for r in res.hit_rows(0, 100)]
+    assert ids == sorted(ids)  # unscored, _doc order
+    assert fixture_engine.count({"q": "NOT banana"}) == res.total
+
+
 def test_and_or_combination(fixture_engine, oracle):
     got = engine_topk(fixture_engine, "banana AND crime OR kwazulu")
     # grammar: OR binds last → (banana AND crime) OR (kwazulu)
