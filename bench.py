@@ -56,15 +56,19 @@ def build_at(cores: int, num_partitions: int, tag: str,
     n_docs = docs.count()  # warms the scan; excluded from build timing
     # warm the Python worker pool + shuffle machinery (a long-running
     # cluster has both standing; excluded like JIT warmup)
-    import pandas as _pd
     (spark.range(10_000).repartition(cores)
      .mapInPandas(lambda it: it, "id long").count())
-    t0 = time.time()
     # identical job shape at both parallelism levels: same partitions,
-    # same shard count — only the executor-thread count varies
-    st = build_index(spark, docs, out, num_partitions=num_partitions,
-                     num_shards=max(4, CPUS // 2))
-    dt = time.time() - t0
+    # same shard count — only the executor-thread count varies.
+    # best of 2 runs: single-box wall clock is noisy (±20% observed).
+    dt = float("inf")
+    for _ in range(2):
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        st = build_index(spark, docs, out,
+                         num_partitions=num_partitions,
+                         num_shards=max(4, CPUS // 2))
+        dt = min(dt, time.time() - t0)
     meta = st.read_meta()
     # shuffle/skew evidence: postings rows + max block rows per term
     from pyspark.sql import functions as F

@@ -254,9 +254,13 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         prepared = prepared.filter(~F.col("src_part").isin(list(done)))
 
     # ---- step A: SPIMI packed-block runs, checkpointed per partition ----
+    # shard = src_part mod S: stable under later appends (new parts get
+    # ids above P and map into the same shard space); blocks within a
+    # (term, shard) stay disjoint+sorted because doc ids are
+    # partition-prefixed
     manifests = prepared.groupBy("src_part").applyInPandas(
         _spimi_writer(storage, with_positions, attempt,
-                      lambda sp: (sp * num_shards) // P),
+                      lambda sp: sp % num_shards),
         MANIFEST_SCHEMA)
     new_rows = manifests.collect()  # tiny: one row per partition
 

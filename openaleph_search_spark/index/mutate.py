@@ -104,6 +104,34 @@ def _drop_docs_from_blocks(dead_ids, avgdl: float, with_positions: bool):
     return fn
 
 
+def upsert_docs(spark: SparkSession, storage: IndexStorage,
+                docs: DataFrame) -> None:
+    """S3 upsert: tombstone any existing rows with the same
+    (repo, path, commit) identity, then append the new versions as an
+    incremental batch (delete + append ≈ ES index_safe)."""
+    from ..streaming.incremental import append_batch
+    keys = docs.select("repo", "path", "commit")
+    existing = (storage.doc_meta(spark)
+                .join(keys, ["repo", "path", "commit"], "left_semi")
+                .select("doc_id"))
+    n = existing.count()
+    if n:
+        existing.write.mode("append").parquet(tombstones_dir(storage))
+    append_batch(spark, docs, storage.root, epoch_id=-1)
+
+
+def export_index(spark: SparkSession, storage: IndexStorage,
+                 include_stats: bool = True) -> DataFrame:
+    """S6 full export: every live doc's metadata (the reference's
+    scroll-based action export, /root/reference/openaleph_search/index/
+    export.py:15-96 — Spark is already batch, no scroll machinery)."""
+    dm = storage.doc_meta(spark)
+    tombs = read_tombstones(spark, storage)
+    if tombs is not None:
+        dm = dm.join(tombs, "doc_id", "left_anti")
+    return dm
+
+
 def compact(spark: SparkSession, storage: IndexStorage) -> None:
     """Fold tombstones in and refresh stats/bounds: packed blocks are
     decoded, tombstoned docs dropped, re-encoded in place (doc-range

@@ -410,10 +410,9 @@ class SearchExecutor:
         return sorted(terms)
 
     def shard_col(self, doc_id_col):
-        P = self.meta["num_partitions"]
         S = self.meta["num_shards"]
-        return ((F.shiftright(doc_id_col, DOC_ID_PART_SHIFT) * S) / F.lit(P)
-                ).cast("int")
+        return F.pmod(F.shiftright(doc_id_col, DOC_ID_PART_SHIFT),
+                      F.lit(S)).cast("int")
 
     def run(self, tree: Node, k: int | None,
             filter_df: DataFrame | None = None) -> DataFrame:

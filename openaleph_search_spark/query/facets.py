@@ -118,6 +118,39 @@ def significant_terms(fg: DataFrame, bg: DataFrame, field: str,
             .limit(size))
 
 
+def significant_text(fg_docs: DataFrame, bg_docs: DataFrame,
+                     text_col: str = "content", size: int = 20,
+                     sample_fraction: float | None = 0.1,
+                     sample_key: str | None = None,
+                     min_doc_count: int = 1) -> DataFrame:
+    """A6: significant_text — re-analyze the (sampled) foreground docs'
+    text and score tokens against the background corpus
+    (base.py:295-312; ``filter_duplicate_text`` ≈ per-doc distinct
+    tokens). Built on the same JLH scoring as A5."""
+    from ..analysis.analyzer import tokenize_flat
+    import pandas as pd
+
+    def explode_tokens(it):
+        for pdf in it:
+            ridx, terms, _ = tokenize_flat(pdf[text_col])
+            if len(terms) == 0:
+                yield pd.DataFrame({"doc": [], "token": []})
+                continue
+            out = pd.DataFrame({"doc": ridx, "token": terms.to_numpy()})
+            yield out.drop_duplicates()  # filter_duplicate_text per doc
+
+    def tokens_of(df, key):
+        if sample_fraction and sample_key:
+            df = deterministic_sample(df, sample_key, sample_fraction)
+        return df.select(text_col).mapInPandas(
+            explode_tokens, "doc long, token string")
+
+    fg_tok = tokens_of(fg_docs, sample_key)
+    bg_tok = tokens_of(bg_docs, sample_key)
+    return significant_terms(fg_tok, bg_tok, "token", size=size,
+                             min_doc_count=min_doc_count)
+
+
 def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     """A7 sampler, made reproducible: hash-mod sampling on a key column
     instead of RNG (ES random_sampler's role, base.py:359-369)."""

@@ -1,0 +1,68 @@
+"""Coverage for the remaining SURVEY §2 operators: geo (Q20),
+significant_text (A6), upsert (S3), export (S6)."""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_geo_distance_query(spark):
+    from openaleph_search_spark.query.geo import geo_distance_query
+    df = spark.createDataFrame(
+        [(1, 52.52, 13.40), (2, 48.85, 2.35), (3, 40.71, -74.00),
+         (4, None, None)],
+        "id long, lat double, lon double")
+    out = geo_distance_query(df, lat=52.52, lon=13.40, k=10).collect()
+    assert [r["id"] for r in out] == [1, 2, 3]  # Berlin, Paris, NYC
+    assert out[0]["distance_km"] == 0.0
+    assert 850 < out[1]["distance_km"] < 900  # Berlin→Paris ≈ 878 km
+    near = geo_distance_query(df, 52.52, 13.40, max_km=1000).collect()
+    assert len(near) == 2
+
+
+def test_significant_text(spark):
+    from openaleph_search_spark.query.facets import significant_text
+    fg = spark.createDataFrame(
+        [("banana fraud scheme",), ("banana fraud ring",)],
+        "content string")
+    bg = spark.createDataFrame(
+        [("banana fraud scheme",), ("banana fraud ring",),
+         ("banana bread recipe",), ("banana split dessert",),
+         ("weather report sunny",), ("weather report rain",)],
+        "content string")
+    out = significant_text(fg, bg, "content", sample_fraction=None)
+    tokens = [r["value"] for r in out.collect()]
+    assert tokens[0] == "fraud"  # in all fg, rare in bg
+    assert "banana" not in tokens[:1]  # common term not significant
+
+
+def test_upsert(spark, fixture_docs_df, tmp_path):
+    from openaleph_search_spark.index.build import build_index
+    from openaleph_search_spark.index.mutate import upsert_docs
+    from openaleph_search_spark.index.storage import IndexStorage
+    from openaleph_search_spark.query.engine import Engine
+    out = str(tmp_path / "idx_upsert")
+    build_index(spark, fixture_docs_df, out, num_partitions=4,
+                num_shards=2)
+    st = IndexStorage(out)
+    new_version = spark.createDataFrame(
+        [("r1", "a/banana.txt", "c1", "txt",
+          "completely replaced pineapple text")],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+    upsert_docs(spark, st, new_version)
+    eng = Engine(spark, out)
+    assert eng.count({"q": "pineapple"}) == 1
+    # the old content of that row is gone; other banana doc remains
+    assert eng.count({"q": "banana"}) == 1
+    total = eng.search({"limit": 100}, with_total=True).total
+    assert total == fixture_docs_df.count()
+
+
+def test_export(spark, fixture_engine, fixture_index):
+    from openaleph_search_spark.index.mutate import export_index
+    from openaleph_search_spark.index.storage import IndexStorage
+    out = export_index(spark, IndexStorage(fixture_index))
+    assert out.count() == 10
+    assert {"doc_id", "repo", "path", "commit", "lang",
+            "content_sha256", "doc_len"} <= set(out.columns)
