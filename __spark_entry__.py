@@ -29,11 +29,21 @@ _ENGINES: dict[str, object] = {}
 def _engine(spark: SparkSession, sf_dir: str):
     from openaleph_search_spark.index.build import build_index
     from openaleph_search_spark.query.engine import Engine
+    import json
+    import shutil
+    from openaleph_search_spark.index.build import LAYOUT_VERSION
     key = os.path.abspath(sf_dir)
     if key not in _ENGINES:
         idx_dir = os.path.join(
             "/tmp", "oa_idx_" + os.path.basename(key.rstrip("/")))
-        if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+        meta_path = os.path.join(idx_dir, "meta.json")
+        stale = True
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                stale = (json.load(f).get("layout_version")
+                         != LAYOUT_VERSION)
+        if stale:
+            shutil.rmtree(idx_dir, ignore_errors=True)
             from openaleph_search_spark.sources.code_table import load_docs
             docs = load_docs(spark, sf_dir)
             build_index(spark, docs, idx_dir, num_partitions=8, num_shards=4)
@@ -369,6 +379,100 @@ def text_fingerprint(spark, sf_dir):
         "doc_id", "fingerprint_md5", "fingerprint_min8")
 
 
+def q20_geo_distance(spark, sf_dir):
+    """Q20: geo-distance filter+sort over deterministic synthetic
+    coordinates derived from the events table."""
+    from openaleph_search_spark.query.geo import geo_distance_query
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "event_id",
+        (F.pmod(F.col("user_id") * 7, F.lit(180)) - 90 + 0.5)
+        .cast("double").alias("lat"),
+        (F.pmod(F.col("event_id") * 13, F.lit(360)) - 180 + 0.5)
+        .cast("double").alias("lon"))
+    return geo_distance_query(pts, lat=0.0, lon=0.0, k=20).select(
+        "event_id", "distance_km")
+
+
+def q15_percolate(spark, sf_dir):
+    """Q15: batch percolation of a 3-entry watchlist over documents."""
+    from openaleph_search_spark.query.percolate import (
+        compile_watchlist, percolate_docs)
+    stored = compile_watchlist([
+        {"entity_id": "e1", "names": ["table scan"]},
+        {"entity_id": "e2", "names": ["merge join"]},
+        {"entity_id": "e3", "names": ["vector stream"]},
+    ])
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = percolate_docs(docs, stored, id_cols=["doc_id"],
+                         text_col="text", slop=2)
+    return out.select("doc_id", "entity_id", "score")
+
+
+def a6_significant_text(spark, sf_dir):
+    """A6: tokens over-represented in German-labeled docs vs all."""
+    from openaleph_search_spark.query.facets import significant_text
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fg = docs.filter(F.col("lang") == "de")
+    out = significant_text(fg, docs, "text", size=10,
+                           sample_fraction=None)
+    return out.select(F.col("value").alias("token"), "fg_count",
+                      "bg_count", F.round("score", 6).alias("score"))
+
+
+def q16_more_like_this(spark, sf_dir):
+    """Q16 (rows-only): docs similar to source doc 0."""
+    from openaleph_search_spark.query.more_like_this import more_like_this
+    eng = _engine(spark, sf_dir)
+    src = (eng.doc_meta.filter(F.col("path").rlike("mod_0\\."))
+           .select("doc_id").collect())
+    out = more_like_this(eng, src[0]["doc_id"], k=10)
+    hydrated = out.join(eng.doc_meta.select("doc_id", "path"), "doc_id")
+    return _orig_id(hydrated).select(
+        "doc_id", F.round("score", 4).alias("score"))
+
+
+def q19_mentions(spark, sf_dir):
+    """Q19 (rows-only): docs phrase-mentioning any watchlist name."""
+    from openaleph_search_spark.query.percolate import multi_mentions
+    eng = _engine(spark, sf_dir)
+    out = multi_mentions(eng, {"e1": ["table scan"],
+                               "e2": ["vector stream"]}, k=10)
+    hydrated = out.join(eng.doc_meta.select("doc_id", "path"), "doc_id")
+    return _orig_id(hydrated).select(
+        "doc_id", "entity_id", F.round("score", 4).alias("score"))
+
+
+def q24_highlight(spark, sf_dir):
+    """Q24 (rows-only): fragment extraction on top-k hits."""
+    from openaleph_search_spark.query.engine import Engine
+    from openaleph_search_spark.sources.code_table import load_docs
+    eng = _engine(spark, sf_dir)
+    eng2 = Engine(spark, eng.storage.root,
+                  source_docs=load_docs(spark, sf_dir))
+    res = eng2.search({"q": "vector stream", "highlight": "true",
+                       "limit": 5})
+    return _orig_id(res.hits).select(
+        "doc_id", F.element_at("highlights", 1).alias("fragment"))
+
+
+def q17_match_query(spark, sf_dir):
+    """Q17 (rows-only): blocking + tiered-signal match scoring."""
+    from openaleph_search_spark.ops.matching import match_query
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe = docs.filter(F.col("doc_id") == 0).collect()[0]
+    return match_query(docs, probe["text"], probe["lang"], k=10,
+                       text_col="text")
+
+
+def q18_blocking(spark, sf_dir):
+    """Q18 (rows-only): filter-context blocking candidates."""
+    from openaleph_search_spark.ops.matching import blocking_candidates
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe = docs.filter(F.col("doc_id") == 0).collect()[0]
+    return blocking_candidates(docs, probe["text"], text_col="text")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 match top-k over the sf0.001 code table."""
     return q28_bm25_match_topk(spark, "/root/testdata/sf0.001")
@@ -403,6 +507,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": text_language_id,
         "text_token_quality": text_token_quality,
         "text_fingerprint": text_fingerprint,
+        "q20_geo_distance": q20_geo_distance,
+        "q15_percolate": q15_percolate,
+        "a6_significant_text": a6_significant_text,
+        "q16_more_like_this": q16_more_like_this,
+        "q19_mentions": q19_mentions,
+        "q24_highlight": q24_highlight,
+        "q17_match_query": q17_match_query,
+        "q18_blocking": q18_blocking,
     }
 
 
@@ -646,7 +758,68 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
         "text_language_id": langid,
         "text_token_quality": tokq,
         "text_fingerprint": fingerprint,
-        # dedup_simhash / sim_lsh_ann: engine-internal hash functions →
+        "q20_geo_distance": """
+WITH pts AS (
+  SELECT event_id,
+         ((user_id * 7) % 180) - 90 + 0.5 AS lat,
+         ((event_id * 13) % 360) - 180 + 0.5 AS lon
+  FROM events
+),
+d AS (
+  SELECT event_id,
+         round(2 * 6371.0088 * asin(sqrt(
+             pow(sin(radians(0 - lat) / 2), 2)
+             + cos(radians(lat)) * cos(radians(0.0))
+               * pow(sin(radians(0 - lon) / 2), 2))), 6) AS distance_km
+  FROM pts
+)
+SELECT event_id, distance_km FROM d
+ORDER BY distance_km, event_id LIMIT 20
+""",
+        "q15_percolate": """
+WITH pos AS (
+  SELECT d.doc_id, d.toks[i.i + 1] AS term, i.i AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents) d,
+       LATERAL (SELECT unnest(range(len(d.toks))) AS i) i
+),
+names(entity_id, t0, t1) AS (
+  VALUES ('e1', 'table', 'scan'), ('e2', 'merge', 'join'),
+         ('e3', 'vector', 'stream')
+),
+hits AS (
+  SELECT DISTINCT a.doc_id, n.entity_id
+  FROM names n
+  JOIN pos a ON a.term = n.t0
+  JOIN pos b ON b.doc_id = a.doc_id AND b.term = n.t1
+            AND abs(b.pos - 1 - a.pos) <= 2
+)
+SELECT doc_id, entity_id, 2.0 AS score FROM hits
+""",
+        "a6_significant_text": """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+fg AS (SELECT t.token FROM tok t JOIN documents d USING (doc_id)
+       WHERE d.lang = 'de'),
+fgc AS (SELECT token, count(*) AS fg_count FROM fg GROUP BY token),
+bgc AS (SELECT token, count(*) AS bg_count FROM tok GROUP BY token),
+tot AS (SELECT (SELECT count(*) FROM fg) AS ft,
+               (SELECT count(*) FROM tok) AS bt),
+j AS (
+  SELECT fgc.token, fgc.fg_count, coalesce(bgc.bg_count, 0) AS bg_count,
+         (fgc.fg_count / ft::DOUBLE
+          - (coalesce(bgc.bg_count, 0) + 1.0) / (bt + 1.0))
+         * (fgc.fg_count / ft::DOUBLE)
+         / ((coalesce(bgc.bg_count, 0) + 1.0) / (bt + 1.0)) AS score
+  FROM fgc LEFT JOIN bgc USING (token) CROSS JOIN tot
+)
+SELECT token, fg_count, bg_count, round(score, 6) AS score
+FROM j WHERE score > 0 ORDER BY score DESC, token LIMIT 10
+""",
+        # dedup_simhash / sim_lsh_ann / q16 / q19 / q24 / q17 / q18:
+        # engine-internal hash functions or post-retrieval formatting →
         # intentionally rows-only (weaker check), semantics pinned in
-        # tests/test_ops.py.
+        # tests/.
     }

@@ -54,6 +54,7 @@ from .codec import (BLOCK_SIZE, K1, B, bm25_tfnorm, encode_blocks,
 from .storage import IndexStorage
 
 DOC_ID_PART_SHIFT = 33  # doc_id = (src_part << 33) | local_row
+LAYOUT_VERSION = 2  # bump on any physical-layout / shard-map change
 
 DOC_META_SCHEMA = ("doc_id long, repo string, path string, commit string, "
                    "lang string, content_sha256 string, doc_len int, "
@@ -295,6 +296,7 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         "with_positions": with_positions, "n_docs": n_docs, "avgdl": avgdl,
         "encode_avgdl_min": avgdl,
         "analyzer": "icu-default-v1",
+        "layout_version": LAYOUT_VERSION,
         "built_partitions": len(done) + len(new_rows),
         "resumed_from": len(done),
     })

@@ -66,3 +66,26 @@ def test_export(spark, fixture_engine, fixture_index):
     assert out.count() == 10
     assert {"doc_id", "repo", "path", "commit", "lang",
             "content_sha256", "doc_len"} <= set(out.columns)
+
+
+def test_blocking_and_match_query(spark):
+    from openaleph_search_spark.ops.matching import (
+        blocking_candidates, match_query)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "py"),
+         (2, "alpha beta gamma delta epsilon zeta", "py"),   # exact dup
+         (3, "alpha beta gamma delta epsilon eta", "go"),    # near dup
+         (4, "totally different content words here now", "py")],
+        "doc_id long, text string, lang string")
+    probe = "alpha beta gamma delta epsilon zeta"
+    cand = {r["doc_id"] for r in
+            blocking_candidates(df, probe).collect()}
+    assert {1, 2} <= cand and 4 not in cand
+    out = match_query(df, probe, "py", k=5)
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows[:2]] == [1, 2]
+    # exact dup + near-dup shingles + full token overlap + lang
+    assert rows[0]["match_score"] == 5.0 + 3.0 + 1.0 + 0.8
+    by_id = {r["doc_id"]: r for r in rows}
+    if 3 in by_id:  # near dup scores below the exact dups
+        assert by_id[3]["match_score"] < rows[0]["match_score"]
