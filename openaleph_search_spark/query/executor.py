@@ -330,47 +330,69 @@ class _ShardEval:
                 ids, inter, assume_unique=True)
             if inter is None or inter.size == 0:
                 return empty
-        # 2. decode positions restricted to the intersection
-        pos_by_uterm: dict[str, dict[int, np.ndarray]] = {}
-        dls_final: dict[int, float] = {}
+        # 2. decode positions restricted to the intersection; build one
+        # flat (doc_rank, adjusted_pos) key array per phrase slot
+        m = len(terms)
+        per_uterm: dict[str, tuple] = {}
+        dl_of = np.zeros(inter.size, dtype=np.float64)
         for t in uniq:
             ids, _, dls, pos_list = self._decode_term(
                 t, inter, want_positions=True)
-            pos_by_uterm[t] = dict(zip(ids.tolist(), pos_list))
-            dls_final.update(zip(ids.tolist(), dls.tolist()))
-        # 3. per-candidate alignment count
-        out_ids, out_tf, out_dl = [], [], []
-        for d in inter:
-            plists = [pos_by_uterm[t].get(int(d)) for t in terms]
-            if any(p is None or len(p) == 0 for p in plists):
-                continue
-            adj = [np.asarray(p, dtype=np.int64) - i
-                   for i, p in enumerate(plists)]
-            if node.slop == 0:
-                common = adj[0]
-                for a in adj[1:]:
-                    common = np.intersect1d(common, a, assume_unique=True)
-                    if common.size == 0:
-                        break
-                tf = int(common.size)
-            else:
-                tf = 0
-                for anchor in adj[0]:
-                    ok = all(np.abs(a - anchor).min() <= node.slop
-                             for a in adj[1:])
-                    tf += bool(ok)
-            if tf > 0:
-                out_ids.append(int(d))
-                out_tf.append(tf)
-                out_dl.append(dls_final[int(d)])
-        if not out_ids:
+            counts = np.array([len(p) for p in pos_list], dtype=np.int64)
+            flat_pos = (np.concatenate(pos_list).astype(np.int64)
+                        if counts.size and counts.sum()
+                        else np.empty(0, np.int64))
+            ranks = np.searchsorted(inter, ids)
+            per_uterm[t] = (np.repeat(ranks, counts), flat_pos)
+            dl_of[ranks] = dls
+
+        # composite key (doc_rank << 31) + adjusted position: doc ranks
+        # fit 32 bits (per-shard candidates), positions fit 31
+        def keys_for(slot: int) -> np.ndarray:
+            ranks_rep, flat_pos = per_uterm[terms[slot]]
+            return (ranks_rep << np.int64(31)) + (flat_pos - slot)
+
+        if node.slop == 0:
+            # anchor matches iff its (doc, adj) key appears in EVERY
+            # slot: sort the concatenation, group sizes == m
+            all_keys = np.concatenate([keys_for(i) for i in range(m)])
+            if all_keys.size == 0:
+                return empty
+            all_keys.sort(kind="mergesort")
+            grp = np.flatnonzero(
+                np.r_[True, all_keys[1:] != all_keys[:-1]])
+            sizes = np.diff(np.r_[grp, all_keys.size])
+            hit = all_keys[grp][sizes == m]
+        else:
+            # sloppy: every slot needs an adjusted position within slop
+            # of the anchor; vectorized nearest-neighbor via
+            # searchsorted (cross-doc distance ≥ 2^31 > any slop)
+            hit = np.sort(keys_for(0))
+            for i in range(1, m):
+                if hit.size == 0:
+                    return empty
+                ref = np.sort(keys_for(i))
+                if ref.size == 0:
+                    return empty
+                idx = np.searchsorted(ref, hit)
+                left = ref[np.maximum(idx - 1, 0)]
+                right = ref[np.minimum(idx, ref.size - 1)]
+                dist = np.minimum(np.abs(hit - left),
+                                  np.abs(right - hit))
+                hit = hit[dist <= node.slop]
+        if hit.size == 0:
             return empty
-        ids = np.asarray(out_ids, dtype=np.int64)
-        tfs = np.asarray(out_tf, dtype=np.float64)
-        dls = np.asarray(out_dl, dtype=np.float64)
-        idf_sum = sum(self.idf.get(t, 0.0) for t in terms)
+        doc_ranks = (hit >> np.int64(31)).astype(np.int64)
+        uniq_r = np.flatnonzero(
+            np.r_[True, doc_ranks[1:] != doc_ranks[:-1]])
+        ranks_u = doc_ranks[uniq_r]
+        tfs = np.diff(np.r_[uniq_r, doc_ranks.size]).astype(np.float64)
+        ids = inter[ranks_u].astype(np.int64)
+        dls = dl_of[ranks_u]
+        idf_sum = sum(self.idf.get(t, 0.0) for t in uniq)
         scores = idf_sum * bm25_tfnorm(tfs, dls, self.avgdl, self.k1, self.b)
         return ids, scores * node.boost
+
 
 
 # ---------------------------------------------------------------------------
