@@ -466,8 +466,21 @@ class SearchExecutor:
         idf = {r["term"]: float(bm25_idf(float(r["df"]), n_docs))
                for r in stats}
 
+        # column pruning: positions are the fattest payload — only
+        # phrase queries read them (the parquet scan skips the column
+        # entirely otherwise; verified in tests/test_plans.py)
+        need_pos = any(isinstance(l, PhraseLeaf) for l in tree.leaves())
+        cols = ["term", "shard", "first_doc", "last_doc", "doc_count",
+                "sum_tf", "max_tf", "block_max_tfnorm", "docs_payload",
+                "tfs_payload", "dls_payload"]
+        if need_pos:
+            cols.append("pos_payload")
         postings = (self.storage.postings(self.spark)
+                    .select(*cols)
                     .filter(F.col("term").isin(terms)))
+        if not need_pos:
+            postings = postings.withColumn("pos_payload",
+                                           F.lit(b"").cast("binary"))
 
         def make_eval(blocks_pdf: pd.DataFrame,
                       allowed: np.ndarray | None) -> pd.DataFrame:

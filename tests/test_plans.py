@@ -1,0 +1,64 @@
+"""Physical-plan assertions: the things `.explain` must show for the
+engine to be scan-efficient at 100 TB (filter pushdown, column pruning,
+partition pruning) — SURVEY.md §4.2."""
+from pyspark.sql import functions as F
+
+from openaleph_search_spark.index.storage import IndexStorage
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _filescan_lines(plan: str) -> list[str]:
+    return [ln for ln in plan.split("\n") if "FileScan" in ln]
+
+
+def test_term_filter_pushed_to_postings_scan(spark, fixture_index):
+    st = IndexStorage(fixture_index)
+    df = st.postings(spark).filter(F.col("term").isin(["banana", "crime"]))
+    plan = _plan(df)
+    assert "banana" in plan
+    scan = _filescan_lines(plan)[0]
+    assert "term" in scan and "IN (banana,crime)" in plan.replace(
+        "term#", "term").split("DataFilters")[1][:200] or "In(term" in plan
+
+
+def test_shard_partition_pruning(spark, fixture_index):
+    st = IndexStorage(fixture_index)
+    df = st.postings(spark).filter(F.col("shard") == 1)
+    plan = _plan(df)
+    # partition column filter → PartitionFilters, not a data filter
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "shard" in pf
+
+
+def test_doc_meta_column_pruning(spark, fixture_index):
+    st = IndexStorage(fixture_index)
+    df = (st.doc_meta(spark).filter(F.col("lang") == "go")
+          .select("doc_id", "lang"))
+    plan = _plan(df)
+    scan = _filescan_lines(plan)[0]
+    assert "content_sha256" not in scan  # unused columns not read
+    assert "PushedFilters" in plan and "lang" in plan
+
+
+def test_positions_column_pruned_for_nonphrase(spark, fixture_engine):
+    """A term query's postings scan must not read pos_payload."""
+    from openaleph_search_spark.query.ir import TermLeaf
+    ex = fixture_engine.executor
+    res = ex.run(TermLeaf("banana"), k=10)
+    plan = _plan(res)
+    scan = [ln for ln in plan.split("\n") if "FileScan" in ln][0]
+    assert "pos_payload" not in scan
+    assert "docs_payload" in scan
+
+
+def test_positions_column_read_for_phrase(spark, fixture_engine):
+    from openaleph_search_spark.query.ir import PhraseLeaf
+    ex = fixture_engine.executor
+    res = ex.run(PhraseLeaf(["banana", "crime"]), k=10)
+    plan = _plan(res)
+    scan = [ln for ln in plan.split("\n") if "FileScan" in ln][0]
+    assert "pos_payload" in scan
