@@ -379,6 +379,20 @@ def text_fingerprint(spark, sf_dir):
         "doc_id", "fingerprint_md5", "fingerprint_min8")
 
 
+def q1_fielded_search(spark, sf_dir):
+    """Q1: Lucene field:value syntax — lang:de is a scored term on the
+    indexed lang field, ANDed with a content term."""
+    return _hits(_engine(spark, sf_dir), {"q": "lang:de vector",
+                                          "limit": 20}, 20)
+
+
+def q2_multifield_dismax(spark, sf_dir):
+    """Q2: multi-field best-fields (dis_max) with per-field boosts —
+    'go' only exists in the path field (file extension)."""
+    return _hits(_engine(spark, sf_dir),
+                 {"q": "go", "qfields": "content,path^2", "limit": 20}, 20)
+
+
 def q20_geo_distance(spark, sf_dir):
     """Q20: geo-distance filter+sort over deterministic synthetic
     coordinates derived from the events table."""
@@ -507,6 +521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": text_language_id,
         "text_token_quality": text_token_quality,
         "text_fingerprint": text_fingerprint,
+        "q1_fielded_search": q1_fielded_search,
+        "q2_multifield_dismax": q2_multifield_dismax,
         "q20_geo_distance": q20_geo_distance,
         "q15_percolate": q15_percolate,
         "a6_significant_text": a6_significant_text,
@@ -758,6 +774,47 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
         "text_language_id": langid,
         "text_token_quality": tokq,
         "text_fingerprint": fingerprint,
+        "q1_fielded_search": f"""
+WITH {_TOK_CTE.format(where='')},
+lstat AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS dfl
+  FROM documents
+),
+lang_score AS (
+  SELECT ln(1 + (n - dfl + 0.5) / (dfl + 0.5)) * (1.0 / (1.0 + {K1}))
+         AS s FROM lstat
+),
+cscore AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * tf.dl / stats.avgdl))
+         ) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  WHERE tf.term = 'vector'
+  GROUP BY tf.doc_id
+)
+SELECT c.doc_id, round(c.score + l.s, 4) AS score
+FROM cscore c CROSS JOIN lang_score l
+JOIN documents d ON d.doc_id = c.doc_id
+WHERE d.lang = 'de'
+ORDER BY round(c.score + l.s, 4) DESC, c.doc_id
+LIMIT 20
+""",
+        "q2_multifield_dismax": f"""
+WITH s AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS df
+  FROM documents
+)
+SELECT d.doc_id,
+       round(2 * ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5))
+             * (1.0 / (1.0 + {K1})), 4) AS score
+FROM documents d CROSS JOIN s
+WHERE d.lang = 'es'
+ORDER BY score DESC, d.doc_id
+LIMIT 20
+""",
         "q20_geo_distance": """
 WITH pts AS (
   SELECT event_id,

@@ -54,7 +54,9 @@ from .codec import (BLOCK_SIZE, K1, B, bm25_tfnorm, encode_blocks,
 from .storage import IndexStorage
 
 DOC_ID_PART_SHIFT = 33  # doc_id = (src_part << 33) | local_row
-LAYOUT_VERSION = 2  # bump on any physical-layout / shard-map change
+LAYOUT_VERSION = 3  # bump on any physical-layout / shard-map change
+FIELD_SEP = "\x1f"  # term-dictionary field prefix: "path\x1ffoo"
+DEFAULT_FIELDS = {"path": "path", "repo": "repo", "lang": "lang"}
 
 DOC_META_SCHEMA = ("doc_id long, repo string, path string, commit string, "
                    "lang string, content_sha256 string, doc_len int, "
@@ -72,11 +74,18 @@ _BLOCK_COLS = ["term", "shard", "first_doc", "last_doc", "doc_count",
 
 
 def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
-                  shard_of_part):
+                  shard_of_part, fields: dict[str, str] | None = None):
     """Grouped-map fn: one source partition → packed block run +
-    doc_meta + atomic manifest checkpoint."""
+    doc_meta + atomic manifest checkpoint.
+
+    ``fields`` maps extra indexed field names → source columns; their
+    terms are stored as ``field␟token`` (FIELD_SEP) with per-field
+    lengths, so BM25 norms are per-field like Lucene. ``content`` is
+    the unprefixed default field.
+    """
     import pyarrow as pa
     import pyarrow.parquet as pq
+    fields = fields or {}
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.time()
@@ -89,8 +98,33 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
             n, dtype=np.int64)
 
         row_idx, terms, positions = tokenize_flat(pdf["content"])
+        content_dl = np.zeros(n, dtype=np.int32)
+        if row_idx.size:
+            np.maximum.at(content_dl, row_idx,
+                          (positions + 1).astype(np.int32))
+        # per-token dl = its own field's length (Lucene per-field norms)
+        dl_tok_parts = [content_dl[row_idx]]
+        row_parts, term_parts, pos_parts = [row_idx], [terms], [positions]
+        # avgdl denominator = ALL docs (our pinned convention, matching
+        # the golden oracles; Lucene divides by docs-with-field)
+        field_stats = {"content": (n, int(content_dl.sum()))}
+        for fname, fcol in sorted(fields.items()):
+            f_row, f_terms, f_pos = tokenize_flat(pdf[fcol])
+            f_dl = np.zeros(n, dtype=np.int32)
+            if f_row.size:
+                np.maximum.at(f_dl, f_row, (f_pos + 1).astype(np.int32))
+            row_parts.append(f_row)
+            term_parts.append(fname + FIELD_SEP + f_terms)
+            pos_parts.append(f_pos)
+            dl_tok_parts.append(f_dl[f_row])
+            field_stats[fname] = (n, int(f_dl.sum()))
+        row_idx = np.concatenate(row_parts)
+        terms = pd.concat(term_parts, ignore_index=True)
+        positions = np.concatenate(pos_parts)
+        dl_tok = np.concatenate(dl_tok_parts).astype(np.int64)
+
         block_rows: list[dict] = []
-        dl_per_doc = np.zeros(n, dtype=np.int32)
+        dl_per_doc = content_dl
         if row_idx.size:
             # factorize terms to int codes first: lexsort over object
             # strings is the single hottest op in the scatter pass
@@ -107,19 +141,16 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
             tfs = np.diff(np.append(starts, r.size)).astype(np.int64)
             g_row = r[starts]
             g_code = c[starts]
+            g_dl_all = dl_tok[order][starts]  # per-field length (norms)
             pos_payloads = (
                 np.array(encode_positions_grouped(p, starts), dtype=object)
                 if with_positions else None)
-            # doc length = #positions (same-position ZWJ terms count once
-            # — Lucene norm discountOverlaps semantics)
-            np.maximum.at(dl_per_doc, row_idx,
-                          (positions + 1).astype(np.int32))
             # term-major resort → per-term posting slices (docs ascend)
             order2 = np.lexsort((g_row, g_code))
             g_code = g_code[order2]
             g_doc = doc_ids[g_row[order2]]
             g_tf = tfs[order2]
-            g_dl = dl_per_doc[g_row[order2]].astype(np.int64)
+            g_dl = g_dl_all[order2]
             if pos_payloads is not None:
                 pos_payloads = pos_payloads[order2]
             t_bounds = np.flatnonzero(
@@ -194,6 +225,13 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
             os.path.join(storage.term_stats_parts_dir,
                          f"part={src_part}.parquet"))
 
+        # per-field (docs, tokens) partials → global per-field avgdl
+        fstats_path = os.path.join(storage.manifest_dir,
+                                   f"fields_part={src_part}.json")
+        with open(fstats_path + ".tmp", "w") as f:
+            json.dump(field_stats, f)
+        os.replace(fstats_path + ".tmp", fstats_path)
+
         row = {
             "src_part": src_part, "status": "done", "docs": n,
             "postings": len(run), "tokens": int(dl_per_doc.sum()),
@@ -209,9 +247,18 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
     return fn
 
 
-def fill_block_max(avgdl: float, k1: float = K1, b: float = B):
+def field_of_term(term: str) -> str:
+    i = term.find(FIELD_SEP)
+    return term[:i] if i >= 0 else "content"
+
+
+def fill_block_max(avgdl_by_field: dict[str, float] | float,
+                   k1: float = K1, b: float = B):
     """mapInPandas fn: decode tf/dl payloads (one concatenated varint
-    pass per batch) and set the per-block BM25 impact upper bound."""
+    pass per batch) and set the per-block BM25 impact upper bound,
+    using each term's own field avgdl (Lucene per-field norms)."""
+    if not isinstance(avgdl_by_field, dict):
+        avgdl_by_field = {"content": float(avgdl_by_field)}
 
     def fn(it):
         for pdf in it:
@@ -223,7 +270,14 @@ def fill_block_max(avgdl: float, k1: float = K1, b: float = B):
             dl_flat = varint_decode(b"".join(pdf["dls_payload"]))
             counts = pdf["doc_count"].to_numpy(np.int64)
             starts = np.cumsum(counts) - counts
-            tfn = bm25_tfnorm(tf_flat, dl_flat, avgdl, k1, b)
+            avg_rows = pdf["term"].map(
+                lambda t: avgdl_by_field.get(field_of_term(t), 1.0)
+            ).to_numpy(np.float64)
+            avg_flat = np.repeat(avg_rows, counts)
+            tf = tf_flat.astype(np.float64)
+            norm = k1 * (1.0 - b + b * dl_flat.astype(np.float64)
+                         / avg_flat)
+            tfn = tf / (tf + norm)
             pdf = pdf.copy()
             pdf["block_max_tfnorm"] = np.maximum.reduceat(tfn, starts)
             yield pdf
@@ -233,12 +287,17 @@ def fill_block_max(avgdl: float, k1: float = K1, b: float = B):
 def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
                 num_partitions: int | None = None, num_shards: int = 8,
                 with_positions: bool = True, resume: bool = True,
-                attempt: int = 1) -> IndexStorage:
+                attempt: int = 1,
+                fields: dict[str, str] | None = None) -> IndexStorage:
     """Build (or resume) the inverted index for a docs table.
 
     ``docs`` must have columns (repo, path, commit, lang, content) —
-    the BASELINE.json ``input_hint`` shape.
+    the BASELINE.json ``input_hint`` shape. ``fields`` adds extra
+    indexed fields (name → source column); default: path/repo/lang
+    (the reference's multi-field model, queries.py:112-118).
     """
+    if fields is None:
+        fields = DEFAULT_FIELDS
     storage = IndexStorage(index_dir)
     sc_parallelism = spark.sparkContext.defaultParallelism
     P = num_partitions or max(sc_parallelism, 4)
@@ -261,7 +320,7 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     # partition-prefixed
     manifests = prepared.groupBy("src_part").applyInPandas(
         _spimi_writer(storage, with_positions, attempt,
-                      lambda sp: sp % num_shards),
+                      lambda sp: sp % num_shards, fields),
         MANIFEST_SCHEMA)
     new_rows = manifests.collect()  # tiny: one row per partition
 
@@ -271,12 +330,14 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     n_docs = sum(m["docs"] for m in all_manifests)
     total_tokens = sum(m["tokens"] for m in all_manifests)
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
+    avgdl_by_field = _read_field_stats(storage)
 
     # ---- step B: fill impact bounds + shard-layout write. No shuffle:
     # each run file is already (term, first_doc)-sorted per shard, and
     # every output file stays sorted → term rowgroup pruning works ------
     runs = storage.tf_runs(spark)
-    postings = runs.mapInPandas(fill_block_max(avgdl), POSTINGS_SCHEMA)
+    postings = runs.mapInPandas(fill_block_max(avgdl_by_field),
+                                POSTINGS_SCHEMA)
     (postings
         .sortWithinPartitions("shard", "term", "first_doc")
         .write.mode("overwrite").partitionBy("shard")
@@ -294,6 +355,8 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         "num_partitions": P, "num_shards": num_shards,
         "block_size": BLOCK_SIZE, "k1": K1, "b": B,
         "with_positions": with_positions, "n_docs": n_docs, "avgdl": avgdl,
+        "avgdl_by_field": avgdl_by_field,
+        "fields": sorted(["content", *fields]),
         "encode_avgdl_min": avgdl,
         "analyzer": "icu-default-v1",
         "layout_version": LAYOUT_VERSION,
@@ -301,3 +364,18 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         "resumed_from": len(done),
     })
     return storage
+
+
+def _read_field_stats(storage: IndexStorage) -> dict[str, float]:
+    """Per-field avgdl from the per-partition field-stat jsons."""
+    import glob
+    totals: dict[str, list[int]] = {}
+    for p in glob.glob(os.path.join(storage.manifest_dir,
+                                    "fields_part=*.json")):
+        with open(p) as f:
+            for fname, (docs_f, toks_f) in json.load(f).items():
+                t = totals.setdefault(fname, [0, 0])
+                t[0] += docs_f
+                t[1] += toks_f
+    return {f: (t[1] / t[0] if t[0] else 0.0)
+            for f, t in totals.items()}

@@ -18,9 +18,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..analysis.analyzer import analyze_text
 from ..index.storage import IndexStorage
+from ..index.build import FIELD_SEP
 from .executor import SearchExecutor
 from .facets import cardinality, metric_aggs, terms_facet
-from .ir import Bool, MatchAll, Node, PrefixLeaf
+from .ir import Bool, DisMax, MatchAll, Node, PhraseLeaf, PrefixLeaf, TermLeaf
 from .parser import SearchArgs, parse_args, parse_query_string
 
 
@@ -173,7 +174,47 @@ class Engine:
             leaf = PrefixLeaf(sa.prefix.lower())
             tree = leaf if isinstance(tree, MatchAll) \
                 else Bool(must=[tree, leaf])
-        return tree
+        return self._resolve_fields(tree, sa.qfields)
+
+    def _resolve_fields(self, node: Node,
+                        qfields: list[tuple[str, float]]) -> Node:
+        """Lucene field:term resolution: explicit fields become
+        field-prefixed dictionary terms; with ``qfields``, unfielded
+        leaves fan out across fields as a dis_max (reference Q2 boosts:
+        name^4, content, text^0.8 — queries.py:112-118)."""
+        def prefix(term: str, fieldname: str | None) -> str:
+            if not fieldname or fieldname == "content":
+                return term
+            return f"{fieldname}{FIELD_SEP}{term}"
+
+        def walk(n: Node) -> Node:
+            if isinstance(n, TermLeaf):
+                if n.field:
+                    return TermLeaf(prefix(n.term, n.field), n.boost)
+                if qfields:
+                    return DisMax([
+                        TermLeaf(prefix(n.term, f), n.boost * b)
+                        for f, b in qfields])
+                return n
+            if isinstance(n, PhraseLeaf):
+                if n.field:
+                    return PhraseLeaf(
+                        [prefix(t, n.field) for t in n.terms],
+                        slop=n.slop, boost=n.boost)
+                return n
+            if isinstance(n, PrefixLeaf):
+                if n.field:
+                    return PrefixLeaf(prefix(n.prefix, n.field), n.boost)
+                return n
+            if isinstance(n, Bool):
+                return Bool(must=[walk(c) for c in n.must],
+                            should=[walk(c) for c in n.should],
+                            must_not=[walk(c) for c in n.must_not],
+                            min_should=n.min_should)
+            if isinstance(n, DisMax):
+                return DisMax([walk(c) for c in n.children])
+            return n
+        return walk(node)
 
     def _predicate(self, filters: dict[str, list[str]], sa: SearchArgs):
         pred = None
@@ -206,7 +247,6 @@ class Engine:
         broadcast."""
         if self.source_docs is None:
             return hits
-        from .ir import PhraseLeaf, PrefixLeaf, TermLeaf
         terms: set[str] = set()
         for leaf in tree.leaves():
             if isinstance(leaf, TermLeaf):
@@ -215,6 +255,8 @@ class Engine:
                 terms.update(leaf.terms)
             elif isinstance(leaf, PrefixLeaf):
                 terms.update(leaf.expanded or [])
+        # highlighting targets the content field only
+        terms = {t for t in terms if FIELD_SEP not in t}
 
         from .highlight import highlight_text
         import pandas as pd

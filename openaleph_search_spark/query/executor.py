@@ -38,11 +38,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..index.build import DOC_ID_PART_SHIFT
+from ..index.build import DOC_ID_PART_SHIFT, field_of_term
 from ..index.codec import (bm25_idf, bm25_tfnorm, decode_positions,
                            varint_decode)
 from ..index.storage import IndexStorage
-from .ir import Bool, MatchAll, Node, PhraseLeaf, PrefixLeaf, TermLeaf
+from .ir import (Bool, DisMax, MatchAll, Node, PhraseLeaf, PrefixLeaf,
+                 TermLeaf)
 
 RESULT_SCHEMA = "doc_id long, score double"
 
@@ -94,6 +95,21 @@ def _merge_sum_multi(ids_a, vals_a: list, ids_b, vals_b: list):
     return ids[starts], out_vals
 
 
+def _merge_max(ids_a, sc_a, ids_b, sc_b):
+    """Union of two sorted maps, taking the max score (dis_max)."""
+    ids = np.concatenate([ids_a, ids_b])
+    sc = np.concatenate([sc_a, sc_b])
+    order = np.argsort(ids, kind="mergesort")
+    ids, sc = ids[order], sc[order]
+    if ids.size == 0:
+        return ids, sc
+    new = np.empty(ids.size, dtype=bool)
+    new[0] = True
+    np.not_equal(ids[1:], ids[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    return ids[starts], np.maximum.reduceat(sc, starts)
+
+
 def _intersect_sum(ids_a, sc_a, ids_b, sc_b):
     """Intersection of two sorted maps, summing scores."""
     common, ia, ib = np.intersect1d(ids_a, ids_b, assume_unique=True,
@@ -112,14 +128,17 @@ class _ShardEval:
     def __init__(self, blocks_by_term: dict[str, pd.DataFrame],
                  idf: dict[str, float], k: int | None,
                  allowed: np.ndarray | None, k1: float, b: float,
-                 avgdl: float):
+                 avgdl_by_field: dict[str, float]):
         self.blocks = blocks_by_term
         self.idf = idf
         self.k = k
         self.allowed = allowed  # sorted doc_ids or None
         self.k1 = k1
         self.b = b
-        self.avgdl = avgdl
+        self.avgdl_by_field = avgdl_by_field
+
+    def _avgdl(self, term: str) -> float:
+        return self.avgdl_by_field.get(field_of_term(term), 1.0)
 
     # -- postings decode ----------------------------------------------------
     def _term_blocks(self, term: str,
@@ -181,7 +200,7 @@ class _ShardEval:
             return empty
         dls = dls.astype(np.float64)
         scores = self.idf.get(term, 0.0) * bm25_tfnorm(
-            tfs, dls, self.avgdl, self.k1, self.b)
+            tfs, dls, self._avgdl(term), self.k1, self.b)
         return ids, scores, dls, pos_l if pos_l is not None else []
 
     # -- node evaluation ------------------------------------------------------
@@ -199,6 +218,12 @@ class _ShardEval:
             return self._eval_phrase(node, candidates)
         if isinstance(node, Bool):
             return self._eval_bool(node, candidates)
+        if isinstance(node, DisMax):
+            acc = (np.empty(0, np.int64), np.empty(0, np.float64))
+            for child in node.children:
+                c_ids, c_sc = self.eval(child, candidates)
+                acc = _merge_max(*acc, c_ids, c_sc)
+            return acc
         if isinstance(node, MatchAll):
             raise ValueError("match_all reaches the executor only via the "
                              "filter-only fast path")
@@ -390,7 +415,8 @@ class _ShardEval:
         ids = inter[ranks_u].astype(np.int64)
         dls = dl_of[ranks_u]
         idf_sum = sum(self.idf.get(t, 0.0) for t in uniq)
-        scores = idf_sum * bm25_tfnorm(tfs, dls, self.avgdl, self.k1, self.b)
+        scores = idf_sum * bm25_tfnorm(tfs, dls, self._avgdl(terms[0]),
+                                       self.k1, self.b)
         return ids, scores * node.boost
 
 
@@ -453,6 +479,8 @@ class SearchExecutor:
 
         n_docs = float(self.meta["n_docs"])
         avgdl = float(self.meta["avgdl"])
+        avgdl_by_field = dict(self.meta.get("avgdl_by_field")
+                              or {"content": avgdl})
         k1, b = float(self.meta["k1"]), float(self.meta["b"])
         # encoded block-max bounds are true upper bounds only while the
         # live avgdl hasn't grown past any encode-time avgdl (appends
@@ -490,7 +518,8 @@ class SearchExecutor:
             by_term = {
                 t: g.sort_values(["first_doc"])
                 for t, g in blocks_pdf.groupby("term", sort=False)}
-            ev = _ShardEval(by_term, idf, k_prune, allowed, k1, b, avgdl)
+            ev = _ShardEval(by_term, idf, k_prune, allowed, k1, b,
+                            avgdl_by_field)
             ids, scores = ev.eval(tree)
             if k is not None and ids.size > k:
                 # per-shard top-k: exact selection incl. doc_id tiebreak

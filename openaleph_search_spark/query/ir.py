@@ -19,9 +19,12 @@ class Node:
 
 @dataclass
 class TermLeaf(Node):
-    """Single analyzed term against the fulltext field (scored, BM25)."""
+    """Single analyzed term (scored, BM25). ``field`` None = the
+    default content field; otherwise resolved by the engine to a
+    field-prefixed dictionary term (Lucene field:term model)."""
     term: str
     boost: float = 1.0
+    field: str | None = None
 
     def leaves(self):
         return [self]
@@ -37,6 +40,7 @@ class PhraseLeaf(Node):
     terms: list[str]
     slop: int = 0
     boost: float = 1.0
+    field: str | None = None
 
     def leaves(self):
         return [self]
@@ -48,6 +52,7 @@ class PrefixLeaf(Node):
     dictionary at plan time (ES query_string prefix rewrite)."""
     prefix: str
     boost: float = 1.0
+    field: str | None = None
     expanded: list[str] | None = None  # filled by the planner
     max_expansions: int = 50
 
@@ -70,6 +75,20 @@ class Bool(Node):
     def leaves(self):
         out = []
         for n in (*self.must, *self.should, *self.must_not):
+            out.extend(n.leaves())
+        return out
+
+
+@dataclass
+class DisMax(Node):
+    """Best-fields disjunction max (ES dis_max / multi-field
+    query_string, reference Q2 queries.py:112-118): score = max over
+    per-field children (tie_breaker 0)."""
+    children: list[Node] = field(default_factory=list)
+
+    def leaves(self):
+        out = []
+        for n in self.children:
             out.extend(n.leaves())
         return out
 

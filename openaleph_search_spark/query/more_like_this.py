@@ -36,10 +36,14 @@ def doc_term_vector(spark: SparkSession, storage: IndexStorage,
                       & (F.col("first_doc") <= doc_id)
                       & (F.col("last_doc") >= doc_id)))
 
+    from ..index.build import FIELD_SEP
+
     def extract(it):
         for pdf in it:
             terms, tfs = [], []
             for _, row in pdf.iterrows():
+                if FIELD_SEP in row["term"]:
+                    continue  # MLT draws from the content field only
                 d, t, _ = decode_block(row)
                 j = np.searchsorted(d, np.uint64(doc_id))
                 if j < d.size and d[j] == np.uint64(doc_id):

@@ -23,11 +23,13 @@ from .ir import Bool, MatchAll, Node, PhraseLeaf, PrefixLeaf, TermLeaf
 MAX_PAGE = 9999  # reference settings.py:7
 
 _TOKEN_SPLIT = re.compile(
-    r'"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?'
+    r'(?:(?P<pfield>\w+):)?"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?'
     r"|\((?P<lparen>)"
     r"|\)(?P<rparen>)"
     r"|(?P<word>[^\s()]+)"
 )
+
+_FIELD_WORD = re.compile(r"^(\w+):(.+)$")
 
 
 @dataclass
@@ -35,6 +37,7 @@ class _Tok:
     kind: str  # phrase | word | lparen | rparen
     text: str = ""
     slop: int = 0
+    field: str | None = None
 
 
 def _lex(q: str) -> list[_Tok]:
@@ -42,7 +45,8 @@ def _lex(q: str) -> list[_Tok]:
     for m in _TOKEN_SPLIT.finditer(q):
         if m.group("phrase") is not None:
             toks.append(_Tok("phrase", m.group("phrase"),
-                             int(m.group("slop") or 0)))
+                             int(m.group("slop") or 0),
+                             m.group("pfield")))
         elif m.group("lparen") is not None:
             toks.append(_Tok("lparen"))
         elif m.group("rparen") is not None:
@@ -136,10 +140,14 @@ class QueryStringParser:
             if not terms:
                 return None
             if len(terms) == 1:
-                return TermLeaf(terms[0])
-            return PhraseLeaf(terms, slop=t.slop)
-        # word
+                return TermLeaf(terms[0], field=t.field)
+            return PhraseLeaf(terms, slop=t.slop, field=t.field)
+        # word — optional field: prefix (Lucene field:value syntax)
         word = t.text
+        field = None
+        fm = _FIELD_WORD.match(word)
+        if fm and fm.group(1).upper() not in ("AND", "OR", "NOT"):
+            field, word = fm.group(1), fm.group(2)
         if word.startswith("-") and len(word) > 1:
             inner = QueryStringParser.__new__(QueryStringParser)
             inner.toks = [_Tok("word", word[1:])]
@@ -149,16 +157,16 @@ class QueryStringParser:
         if word.endswith("*") and len(word) > 1 and "*" not in word[:-1]:
             terms = analyze_query_terms(word[:-1])
             if terms:
-                return PrefixLeaf(terms[0])
+                return PrefixLeaf(terms[0], field=field)
             return None
         terms = analyze_query_terms(word)
         if not terms:
             return None
         if len(terms) == 1:
-            return TermLeaf(terms[0])
+            return TermLeaf(terms[0], field=field)
         # one input word analyzing into several terms (e.g. ZWJ capture,
-        # hyphenated): all at the same position → treat as conjunction
-        return Bool(must=[TermLeaf(x) for x in terms])
+        # hyphenated, path segments): conjunction within the field
+        return Bool(must=[TermLeaf(x, field=field) for x in terms])
 
 
 def parse_query_string(q: str | None) -> Node:
@@ -190,6 +198,7 @@ class SearchArgs:
     synonyms: bool = False
     highlight: bool = False
     highlight_count: int = 3
+    qfields: list[tuple[str, float]] = field(default_factory=list)
 
     @property
     def k(self) -> int:
@@ -242,6 +251,11 @@ def parse_args(args: dict[str, list[str] | str]) -> SearchArgs:
         elif key.startswith("metric:"):
             op = key[len("metric:"):]
             out.metrics.setdefault(op, []).extend(vals)
+        elif key == "qfields":
+            for part in vals[-1].split(","):
+                name, _, boost = part.strip().partition("^")
+                if name:
+                    out.qfields.append((name, float(boost or 1.0)))
         elif key == "synonyms":
             out.synonyms = vals[-1].lower() in ("true", "1", "yes")
         elif key == "highlight":

@@ -134,6 +134,15 @@ def percolate_docs(docs: DataFrame, stored: list[StoredQuery],
     id_cols = id_cols or ["repo", "path", "commit"]
     cols = [*id_cols, text_col]
 
+    # candidate narrowing (the reference's filtered-percolation speedup,
+    # docs/percolation.md:210-222): a clause can only fire if its
+    # rarest trigger token occurs in the doc — build token→clauses once
+    # driver-side, probe per doc with set lookups
+    trigger: dict[str, list[tuple[int, int]]] = {}
+    for qi, sq in enumerate(stored):
+        for ci, (tokens, _boost) in enumerate(sq.clauses):
+            trigger.setdefault(tokens[0], []).append((qi, ci))
+
     def fn(it):
         for pdf in it:
             ridx, terms, pos = tokenize_flat(pdf[text_col])
@@ -151,9 +160,16 @@ def percolate_docs(docs: DataFrame, stored: list[StoredQuery],
                         np.r_[True, t_s[1:] != t_s[:-1]])
                     for b, e in zip(bounds, np.r_[bounds[1:], t_s.size]):
                         pos_np[t_s[b]] = np.sort(p_s[b:e])
-                for sq in stored:
+                # narrow to clauses whose trigger token is present
+                cand: dict[int, list[int]] = {}
+                for tok in pos_np.keys() & trigger.keys():
+                    for qi, ci in trigger[tok]:
+                        cand.setdefault(qi, []).append(ci)
+                for qi, cis in cand.items():
+                    sq = stored[qi]
                     score, matched = 0.0, []
-                    for tokens, boost in sq.clauses:
+                    for ci in sorted(set(cis)):
+                        tokens, boost = sq.clauses[ci]
                         if _phrase_hits(pos_np, tokens, slop) > 0:
                             score += boost
                             matched.append(" ".join(tokens))

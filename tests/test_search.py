@@ -213,3 +213,35 @@ def test_bm25_score_values_pinned(fixture_engine, oracle, ids_by_path):
     idf = oracle.idf("banana")
     tfn = oracle.tfnorm(3, oracle.doc_len[d])
     assert abs(got[d] - idf * tfn) < TOL
+
+
+def test_field_query_lang(fixture_engine, ids_by_path):
+    """Lucene field:value syntax → field-prefixed dictionary terms."""
+    res = fixture_engine.search({"q": "lang:go banana", "limit": 10})
+    rows = res.hit_rows(0, 10)
+    assert [r["doc_id"] for r in rows] == [ids_by_path["b/crime.go"]]
+
+
+def test_field_query_path(fixture_engine, ids_by_path):
+    res = fixture_engine.search({"q": "path:kwazulu", "limit": 10})
+    assert [r["path"] for r in res.hit_rows(0, 10)] == ["a/kwazulu.txt"]
+
+
+def test_unknown_field_matches_nothing(fixture_engine):
+    assert fixture_engine.search({"q": "nosuchfield:banana",
+                                  "limit": 5}).hits.count() == 0
+
+
+def test_qfields_dismax(fixture_engine, ids_by_path):
+    """multi-field best-fields: kwazulu appears in content of two docs
+    and in the PATH of kwazulu.txt → path boost lifts it."""
+    res = fixture_engine.search(
+        {"q": "kwazulu", "qfields": "content,path^10", "limit": 10})
+    rows = res.hit_rows(0, 10)
+    assert rows[0]["path"] == "a/kwazulu.txt"
+    assert len(rows) == 2  # still matches long.rs via content
+
+
+def test_fielded_phrase(fixture_engine, ids_by_path):
+    res = fixture_engine.search({"q": 'path:"a kwazulu txt"', "limit": 5})
+    assert [r["path"] for r in res.hit_rows(0, 5)] == ["a/kwazulu.txt"]
