@@ -435,15 +435,17 @@ def a6_significant_text(spark, sf_dir):
 
 
 def q16_more_like_this(spark, sf_dir):
-    """Q16 (rows-only): docs similar to source doc 0."""
+    """Q16: docs similar to source doc 0 (tf·idf term selection, df
+    bounds, 10% minimum_should_match — oracle re-states it in SQL)."""
     from openaleph_search_spark.query.more_like_this import more_like_this
     eng = _engine(spark, sf_dir)
     src = (eng.doc_meta.filter(F.col("path").rlike("mod_0\\."))
            .select("doc_id").collect())
-    out = more_like_this(eng, src[0]["doc_id"], k=10)
+    out = more_like_this(eng, src[0]["doc_id"], k=9999)
     hydrated = out.join(eng.doc_meta.select("doc_id", "path"), "doc_id")
-    return _orig_id(hydrated).select(
-        "doc_id", F.round("score", 4).alias("score"))
+    return (_orig_id(hydrated)
+            .select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
 
 
 def q19_mentions(spark, sf_dir):
@@ -814,6 +816,34 @@ FROM documents d CROSS JOIN s
 WHERE d.lang = 'es'
 ORDER BY score DESC, d.doc_id
 LIMIT 20
+""",
+        "q16_more_like_this": f"""
+WITH {_TOK_CTE.format(where='')},
+src AS (SELECT term, tf FROM tf WHERE doc_id = 0),
+cand AS (
+  SELECT s.term,
+         s.tf * ln(1 + (stats.n - d.df + 0.5) / (d.df + 0.5)) AS w
+  FROM src s JOIN dfreq d USING (term) CROSS JOIN stats
+  WHERE d.df BETWEEN 1 AND CAST(floor(stats.n * 0.9) AS BIGINT)
+    AND length(s.term) >= 3
+),
+sel AS (SELECT term FROM cand ORDER BY w DESC, term LIMIT 25),
+nsel AS (SELECT count(*) AS n_terms FROM sel),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * tf.dl / stats.avgdl))
+         ) AS score,
+         count(*) AS hits
+  FROM tf JOIN sel USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scores s CROSS JOIN nsel
+WHERE s.hits >= CAST(ceil(0.1 * nsel.n_terms) AS BIGINT)
+  AND s.doc_id != 0
+ORDER BY round(s.score, 4) DESC, s.doc_id
+LIMIT 10
 """,
         "q20_geo_distance": """
 WITH pts AS (

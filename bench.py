@@ -130,6 +130,13 @@ def run_queries(cores: int, index_dir: str) -> tuple[dict, dict]:
           .facets["lang"].collect())
     bench("q_count", lambda: eng.count({"q": "vector merge"}))
 
+    bench("q_fielded",
+          lambda: eng.search({"q": "lang:de vector", "limit": 10})
+          .hits.collect())
+    bench("q_dismax",
+          lambda: eng.search({"q": "go", "qfields": "content,path^2",
+                              "limit": 10}).hits.collect())
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     bench("op_minhash_dedup",
@@ -137,6 +144,26 @@ def run_queries(cores: int, index_dir: str) -> tuple[dict, dict]:
     probe = emb.limit(1).collect()[0]["embedding"]
     bench("op_cosine_topk",
           lambda: cosine_topk(emb, probe, k=10).collect())
+
+    # percolation throughput (the reference's headline latency table,
+    # docs/percolation.md): a 200-entity watchlist against every doc
+    from openaleph_search_spark.query.percolate import (
+        compile_watchlist, percolate_docs)
+    vocab = ["table scan", "merge join", "vector stream", "hash group",
+             "sort order", "query filter", "batch window", "data value"]
+    watch = compile_watchlist(
+        [{"entity_id": f"e{i}",
+          "names": [vocab[i % len(vocab)]],
+          "other_names": [vocab[(i + 3) % len(vocab)]]}
+         for i in range(200)])
+    n_docs_p = docs.count()
+    t0 = time.time()
+    percolate_docs(docs, watch, id_cols=["doc_id"], text_col="text",
+                   slop=2).count()
+    dt = time.time() - t0
+    timings["op_percolate_200q"] = round(dt, 3)
+    timings["op_percolate_docs_per_sec"] = round(n_docs_p / dt, 1)
+    log(f"  percolate 200q x {n_docs_p} docs: {dt:.2f}s")
 
     # p95 of the headline match query over 20 runs
     lat = []
