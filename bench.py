@@ -82,7 +82,8 @@ def build_at(cores: int, num_partitions: int, tag: str,
     # per-task lineage: udf seconds per partition (contention evidence)
     import glob as _glob
     secs = [json.load(open(m))["seconds"]
-            for m in _glob.glob(os.path.join(out, "manifest", "*.json"))]
+            for m in _glob.glob(os.path.join(out, "manifest",
+                                             "part=*.json"))]
     spark.stop()
     return {"cores": cores, "docs": n_docs, "build_sec": round(dt, 2),
             "docs_per_sec": round(n_docs / dt, 1),
