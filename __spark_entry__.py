@@ -449,14 +449,21 @@ def q16_more_like_this(spark, sf_dir):
 
 
 def q19_mentions(spark, sf_dir):
-    """Q19 (rows-only): docs phrase-mentioning any watchlist name."""
+    """Q19: top-10 docs phrase-mentioning each entity (slop 2),
+    per-entity attribution — oracle re-states the sloppy-phrase BM25
+    in SQL."""
+    from pyspark.sql import Window
     from openaleph_search_spark.query.percolate import multi_mentions
     eng = _engine(spark, sf_dir)
     out = multi_mentions(eng, {"e1": ["table scan"],
-                               "e2": ["vector stream"]}, k=10)
+                               "e2": ["vector stream"]}, k=9999)
     hydrated = out.join(eng.doc_meta.select("doc_id", "path"), "doc_id")
-    return _orig_id(hydrated).select(
+    scored = _orig_id(hydrated).select(
         "doc_id", "entity_id", F.round("score", 4).alias("score"))
+    w = Window.partitionBy("entity_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 10).drop("_rn"))
 
 
 def q24_highlight(spark, sf_dir):
@@ -882,6 +889,52 @@ hits AS (
             AND abs(b.pos - 1 - a.pos) <= 2
 )
 SELECT doc_id, entity_id, 2.0 AS score FROM hits
+""",
+        "q19_mentions": """
+WITH pos AS (
+  SELECT d.doc_id, d.dl, d.toks[i.i + 1] AS term, i.i AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS dl FROM documents) d,
+       LATERAL (SELECT unnest(range(len(d.toks))) AS i) i
+),
+stats AS (
+  SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl
+  FROM documents
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM pos GROUP BY term
+),
+names(entity_id, t0, t1) AS (
+  VALUES ('e1', 'table', 'scan'), ('e2', 'vector', 'stream')
+),
+idfs AS (
+  SELECT n.entity_id,
+         sum(ln(1 + (stats.n - d.df + 0.5) / (d.df + 0.5))) AS idf_sum
+  FROM names n
+  JOIN dfreq d ON d.term IN (n.t0, n.t1)
+  CROSS JOIN stats
+  GROUP BY n.entity_id
+),
+m AS (
+  SELECT n.entity_id, a.doc_id, any_value(a.dl) AS dl,
+         count(DISTINCT a.pos) AS tf
+  FROM names n
+  JOIN pos a ON a.term = n.t0
+  WHERE EXISTS (SELECT 1 FROM pos b WHERE b.doc_id = a.doc_id
+                AND b.term = n.t1 AND abs(b.pos - 1 - a.pos) <= 2)
+  GROUP BY n.entity_id, a.doc_id
+),
+scored AS (
+  SELECT m.entity_id, m.doc_id,
+         round(i.idf_sum * m.tf
+               / (m.tf + 1.2 * (1 - 0.75 + 0.75 * m.dl / stats.avgdl)),
+               4) AS score
+  FROM m JOIN idfs i USING (entity_id) CROSS JOIN stats
+)
+SELECT doc_id, entity_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY entity_id
+            ORDER BY score DESC, doc_id) AS rn
+  FROM scored) WHERE rn <= 10
 """,
         "a6_significant_text": """
 WITH tok AS (
