@@ -57,6 +57,7 @@ DOC_ID_PART_SHIFT = 33  # doc_id = (src_part << 33) | local_row
 LAYOUT_VERSION = 3  # bump on any physical-layout / shard-map change
 FIELD_SEP = "\x1f"  # term-dictionary field prefix: "path\x1ffoo"
 DEFAULT_FIELDS = {"path": "path", "repo": "repo", "lang": "lang"}
+BIGRAM_FIELD = "_bi"  # T16 index_phrases shingles (phrase fast path)
 
 DOC_META_SCHEMA = ("doc_id long, repo string, path string, commit string, "
                    "lang string, content_sha256 string, doc_len int, "
@@ -74,7 +75,8 @@ _BLOCK_COLS = ["term", "shard", "first_doc", "last_doc", "doc_count",
 
 
 def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
-                  shard_of_part, fields: dict[str, str] | None = None):
+                  shard_of_part, fields: dict[str, str] | None = None,
+                  bigrams: bool = False):
     """Grouped-map fn: one source partition → packed block run +
     doc_meta + atomic manifest checkpoint.
 
@@ -118,6 +120,27 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
             pos_parts.append(f_pos)
             dl_tok_parts.append(f_dl[f_row])
             field_stats[fname] = (n, int(f_dl.sum()))
+        if bigrams and row_idx.size:
+            # T16 index_phrases: 2-gram shingles of content as their
+            # own field (the phrase fast path when positions are off;
+            # mapping.py:208). Adjacent same-doc tokens only.
+            adj = ((row_idx[1:] == row_idx[:-1])
+                   & (positions[1:] == positions[:-1] + 1))
+            t_np = terms.to_numpy()
+            bi_terms = pd.Series(
+                np.char.add(np.char.add(
+                    t_np[:-1][adj].astype(str), " "),
+                    t_np[1:][adj].astype(str)))
+            bi_row = row_idx[:-1][adj]
+            bi_pos = positions[:-1][adj]
+            bi_dl = np.zeros(n, dtype=np.int32)
+            if bi_row.size:
+                np.maximum.at(bi_dl, bi_row, (bi_pos + 1).astype(np.int32))
+            row_parts.append(bi_row)
+            term_parts.append(BIGRAM_FIELD + FIELD_SEP + bi_terms)
+            pos_parts.append(bi_pos)
+            dl_tok_parts.append(bi_dl[bi_row])
+            field_stats[BIGRAM_FIELD] = (n, int(bi_dl.sum()))
         row_idx = np.concatenate(row_parts)
         terms = pd.concat(term_parts, ignore_index=True)
         positions = np.concatenate(pos_parts)
@@ -288,7 +311,8 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
                 num_partitions: int | None = None, num_shards: int = 8,
                 with_positions: bool = True, resume: bool = True,
                 attempt: int = 1,
-                fields: dict[str, str] | None = None) -> IndexStorage:
+                fields: dict[str, str] | None = None,
+                bigrams: bool = False) -> IndexStorage:
     """Build (or resume) the inverted index for a docs table.
 
     ``docs`` must have columns (repo, path, commit, lang, content) —
@@ -320,7 +344,7 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     # partition-prefixed
     manifests = prepared.groupBy("src_part").applyInPandas(
         _spimi_writer(storage, with_positions, attempt,
-                      lambda sp: sp % num_shards, fields),
+                      lambda sp: sp % num_shards, fields, bigrams),
         MANIFEST_SCHEMA)
     new_rows = manifests.collect()  # tiny: one row per partition
 
@@ -357,6 +381,7 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         "with_positions": with_positions, "n_docs": n_docs, "avgdl": avgdl,
         "avgdl_by_field": avgdl_by_field,
         "fields": sorted(["content", *fields]),
+        "bigrams": bigrams,
         "encode_avgdl_min": avgdl,
         "analyzer": "icu-default-v1",
         "layout_version": LAYOUT_VERSION,

@@ -174,7 +174,37 @@ class Engine:
             leaf = PrefixLeaf(sa.prefix.lower())
             tree = leaf if isinstance(tree, MatchAll) \
                 else Bool(must=[tree, leaf])
-        return self._resolve_fields(tree, sa.qfields)
+        tree = self._resolve_fields(tree, sa.qfields)
+        meta = self.executor.meta
+        if not meta.get("with_positions", True) and meta.get("bigrams"):
+            tree = self._rewrite_phrases_to_bigrams(tree)
+        return tree
+
+    def _rewrite_phrases_to_bigrams(self, node: Node) -> Node:
+        """T16 index_phrases fast path: with positions disabled, exact
+        content phrases execute as a conjunction of 2-gram shingle
+        terms (ES mapping.py:208 behavior; scoring uses the shingle
+        field's own stats, like ES)."""
+        from ..index.build import BIGRAM_FIELD, FIELD_SEP
+        if isinstance(node, PhraseLeaf) and node.slop == 0 \
+                and FIELD_SEP not in node.terms[0]:
+            bi = [TermLeaf(f"{BIGRAM_FIELD}{FIELD_SEP}{a} {b}",
+                           node.boost)
+                  for a, b in zip(node.terms, node.terms[1:])]
+            return bi[0] if len(bi) == 1 else Bool(must=bi)
+        if isinstance(node, Bool):
+            return Bool(
+                must=[self._rewrite_phrases_to_bigrams(c)
+                      for c in node.must],
+                should=[self._rewrite_phrases_to_bigrams(c)
+                        for c in node.should],
+                must_not=[self._rewrite_phrases_to_bigrams(c)
+                          for c in node.must_not],
+                min_should=node.min_should)
+        if isinstance(node, DisMax):
+            return DisMax([self._rewrite_phrases_to_bigrams(c)
+                           for c in node.children])
+        return node
 
     def _resolve_fields(self, node: Node,
                         qfields: list[tuple[str, float]]) -> Node:

@@ -89,3 +89,25 @@ def test_blocking_and_match_query(spark):
     by_id = {r["doc_id"]: r for r in rows}
     if 3 in by_id:  # near dup scores below the exact dups
         assert by_id[3]["match_score"] < rows[0]["match_score"]
+
+
+def test_bigram_phrase_fast_path(spark, fixture_docs_df, tmp_path):
+    """T16: positions disabled + bigrams → exact phrases still work
+    (via the 2-gram shingle field), index carries no pos payloads."""
+    from openaleph_search_spark.index.build import build_index
+    from openaleph_search_spark.index.storage import IndexStorage
+    from openaleph_search_spark.query.engine import Engine
+    out = str(tmp_path / "idx_bi")
+    build_index(spark, fixture_docs_df, out, num_partitions=4,
+                num_shards=2, with_positions=False, bigrams=True)
+    eng = Engine(spark, out)
+    res = eng.search({"q": '"banana crime"', "limit": 10})
+    assert [r["path"] for r in res.hit_rows(0, 10)] == ["b/crime.go"]
+    assert eng.search({"q": '"crime banana"', "limit": 5}).hits.count() == 0
+    # three-term phrase = chained bigrams
+    res3 = eng.search({"q": '"paul manafort former"', "limit": 5})
+    assert [r["path"] for r in res3.hit_rows(0, 5)] == ["b/manafort.js"]
+    # index physically stores no positions
+    from pyspark.sql import functions as F
+    p = IndexStorage(out).postings(spark)
+    assert p.filter(F.length("pos_payload") > 0).count() == 0
