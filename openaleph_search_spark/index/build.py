@@ -356,6 +356,29 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
     avgdl_by_field = _read_field_stats(storage)
 
+    if not os.path.isdir(storage.tf_runs_dir):
+        # empty corpus: materialize empty tables so readers work
+        os.makedirs(storage.tf_runs_dir, exist_ok=True)
+        # no partitionBy: an empty partitioned write leaves no schema
+        (spark.createDataFrame([], POSTINGS_SCHEMA).write
+         .mode("overwrite").parquet(storage.postings_dir))
+        (spark.createDataFrame([], "term string, df long, cf long")
+         .write.mode("overwrite").parquet(storage.term_stats_dir))
+        (spark.createDataFrame([], DOC_META_SCHEMA).write
+         .mode("overwrite").parquet(
+             os.path.join(storage.doc_meta_dir, "part=empty.parquet")))
+        storage.write_meta({
+            "num_partitions": P, "num_shards": num_shards,
+            "block_size": BLOCK_SIZE, "k1": K1, "b": B,
+            "with_positions": with_positions, "n_docs": 0, "avgdl": 0.0,
+            "avgdl_by_field": {}, "fields": sorted(["content", *fields]),
+            "bigrams": bigrams, "encode_avgdl_min": 0.0,
+            "analyzer": "icu-default-v1",
+            "layout_version": LAYOUT_VERSION,
+            "built_partitions": 0, "resumed_from": 0,
+        })
+        return storage
+
     # ---- step B: fill impact bounds + shard-layout write. No shuffle:
     # each run file is already (term, first_doc)-sorted per shard, and
     # every output file stays sorted → term rowgroup pruning works ------

@@ -111,3 +111,45 @@ def test_bigram_phrase_fast_path(spark, fixture_docs_df, tmp_path):
     from pyspark.sql import functions as F
     p = IndexStorage(out).postings(spark)
     assert p.filter(F.length("pos_payload") > 0).count() == 0
+
+
+def test_name_signals():
+    from openaleph_search_spark.analysis.names import (
+        metaphone, name_key, name_parts, name_phonetic)
+    assert name_parts("Vladimir Igumnov") == ["vladimir", "igumnov"]
+    assert "felix" in name_parts("Félix")
+    # sorted + folded + concatenated, only if long enough
+    assert name_key("Igumnov Vladimir") == name_key("Vladimir Igumnov")
+    assert name_key("Jo") is None
+    # phonetic buckets: spelling variants collide
+    assert metaphone("schmidt") == metaphone("schmidt")
+    assert name_phonetic("Vladimir") == name_phonetic("vladimir")
+    assert name_phonetic("Igumnov Igumnow")[0][:3] == \
+        name_phonetic("Igumnov")[0][:3]
+
+
+def test_name_signals_dataframe(spark):
+    from openaleph_search_spark.analysis.names import with_name_signals
+    df = spark.createDataFrame(
+        [("Vladimir Igumnov",), ("Wladimir Igumnow",), ("Jane Doe",)],
+        "name string")
+    out = with_name_signals(df, "name").collect()
+    by_name = {r["name"]: r for r in out}
+    a = by_name["Vladimir Igumnov"]
+    assert a["name_parts"] == ["vladimir", "igumnov"]
+    assert a["name_key"] is not None
+    assert len(a["name_phonetic"]) == 2
+
+
+def test_empty_corpus_build(spark, tmp_path):
+    from openaleph_search_spark.index.build import build_index
+    from openaleph_search_spark.query.engine import Engine
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, "
+            "content string")
+    out = str(tmp_path / "idx_empty")
+    st = build_index(spark, empty, out, num_partitions=2, num_shards=2)
+    assert st.read_meta()["n_docs"] == 0
+    eng = Engine(spark, out)
+    assert eng.search({"q": "anything", "limit": 5}).hits.count() == 0
+    assert eng.count({}) == 0
