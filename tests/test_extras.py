@@ -153,3 +153,18 @@ def test_empty_corpus_build(spark, tmp_path):
     eng = Engine(spark, out)
     assert eng.search({"q": "anything", "limit": 5}).hits.count() == 0
     assert eng.count({}) == 0
+
+
+def test_function_score(fixture_engine):
+    """Q21: additive length-prior boost reorders by doc_len."""
+    import math
+    base = fixture_engine.search({"q": "banana", "limit": 10})
+    boosted = fixture_engine.search({"q": "banana",
+                                     "function_score": "true",
+                                     "limit": 10})
+    b = {r["doc_id"]: r for r in base.hit_rows(0, 10)}
+    f = {r["doc_id"]: r for r in boosted.hit_rows(0, 10)}
+    assert set(b) == set(f)
+    for d, row in f.items():
+        expect = b[d]["score"] + math.sqrt(0.5 * b[d]["doc_len"])
+        assert abs(row["score"] - expect) < 1e-9
