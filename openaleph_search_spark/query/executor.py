@@ -314,13 +314,15 @@ class _ShardEval:
         prune = (self.k is not None and gate and candidates is None
                  and not track_counts)
         for im, _, child in impacts:
-            remaining -= im
+            # bound for a doc NOT yet accumulated: it can still gain the
+            # CURRENT child's impact plus everything after it
             restricted = candidates
             if prune and self.k and acc_ids.size >= self.k:
                 theta = np.partition(acc_sc, acc_sc.size - self.k)[
                     acc_sc.size - self.k]
                 if theta >= remaining and remaining > 0.0:
                     restricted = acc_ids  # block-max skip: candidates only
+            remaining -= im
             c_ids, c_sc = self.eval(child, restricted)
             if restricted is acc_ids and restricted is not candidates:
                 # candidates-only mode: drop docs not already accumulated

@@ -1,0 +1,155 @@
+"""Property-based correctness: the per-shard evaluator (block-max
+pruning, bool algebra, min_should, phrases) against the pure-Python
+oracle on randomized corpora and query trees — no Spark in the loop,
+so hypothesis can run hundreds of cases."""
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from openaleph_search_spark.analysis.analyzer import analyze_text
+from openaleph_search_spark.index.codec import bm25_idf, encode_blocks
+from openaleph_search_spark.index.codec import encode_positions
+from openaleph_search_spark.query.executor import _ShardEval
+from openaleph_search_spark.query.ir import Bool, PhraseLeaf, TermLeaf
+from tests.oracle import OracleIndex
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=30),
+    min_size=1, max_size=40)
+
+
+def build_shard(docs_tokens: list[list[str]], block_size: int = 4):
+    """→ (blocks_by_term, idf, avgdl, oracle). Tiny block size stresses
+    the block-boundary paths."""
+    docs = {i: " ".join(toks) for i, toks in enumerate(docs_tokens)}
+    oracle = OracleIndex(docs)
+    blocks_by_term = {}
+    for term, postings in oracle.postings.items():
+        ids = np.array(sorted(postings), dtype=np.uint64)
+        tfs = np.array([postings[int(d)] for d in ids], dtype=np.uint64)
+        dls = np.array([oracle.doc_len[int(d)] for d in ids],
+                       dtype=np.uint64)
+        pos_payloads = [
+            encode_positions([np.array(
+                sorted(oracle.positions[term][int(d)]), dtype=np.uint64)])
+            for d in ids]
+        rows = encode_blocks(ids, tfs, dls, avgdl=oracle.avgdl,
+                             pos_payloads=pos_payloads,
+                             block_size=block_size)
+        for r in rows:
+            r["term"] = term
+        blocks_by_term[term] = pd.DataFrame(rows)
+    idf = {t: float(bm25_idf(float(len(p)), oracle.n_docs))
+           for t, p in oracle.postings.items()}
+    return blocks_by_term, idf, oracle
+
+
+def make_eval(blocks, idf, oracle, k):
+    return _ShardEval(blocks, idf, k, None, 1.2, 0.75,
+                      {"content": oracle.avgdl})
+
+
+def check(got_ids, got_scores, want: dict, k=None):
+    want_sorted = sorted(want.items(), key=lambda x: (-x[1], x[0]))
+    got = sorted(zip(got_ids.tolist(), got_scores.tolist()),
+                 key=lambda x: (-x[1], x[0]))
+    if k is not None:
+        # per-shard top-k: engine may return ≥k; compare the top-k by
+        # (score, id) — ties beyond the cut are allowed to differ
+        got = got[:k]
+        want_sorted = want_sorted[:k]
+    assert len(got) == len(want_sorted), (got, want_sorted)
+    for (gd, gs), (wd, ws) in zip(got, want_sorted):
+        assert abs(gs - ws) < 1e-9, (got, want_sorted)
+
+
+@given(docs_strategy,
+       st.lists(st.sampled_from(VOCAB), min_size=1, max_size=4),
+       st.sampled_from(["and", "or"]))
+@settings(max_examples=120, deadline=None)
+def test_bool_queries_match_oracle(docs_tokens, terms, mode):
+    blocks, idf, oracle = build_shard(docs_tokens)
+    ev = make_eval(blocks, idf, oracle, k=None)
+    if mode == "and":
+        tree = Bool(must=[TermLeaf(t) for t in terms]) \
+            if len(terms) > 1 else TermLeaf(terms[0])
+        want = oracle.and_query(list(dict.fromkeys(terms)))
+        # engine sums duplicate leaves; oracle dedups — align by dedup
+        tree = Bool(must=[TermLeaf(t)
+                          for t in dict.fromkeys(terms)]) \
+            if len(set(terms)) > 1 else TermLeaf(terms[0])
+    else:
+        tree = Bool(should=[TermLeaf(t) for t in dict.fromkeys(terms)])
+        want = oracle.or_query(list(dict.fromkeys(terms)))
+    ids, scores = ev.eval(tree)
+    check(ids, scores, want)
+
+
+@given(docs_strategy,
+       st.lists(st.sampled_from(VOCAB), min_size=2, max_size=5,
+                unique=True),
+       st.integers(min_value=1, max_value=6))
+@settings(max_examples=80, deadline=None)
+def test_topk_pruning_matches_oracle(docs_tokens, terms, k):
+    """MaxScore pruning must never change the top-k (score, id) set."""
+    blocks, idf, oracle = build_shard(docs_tokens)
+    ev = make_eval(blocks, idf, oracle, k=k)
+    tree = Bool(should=[TermLeaf(t) for t in terms])
+    ids, scores = ev.eval(tree)
+    want = oracle.or_query(terms)
+    check(ids, scores, want, k=k)
+
+
+@given(docs_strategy,
+       st.lists(st.sampled_from(VOCAB), min_size=2, max_size=3,
+                unique=True),
+       st.integers(min_value=0, max_value=3))
+@settings(max_examples=80, deadline=None)
+def test_phrases_match_oracle(docs_tokens, terms, slop):
+    blocks, idf, oracle = build_shard(docs_tokens)
+    ev = make_eval(blocks, idf, oracle, k=None)
+    ids, scores = ev.eval(PhraseLeaf(terms, slop=slop))
+    want = oracle.phrase_query(terms, slop=slop)
+    check(ids, scores, want)
+
+
+@given(docs_strategy,
+       st.lists(st.sampled_from(VOCAB), min_size=2, max_size=5,
+                unique=True),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=60, deadline=None)
+def test_min_should_match_oracle(docs_tokens, terms, m):
+    blocks, idf, oracle = build_shard(docs_tokens)
+    ev = make_eval(blocks, idf, oracle, k=None)
+    tree = Bool(should=[TermLeaf(t) for t in terms], min_should=m)
+    ids, scores = ev.eval(tree)
+    per_term = [oracle.term_scores(t) for t in terms]
+    want = {}
+    for d in set().union(*[set(p) for p in per_term]):
+        hits = [p[d] for p in per_term if d in p]
+        if len(hits) >= m:
+            want[d] = sum(hits)
+    check(ids, scores, want)
+
+
+@given(docs_strategy,
+       st.sampled_from(VOCAB), st.sampled_from(VOCAB))
+@settings(max_examples=60, deadline=None)
+def test_not_matches_oracle(docs_tokens, pos_t, neg_t):
+    blocks, idf, oracle = build_shard(docs_tokens)
+    ev = make_eval(blocks, idf, oracle, k=None)
+    tree = Bool(must=[TermLeaf(pos_t)], must_not=[TermLeaf(neg_t)])
+    ids, scores = ev.eval(tree)
+    want = oracle.not_filter(oracle.or_query([pos_t]), [neg_t])
+    check(ids, scores, want)
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_parser_never_crashes(q):
+    from openaleph_search_spark.query.parser import parse_query_string
+    parse_query_string(q)  # lenient: must not raise on any input
