@@ -153,3 +153,96 @@ def test_not_matches_oracle(docs_tokens, pos_t, neg_t):
 def test_parser_never_crashes(q):
     from openaleph_search_spark.query.parser import parse_query_string
     parse_query_string(q)  # lenient: must not raise on any input
+
+
+# ---------------------------------------------------------------------------
+# arbitrary-tree fuzzing: recursive reference evaluator over dicts
+# ---------------------------------------------------------------------------
+
+from openaleph_search_spark.query.ir import DisMax  # noqa: E402
+
+
+def oracle_eval(node, oracle: OracleIndex) -> dict:
+    """Reference semantics of the IR, in plain dicts."""
+    if isinstance(node, TermLeaf):
+        return {d: s * node.boost
+                for d, s in oracle.term_scores(node.term).items()}
+    if isinstance(node, PhraseLeaf):
+        return {d: s * node.boost
+                for d, s in oracle.phrase_query(node.terms,
+                                                node.slop).items()}
+    if isinstance(node, DisMax):
+        out = {}
+        for c in node.children:
+            for d, s in oracle_eval(c, oracle).items():
+                out[d] = max(out.get(d, float("-inf")), s)
+        return out
+    if isinstance(node, Bool):
+        res = None
+        if node.must:
+            for c in node.must:
+                m = oracle_eval(c, oracle)
+                if res is None:
+                    res = dict(m)
+                else:
+                    res = {d: res[d] + m[d] for d in res.keys() & m.keys()}
+        if node.should:
+            per_child = [oracle_eval(c, oracle) for c in node.should]
+            if res is None:
+                min_m = node.min_should or 1
+                out = {}
+                for d in set().union(*[set(p) for p in per_child]):
+                    hits = [p[d] for p in per_child if d in p]
+                    if len(hits) >= min_m:
+                        out[d] = sum(hits)
+                res = out
+            else:
+                for d in list(res):
+                    res[d] += sum(p[d] for p in per_child if d in p)
+        if res is None:
+            res = {}
+        for c in node.must_not:
+            banned = oracle_eval(c, oracle)
+            res = {d: s for d, s in res.items() if d not in banned}
+        return res
+    raise TypeError(type(node))
+
+
+def _leaf():
+    return st.one_of(
+        st.builds(TermLeaf, st.sampled_from(VOCAB),
+                  st.sampled_from([1.0, 2.0, 0.5])),
+        st.builds(PhraseLeaf,
+                  st.lists(st.sampled_from(VOCAB), min_size=2,
+                           max_size=3, unique=True),
+                  st.integers(min_value=0, max_value=2)))
+
+
+def _tree(depth: int):
+    if depth == 0:
+        return _leaf()
+    sub = _tree(depth - 1)
+    return st.one_of(
+        _leaf(),
+        st.builds(DisMax, st.lists(sub, min_size=1, max_size=3)),
+        st.builds(
+            Bool,
+            st.lists(sub, min_size=0, max_size=2),      # must
+            st.lists(sub, min_size=0, max_size=3),      # should
+            st.lists(_leaf(), min_size=0, max_size=1),  # must_not
+            st.one_of(st.none(), st.integers(1, 2)),    # min_should
+        ))
+
+
+@given(docs_strategy, _tree(2),
+       st.one_of(st.none(), st.integers(min_value=1, max_value=5)))
+@settings(max_examples=200, deadline=None)
+def test_arbitrary_trees_match_oracle(docs_tokens, tree, k):
+    # skip degenerate: nothing positive to score
+    if isinstance(tree, Bool) and not tree.must and not tree.should:
+        return
+    blocks, idf, oracle = build_shard(docs_tokens)
+    ev = make_eval(blocks, idf, oracle, k=k)
+    ids, scores = ev.eval(tree)
+    want = oracle_eval(tree, oracle)
+    check(ids, scores, want, k=k)
