@@ -76,22 +76,37 @@ def compile_watchlist(rows: list[dict],
     return out
 
 
-def _phrase_hits(pos_map: dict[str, np.ndarray], tokens: list[str],
-                 slop: int) -> int:
+def _phrase_hits(pos_map: dict, tokens: list[str], slop: int) -> int:
     """#anchors where every token aligns within slop (same pinned
-    semantics as the index-side phrase matcher)."""
+    semantics as the index-side phrase matcher).
+
+    Pure-python sets/bisect: position lists here are tiny (a handful of
+    occurrences per doc) — numpy per-call overhead dominates at this
+    size, and this runs per (doc, triggered clause)."""
+    import bisect
     plists = [pos_map.get(t) for t in tokens]
     if any(p is None for p in plists):
         return 0
-    adj = [p - i for i, p in enumerate(plists)]
     if slop == 0:
-        common = adj[0]
-        for a in adj[1:]:
-            common = np.intersect1d(common, a, assume_unique=False)
-        return int(common.size)
+        common = {p for p in plists[0]}
+        for i, pl in enumerate(plists[1:], start=1):
+            common &= {p - i for p in pl}
+            if not common:
+                return 0
+        return len(common)
     tf = 0
+    adj = [sorted(p - i for p in pl)
+           for i, pl in enumerate(plists)]
     for anchor in adj[0]:
-        if all(np.abs(a - anchor).min() <= slop for a in adj[1:]):
+        ok = True
+        for a in adj[1:]:
+            j = bisect.bisect_left(a, anchor)
+            d = min((abs(a[j] - anchor) if j < len(a) else 1 << 30),
+                    (abs(a[j - 1] - anchor) if j > 0 else 1 << 30))
+            if d > slop:
+                ok = False
+                break
+        if ok:
             tf += 1
     return tf
 
@@ -104,12 +119,12 @@ def percolate_text(text: str, stored: list[StoredQuery],
     pos_map: dict[str, list[int]] = {}
     for t, p in zip(terms.tolist(), pos.tolist()):
         pos_map.setdefault(t, []).append(p)
-    pos_np = {t: np.asarray(v, dtype=np.int64) for t, v in pos_map.items()}
+    pos_map = {t: sorted(v) for t, v in pos_map.items()}
     out = []
     for sq in stored:
         score, matched = 0.0, []
         for tokens, boost in sq.clauses:
-            tf = _phrase_hits(pos_np, tokens, slop)
+            tf = _phrase_hits(pos_map, tokens, slop)
             if tf > 0:
                 score += boost
                 matched.append(" ".join(tokens))
@@ -146,20 +161,27 @@ def percolate_docs(docs: DataFrame, stored: list[StoredQuery],
     def fn(it):
         for pdf in it:
             ridx, terms, pos = tokenize_flat(pdf[text_col])
-            term_arr = terms.to_numpy()
+            # ONE batch-wide (doc, term) sort; per-doc slices via
+            # searchsorted (the per-doc boolean-mask scan was O(docs ×
+            # total_tokens))
+            order = np.lexsort((terms.to_numpy(), ridx))
+            r_s = ridx[order]
+            t_s = terms.to_numpy()[order]
+            p_s = pos[order]
+            doc_lo = np.searchsorted(r_s, np.arange(len(pdf)))
+            doc_hi = np.searchsorted(r_s, np.arange(len(pdf)),
+                                     side="right")
             out_rows = []
             for i in range(len(pdf)):
-                mask = ridx == i
-                pos_np: dict[str, np.ndarray] = {}
-                if mask.any():
-                    t_i = term_arr[mask]
-                    p_i = pos[mask]
-                    order = np.argsort(t_i, kind="mergesort")
-                    t_s, p_s = t_i[order], p_i[order]
+                lo, hi = int(doc_lo[i]), int(doc_hi[i])
+                pos_np: dict[str, list[int]] = {}
+                if hi > lo:
+                    td = t_s[lo:hi]
+                    pd_ = p_s[lo:hi]
                     bounds = np.flatnonzero(
-                        np.r_[True, t_s[1:] != t_s[:-1]])
-                    for b, e in zip(bounds, np.r_[bounds[1:], t_s.size]):
-                        pos_np[t_s[b]] = np.sort(p_s[b:e])
+                        np.r_[True, td[1:] != td[:-1]])
+                    for b, e in zip(bounds, np.r_[bounds[1:], td.size]):
+                        pos_np[td[b]] = sorted(pd_[b:e].tolist())
                 # narrow to clauses whose trigger token is present
                 cand: dict[int, list[int]] = {}
                 for tok in pos_np.keys() & trigger.keys():
