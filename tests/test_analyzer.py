@@ -82,3 +82,62 @@ def test_batch_flat_alignment():
 
 def test_apostrophe_kept_midword():
     assert [t for t, _ in analyze_text("don't stop")] == ["don't", "stop"]
+
+
+# --- direct ports of the reference's pinned cases
+# (/root/reference/tests/test_analyzer.py) -----------------------------------
+
+def _by_pos(text):
+    out = {}
+    for term, p in analyze_text(text):
+        out.setdefault(p, set()).add(term)
+    return out
+
+
+def test_ref_annotated_text_latin():
+    text = (f"Hello Jane{ZWJ}__PER__{ZWJ}__doejane__ "
+            f"Doe{ZWJ}__PER__{ZWJ}__doejane__ here")
+    by_pos = _by_pos(text)
+    assert by_pos[0] == {"hello"}
+    assert by_pos[1] == {"jane", "__per__", "__doejane__"}
+    assert by_pos[2] == {"doe", "__per__", "__doejane__"}
+    assert by_pos[3] == {"here"}
+
+
+def test_ref_annotated_text_cross_script():
+    text = (f"Владимир{ZWJ}__PER__{ZWJ}__putin__ "
+            f"Путин{ZWJ}__PER__{ZWJ}__putin__")
+    by_pos = _by_pos(text)
+    assert {"владимир", "__per__", "__putin__"} <= by_pos[0]
+    assert {"путин", "__per__"} <= by_pos[1]
+
+
+def test_ref_surface_phrase_preserved():
+    text = (f"Владимир{ZWJ}__PER__{ZWJ}__putin__ "
+            f"Путин{ZWJ}__PER__{ZWJ}__putin__")
+    positions = {t: p for t, p in analyze_text(text)}
+    assert positions["путин"] - positions["владимир"] == 1
+
+
+def test_ref_annotated_icu_folding():
+    by_pos = _by_pos(f"Café{ZWJ}__PLACE__{ZWJ}__cafe__")
+    assert by_pos[0] == {"cafe", "__place__", "__cafe__"}
+
+
+def test_ref_plain_passthrough_order():
+    toks = [t for t, _ in analyze_text("Vladimir Putin is here")]
+    assert toks == ["vladimir", "putin", "is", "here"]
+
+
+def test_ref_content_tokens():
+    assert {t for t, _ in analyze_text("Владимир Владимирович Путин")} == \
+        {"владимир", "путин", "владимирович"}
+
+
+def test_ref_names_normalizer_style():
+    """The names-kw normalizer semantics (punct→space, squash, lower,
+    fold, trim) — reference mapping.py:88-92 — via the name helpers."""
+    from openaleph_search_spark.analysis.names import name_parts
+    assert name_parts("John O'Connor-Smith & Co.", min_len=1) == \
+        ["john", "o", "connor", "smith", "co"]
+    assert name_parts("Agent 007!", min_len=1) == ["agent", "007"]
