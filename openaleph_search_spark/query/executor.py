@@ -136,6 +136,9 @@ class _ShardEval:
         self.k1 = k1
         self.b = b
         self.avgdl_by_field = avgdl_by_field
+        # memo for unrestricted decodes: synonym/dis_max trees evaluate
+        # the same term from several branches
+        self._decode_cache: dict[str, tuple] = {}
 
     def _avgdl(self, term: str) -> float:
         return self.avgdl_by_field.get(field_of_term(term), 1.0)
@@ -165,10 +168,15 @@ class _ShardEval:
         blocks (segmented cumsum restores absolute doc ids), then one
         binary-search membership pass for the filters.
         """
+        cacheable = candidates is None and not want_positions
+        if cacheable and term in self._decode_cache:
+            return self._decode_cache[term]
         pdf = self._term_blocks(term, candidates)
         empty = (np.empty(0, np.int64), np.empty(0, np.float64),
                  np.empty(0, np.float64), [])
         if pdf is None:
+            if cacheable:
+                self._decode_cache[term] = empty
             return empty
         counts = pdf["doc_count"].to_numpy(np.int64)
         n = int(counts.sum())
@@ -201,7 +209,10 @@ class _ShardEval:
         dls = dls.astype(np.float64)
         scores = self.idf.get(term, 0.0) * bm25_tfnorm(
             tfs, dls, self._avgdl(term), self.k1, self.b)
-        return ids, scores, dls, pos_l if pos_l is not None else []
+        out = (ids, scores, dls, pos_l if pos_l is not None else [])
+        if cacheable:
+            self._decode_cache[term] = out
+        return out
 
     # -- node evaluation ------------------------------------------------------
     def eval(self, node: Node, candidates: np.ndarray | None = None):
