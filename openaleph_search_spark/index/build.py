@@ -54,7 +54,7 @@ from .codec import (BLOCK_SIZE, K1, B, bm25_tfnorm, encode_blocks,
 from .storage import IndexStorage
 
 DOC_ID_PART_SHIFT = 33  # doc_id = (src_part << 33) | local_row
-LAYOUT_VERSION = 3  # bump on any physical-layout / shard-map change
+LAYOUT_VERSION = 4  # bump on any physical-layout / shard-map change
 FIELD_SEP = "\x1f"  # term-dictionary field prefix: "path\x1ffoo"
 DEFAULT_FIELDS = {"path": "path", "repo": "repo", "lang": "lang"}
 BIGRAM_FIELD = "_bi"  # T16 index_phrases shingles (phrase fast path)
@@ -110,6 +110,8 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
         # avgdl denominator = ALL docs (our pinned convention, matching
         # the golden oracles; Lucene divides by docs-with-field)
         field_stats = {"content": (n, int(content_dl.sum()))}
+        field_len_cols: list[tuple[str, np.ndarray]] = [
+            ("content", content_dl)]
         for fname, fcol in sorted(fields.items()):
             f_row, f_terms, f_pos = tokenize_flat(pdf[fcol])
             f_dl = np.zeros(n, dtype=np.int32)
@@ -120,6 +122,7 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
             pos_parts.append(f_pos)
             dl_tok_parts.append(f_dl[f_row])
             field_stats[fname] = (n, int(f_dl.sum()))
+            field_len_cols.append((fname, f_dl))
         if bigrams and row_idx.size:
             # T16 index_phrases: 2-gram shingles of content as their
             # own field (the phrase fast path when positions are off;
@@ -141,6 +144,7 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
             pos_parts.append(bi_pos)
             dl_tok_parts.append(bi_dl[bi_row])
             field_stats[BIGRAM_FIELD] = (n, int(bi_dl.sum()))
+            field_len_cols.append((BIGRAM_FIELD, bi_dl))
         row_idx = np.concatenate(row_parts)
         terms = pd.concat(term_parts, ignore_index=True)
         positions = np.concatenate(pos_parts)
@@ -216,6 +220,7 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
         os.makedirs(storage.doc_meta_dir, exist_ok=True)
         os.makedirs(storage.manifest_dir, exist_ok=True)
         os.makedirs(storage.term_stats_parts_dir, exist_ok=True)
+        os.makedirs(storage.field_lens_dir, exist_ok=True)
         run_schema = pa.schema([
             ("term", pa.string()), ("shard", pa.int32()),
             ("first_doc", pa.int64()), ("last_doc", pa.int64()),
@@ -231,6 +236,31 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
         pq.write_table(
             pa.Table.from_pandas(meta, preserve_index=False),
             os.path.join(storage.doc_meta_dir, f"part={src_part}.parquet"))
+        # per-doc per-field lengths (long format, zero rows skipped):
+        # compact() needs these to recompute exact per-field avgdl
+        # after deletes (the json partials below are pre-delete sums)
+        fl_ids, fl_fields, fl_dls = [], [], []
+        for fname, dl_arr in field_len_cols:
+            nz = np.flatnonzero(dl_arr)
+            fl_ids.append(doc_ids[nz])
+            fl_fields.append(np.full(nz.size, fname, dtype=object))
+            fl_dls.append(dl_arr[nz])
+        fl = pd.DataFrame({
+            "doc_id": (np.concatenate(fl_ids) if fl_ids
+                       else np.empty(0, np.int64)),
+            "field": (np.concatenate(fl_fields) if fl_fields
+                      else np.empty(0, object)),
+            "dl": (np.concatenate(fl_dls).astype(np.int32) if fl_dls
+                   else np.empty(0, np.int32)),
+        })
+        pq.write_table(
+            pa.Table.from_pandas(fl, preserve_index=False,
+                                 schema=pa.schema([
+                                     ("doc_id", pa.int64()),
+                                     ("field", pa.string()),
+                                     ("dl", pa.int32())])),
+            os.path.join(storage.field_lens_dir,
+                         f"part={src_part}.parquet"))
         # per-partition term-stat partials: the global term dictionary
         # aggregation then runs over tiny pre-combined rows
         if block_rows:
@@ -372,6 +402,7 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
             "block_size": BLOCK_SIZE, "k1": K1, "b": B,
             "with_positions": with_positions, "n_docs": 0, "avgdl": 0.0,
             "avgdl_by_field": {}, "fields": sorted(["content", *fields]),
+            "field_map": fields, "encode_avgdl_min_by_field": {},
             "bigrams": bigrams, "encode_avgdl_min": 0.0,
             "analyzer": "icu-default-v1",
             "layout_version": LAYOUT_VERSION,
@@ -404,8 +435,14 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         "with_positions": with_positions, "n_docs": n_docs, "avgdl": avgdl,
         "avgdl_by_field": avgdl_by_field,
         "fields": sorted(["content", *fields]),
+        "field_map": fields,
         "bigrams": bigrams,
         "encode_avgdl_min": avgdl,
+        # per-field smallest avgdl any block was encoded under — the
+        # executor's pruning-soundness guard (zero-avgdl fields have no
+        # blocks, hence no constraint)
+        "encode_avgdl_min_by_field": {
+            f: a for f, a in avgdl_by_field.items() if a > 0},
         "analyzer": "icu-default-v1",
         "layout_version": LAYOUT_VERSION,
         "built_partitions": len(done) + len(new_rows),

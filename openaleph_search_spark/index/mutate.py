@@ -56,51 +56,64 @@ def delete_by_ids(spark: SparkSession, storage: IndexStorage,
     return delete_docs(spark, storage, F.col("doc_id").isin(doc_ids))
 
 
-def _drop_docs_from_blocks(dead_ids, avgdl: float, with_positions: bool):
-    """mapInPandas fn: decode each packed block, drop tombstoned docs,
-    re-encode, refresh the impact bound with the post-delete avgdl."""
+def _drop_docs_cogrouped(with_positions: bool):
+    """Cogrouped fn (per shard): decode only blocks whose doc range can
+    contain a tombstoned id, drop those docs, re-encode. The impact
+    bound is left stale (0 kept) — ``compact`` re-fills every block's
+    bound with the fresh post-delete per-field avgdl afterwards.
+
+    Tombstones arrive as the cogroup's right side, so the dead-id set
+    stays distributed (sharded), never collected to the driver."""
     import numpy as np
     import pandas as pd
-    from .codec import (bm25_tfnorm, decode_block, decode_positions,
+    from .codec import (decode_block, decode_positions,
                         encode_positions, varint_encode)
 
-    dead = np.sort(np.asarray(dead_ids, dtype=np.int64))
-
-    def fn(it):
-        for pdf in it:
-            rows = []
-            for _, row in pdf.iterrows():
-                d, t, l = decode_block(row)
-                keep = ~np.isin(d.astype(np.int64), dead,
-                                assume_unique=True)
-                if keep.all():
-                    rows.append(row)
-                    continue
-                if not keep.any():
-                    continue
-                pos = (decode_positions(row["pos_payload"], t)
-                       if with_positions else None)
-                d, t, l = d[keep], t[keep], l[keep]
-                deltas = np.empty_like(d)
-                deltas[0] = d[0]
-                np.subtract(d[1:], d[:-1], out=deltas[1:])
-                new = row.copy()
-                new["first_doc"] = int(d[0])
-                new["last_doc"] = int(d[-1])
-                new["doc_count"] = int(d.size)
-                new["sum_tf"] = int(t.sum())
-                new["max_tf"] = int(t.max())
-                new["block_max_tfnorm"] = float(
-                    bm25_tfnorm(t, l, avgdl).max())
-                new["docs_payload"] = varint_encode(deltas)
-                new["tfs_payload"] = varint_encode(t - np.uint64(1))
-                new["dls_payload"] = varint_encode(l)
-                new["pos_payload"] = (encode_positions(
-                    [p for p, k in zip(pos, keep) if k])
-                    if with_positions else b"")
-                rows.append(new)
-            yield (pd.DataFrame(rows) if rows
-                   else pdf.iloc[0:0])
+    def fn(blocks_pdf: pd.DataFrame, dead_pdf: pd.DataFrame
+           ) -> pd.DataFrame:
+        if blocks_pdf.empty:
+            return blocks_pdf
+        dead = np.sort(dead_pdf["doc_id"].to_numpy(np.int64))
+        if dead.size == 0:
+            return blocks_pdf
+        lo = np.searchsorted(dead, blocks_pdf["first_doc"].to_numpy())
+        hi = np.searchsorted(dead, blocks_pdf["last_doc"].to_numpy(),
+                             side="right")
+        touched = hi > lo  # block doc range contains ≥1 dead id
+        rows = []
+        for _, row in blocks_pdf[touched].iterrows():
+            d, t, l = decode_block(row)
+            keep = ~np.isin(d.astype(np.int64), dead,
+                            assume_unique=True)
+            if keep.all():
+                rows.append(row)
+                continue
+            if not keep.any():
+                continue
+            pos = (decode_positions(row["pos_payload"], t)
+                   if with_positions else None)
+            d, t, l = d[keep], t[keep], l[keep]
+            deltas = np.empty_like(d)
+            deltas[0] = d[0]
+            np.subtract(d[1:], d[:-1], out=deltas[1:])
+            new = row.copy()
+            new["first_doc"] = int(d[0])
+            new["last_doc"] = int(d[-1])
+            new["doc_count"] = int(d.size)
+            new["sum_tf"] = int(t.sum())
+            new["max_tf"] = int(t.max())
+            new["block_max_tfnorm"] = 0.0
+            new["docs_payload"] = varint_encode(deltas)
+            new["tfs_payload"] = varint_encode(t - np.uint64(1))
+            new["dls_payload"] = varint_encode(l)
+            new["pos_payload"] = (encode_positions(
+                [p for p, k in zip(pos, keep) if k])
+                if with_positions else b"")
+            rows.append(new)
+        parts = [blocks_pdf[~touched]]
+        if rows:
+            parts.append(pd.DataFrame(rows))
+        return pd.concat(parts, ignore_index=True)
     return fn
 
 
@@ -133,30 +146,39 @@ def export_index(spark: SparkSession, storage: IndexStorage,
 
 
 def compact(spark: SparkSession, storage: IndexStorage) -> None:
-    """Fold tombstones in and refresh stats/bounds: packed blocks are
-    decoded, tombstoned docs dropped, re-encoded in place (doc-range
-    layout unchanged — no shuffle at all)."""
-    from .build import POSTINGS_SCHEMA, fill_block_max
+    """Fold tombstones in and refresh stats/bounds.
+
+    Tombstoned docs are dropped from the packed blocks via a per-shard
+    cogroup (the dead-id set stays distributed — no driver collect, no
+    closure broadcast), then EVERY block's impact bound is re-filled
+    with the fresh post-delete per-field avgdl, so block-max pruning is
+    fully restored (encode_avgdl_min_by_field == avgdl_by_field)."""
+    import glob as _glob
+    import json as _json
+    import shutil
+
+    from .build import (DOC_ID_PART_SHIFT, POSTINGS_SCHEMA,
+                        fill_block_max)
     meta = storage.read_meta()
     tombs = read_tombstones(spark, storage)
     if tombs is None:
         return
+    S = int(meta["num_shards"])
 
     doc_meta = storage.doc_meta(spark).join(tombs, "doc_id", "left_anti")
-    stats = doc_meta.agg(F.count("*").alias("n"),
-                         F.avg("doc_len").alias("a")).collect()[0]
-    n_docs, avgdl = int(stats["n"]), float(stats["a"] or 0.0)
+    n_docs = doc_meta.count()
+    field_lens = (storage.field_lens(spark)
+                  .join(tombs, "doc_id", "left_anti"))
 
-    # deletes are a small fraction by assumption; ids broadcast via the
-    # task closure (a cogrouped variant drops this limit if ever needed)
-    dead_ids = [r["doc_id"] for r in tombs.collect()]
-    postings = storage.postings(spark).mapInPandas(
-        _drop_docs_from_blocks(dead_ids, avgdl, meta["with_positions"]),
-        POSTINGS_SCHEMA)
-    runs_clean_src = storage.tf_runs(spark).mapInPandas(
-        _drop_docs_from_blocks(dead_ids, avgdl, meta["with_positions"]),
-        POSTINGS_SCHEMA)
-    import shutil
+    shard_of = F.pmod(F.shiftright("doc_id", DOC_ID_PART_SHIFT),
+                      F.lit(S)).cast("int")
+    tombs_sharded = tombs.withColumn("shard", shard_of)
+    runs_clean = (storage.tf_runs(spark).groupBy("shard")
+                  .cogroup(tombs_sharded.groupBy("shard"))
+                  .applyInPandas(
+                      lambda key, l, r: _drop_docs_cogrouped(
+                          meta["with_positions"])(l, r),
+                      POSTINGS_SCHEMA))
 
     def swap(df_writer, target):
         tmp = target + ".compact"
@@ -164,17 +186,32 @@ def compact(spark: SparkSession, storage: IndexStorage) -> None:
         shutil.rmtree(target)
         os.replace(tmp, target)
 
-    swap(lambda d: (postings
+    # order matters: materialize everything reading OLD paths first
+    swap(lambda d: (runs_clean
+                    .sortWithinPartitions("shard", "term", "first_doc")
+                    .write.mode("overwrite").parquet(d)),
+         storage.tf_runs_dir)
+    swap(lambda d: doc_meta.write.mode("overwrite").parquet(d),
+         storage.doc_meta_dir)
+    swap(lambda d: field_lens.write.mode("overwrite").parquet(d),
+         storage.field_lens_dir)
+
+    # fresh per-field stats from the cleaned per-doc lengths
+    fl_rows = (storage.field_lens(spark).groupBy("field")
+               .agg(F.sum("dl").alias("tokens")).collect())
+    field_totals = {r["field"]: int(r["tokens"]) for r in fl_rows}
+    avgdl_by_field = {f: (t / n_docs if n_docs else 0.0)
+                      for f, t in field_totals.items()}
+    avgdl = avgdl_by_field.get("content", 0.0)
+
+    # postings = cleaned runs with bounds re-filled at the new avgdl
+    runs = storage.tf_runs(spark)
+    swap(lambda d: (runs.mapInPandas(fill_block_max(avgdl_by_field),
+                                     POSTINGS_SCHEMA)
                     .sortWithinPartitions("shard", "term", "first_doc")
                     .write.mode("overwrite").partitionBy("shard")
                     .parquet(d)),
          storage.postings_dir)
-    # fold tombstones out of doc_meta and tf_runs too (so later resumes
-    # / re-encodes can't resurrect deleted docs)
-    swap(lambda d: doc_meta.write.mode("overwrite").parquet(d),
-         storage.doc_meta_dir)
-    swap(lambda d: runs_clean_src.write.mode("overwrite").parquet(d),
-         storage.tf_runs_dir)
     (spark.read.parquet(storage.postings_dir)
      .groupBy("term")
      .agg(F.sum("doc_count").alias("df"), F.sum("sum_tf").alias("cf"))
@@ -183,7 +220,24 @@ def compact(spark: SparkSession, storage: IndexStorage) -> None:
     swap(lambda d: spark.read.parquet(storage.term_stats_dir)
          .write.mode("overwrite").parquet(d),
          storage.term_stats_parts_dir)
-    meta.update({"n_docs": n_docs, "avgdl": avgdl,
-                 "encode_avgdl_min": avgdl})
+    # consolidate the per-partition field-stat partials to the
+    # post-delete truth (appends re-read these via _read_field_stats)
+    for p in _glob.glob(os.path.join(storage.manifest_dir,
+                                     "fields_part=*.json")):
+        os.remove(p)
+    cpath = os.path.join(storage.manifest_dir,
+                         "fields_part=compacted.json")
+    with open(cpath + ".tmp", "w") as f:
+        _json.dump({fn: (n_docs, t) for fn, t in field_totals.items()},
+                   f)
+    os.replace(cpath + ".tmp", cpath)
+
+    meta.update({
+        "n_docs": n_docs, "avgdl": avgdl,
+        "avgdl_by_field": avgdl_by_field,
+        "encode_avgdl_min": avgdl,
+        "encode_avgdl_min_by_field": {
+            f: a for f, a in avgdl_by_field.items() if a > 0},
+    })
     storage.write_meta(meta)
     shutil.rmtree(tombstones_dir(storage), ignore_errors=True)

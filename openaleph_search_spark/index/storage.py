@@ -39,6 +39,7 @@ class IndexStorage:
         self.term_stats_dir = os.path.join(index_dir, "term_stats")
         self.term_stats_parts_dir = os.path.join(index_dir,
                                                  "term_stats_parts")
+        self.field_lens_dir = os.path.join(index_dir, "field_lens")
 
     # -- meta ---------------------------------------------------------------
     def write_meta(self, meta: dict) -> None:
@@ -84,3 +85,9 @@ class IndexStorage:
 
     def term_stats(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.term_stats_dir)
+
+    def field_lens(self, spark: SparkSession) -> DataFrame:
+        """Per-doc per-field lengths (doc_id, field, dl) — lets
+        ``compact()`` recompute exact per-field avgdl after deletes."""
+        return spark.read.parquet(
+            os.path.join(self.field_lens_dir, "*.parquet"))

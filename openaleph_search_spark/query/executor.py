@@ -331,7 +331,9 @@ class _ShardEval:
             if prune and self.k and acc_ids.size >= self.k:
                 theta = np.partition(acc_sc, acc_sc.size - self.k)[
                     acc_sc.size - self.k]
-                if theta >= remaining and remaining > 0.0:
+                # strict: a new doc tying theta exactly could still
+                # displace the k-th hit via the doc_id-asc tiebreak
+                if theta > remaining:
                     restricted = acc_ids  # block-max skip: candidates only
             remaining -= im
             c_ids, c_sc = self.eval(child, restricted)
@@ -495,12 +497,19 @@ class SearchExecutor:
         avgdl_by_field = dict(self.meta.get("avgdl_by_field")
                               or {"content": avgdl})
         k1, b = float(self.meta["k1"]), float(self.meta["b"])
-        # encoded block-max bounds are true upper bounds only while the
-        # live avgdl hasn't grown past any encode-time avgdl (appends
-        # can change stats; see streaming/incremental.py) — else fall
-        # back to exact full evaluation until compact()
-        prune_ok = avgdl <= float(
-            self.meta.get("encode_avgdl_min", avgdl)) + 1e-9
+        # encoded block-max bounds are true upper bounds only while no
+        # field's live avgdl has grown past the smallest avgdl its
+        # blocks were encoded under (appends change stats; see
+        # streaming/incremental.py) — else fall back to exact full
+        # evaluation until compact()
+        enc_min = self.meta.get("encode_avgdl_min_by_field")
+        if enc_min is not None:
+            prune_ok = all(
+                a <= float(enc_min.get(f, 0.0)) + 1e-9
+                for f, a in avgdl_by_field.items() if a > 0)
+        else:  # legacy single-field meta
+            prune_ok = avgdl <= float(
+                self.meta.get("encode_avgdl_min", avgdl)) + 1e-9
         k_prune = k if prune_ok else None
         stats = (self.storage.term_stats(self.spark)
                  .filter(F.col("term").isin(terms)).collect())

@@ -23,7 +23,7 @@ from .ir import Bool, MatchAll, Node, PhraseLeaf, PrefixLeaf, TermLeaf
 MAX_PAGE = 9999  # reference settings.py:7
 
 _TOKEN_SPLIT = re.compile(
-    r'(?:(?P<pfield>\w+):)?"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?'
+    r'(?P<neg>-)?(?:(?P<pfield>\w+):)?"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?'
     r"|\((?P<lparen>)"
     r"|\)(?P<rparen>)"
     r"|(?P<word>[^\s()]+)"
@@ -38,6 +38,7 @@ class _Tok:
     text: str = ""
     slop: int = 0
     field: str | None = None
+    neg: bool = False
 
 
 def _lex(q: str) -> list[_Tok]:
@@ -46,7 +47,8 @@ def _lex(q: str) -> list[_Tok]:
         if m.group("phrase") is not None:
             toks.append(_Tok("phrase", m.group("phrase"),
                              int(m.group("slop") or 0),
-                             m.group("pfield")))
+                             m.group("pfield"),
+                             neg=m.group("neg") is not None))
         elif m.group("lparen") is not None:
             toks.append(_Tok("lparen"))
         elif m.group("rparen") is not None:
@@ -115,8 +117,17 @@ class QueryStringParser:
                 t = self._peek()
                 if t is None:
                     break
+            if t.kind == "phrase" and t.neg:
+                negate = True
             node = self._atom()
             if node is None:
+                continue
+            if (not negate and isinstance(node, Bool) and node.must_not
+                    and not node.must and not node.should):
+                # "-word" atoms come back as pure-negative bools: hoist
+                # them into this conjunction's must_not (a nested
+                # pure-negative child would otherwise match nothing)
+                must_not.extend(node.must_not)
                 continue
             (must_not if negate else must).append(node)
         if not must and not must_not:

@@ -47,8 +47,9 @@ class SynonymTable:
         if isinstance(node, TermLeaf):
             group = self.expand_term(node.term)
             if len(group) == 1:
-                return TermLeaf(group[0], node.boost)
-            return Bool(should=[TermLeaf(t, node.boost) for t in group])
+                return TermLeaf(group[0], node.boost, node.field)
+            return Bool(should=[TermLeaf(t, node.boost, node.field)
+                                for t in group])
         if isinstance(node, PhraseLeaf) or isinstance(node, PrefixLeaf):
             return node  # phrases/prefixes stay literal (reference Q23)
         if isinstance(node, Bool):

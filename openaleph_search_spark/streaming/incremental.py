@@ -19,42 +19,55 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..index.build import (MANIFEST_SCHEMA, POSTINGS_SCHEMA,
-                           _spimi_writer, fill_block_max)
+                           _read_field_stats, _spimi_writer,
+                           fill_block_max)
 from ..index.storage import IndexStorage
 
 
 def append_batch(spark: SparkSession, docs: DataFrame, index_dir: str,
                  epoch_id: int) -> None:
     """Index one micro-batch: new src_part namespace per epoch, same
-    SPIMI packed-block pipeline, postings appended, stats refreshed."""
+    SPIMI packed-block pipeline (same field/bigram config as the base
+    build, read back from meta), postings appended, stats refreshed."""
     storage = IndexStorage(index_dir)
     meta = storage.read_meta()
     P = meta["num_partitions"]
     S = meta["num_shards"]
+    # field config must match the base build or appended docs silently
+    # lose their field postings / bigram shingles
+    fields: dict[str, str] = meta.get("field_map") or {
+        f: f for f in meta.get("fields", []) if f != "content"}
+    bigrams = bool(meta.get("bigrams", False))
     # epoch partitions live above the base namespace → doc ids unique
     base_part = (max(storage.completed_partitions(), default=P - 1) + 1)
 
+    base_cols = ["repo", "path", "commit", "lang", "content"]
+    extra_cols = [c for c in fields.values() if c not in base_cols]
     prepared = docs.select(
-        "repo", "path", "commit", "lang", "content",
+        *base_cols, *extra_cols,
         F.sha2(F.col("content"), 256).alias("content_sha256"),
         (F.lit(base_part) + F.pmod(
             F.xxhash64("repo", "path", "commit"), F.lit(P)))
         .cast("int").alias("src_part"))
     (prepared.groupBy("src_part")
      .applyInPandas(_spimi_writer(storage, meta["with_positions"], 1,
-                                  lambda sp: sp % S),
+                                  lambda sp: sp % S, fields, bigrams),
                     MANIFEST_SCHEMA)).collect()
 
-    doc_meta = storage.doc_meta(spark)
-    stats = doc_meta.agg(F.count("*").alias("n"),
-                         F.avg("doc_len").alias("a")).collect()[0]
-    n_docs, avgdl = int(stats["n"]), float(stats["a"] or 0.0)
+    n_docs = storage.doc_meta(spark).count()
+    # per-field avgdl over ALL docs (base + appended) from the
+    # per-partition field-stat partials — the scoring stats
+    avgdl_by_field = _read_field_stats(storage)
+    avgdl = avgdl_by_field.get("content", 0.0)
 
     # append ONLY the new partitions' blocks (their doc ids sit above
-    # the base namespace, so within-(term,shard) sortedness holds)
+    # the base namespace, so within-(term,shard) sortedness holds);
+    # bounds use the CURRENT per-field avgdl (recorded in the encode-min
+    # guard below so pruning stays provably sound)
     runs = (storage.tf_runs(spark)
             .filter(F.shiftright("first_doc", 33) >= base_part))
-    postings = runs.mapInPandas(fill_block_max(avgdl), POSTINGS_SCHEMA)
+    postings = runs.mapInPandas(fill_block_max(avgdl_by_field),
+                                POSTINGS_SCHEMA)
     (postings.sortWithinPartitions("shard", "term", "first_doc")
      .write.mode("append").partitionBy("shard")
      .parquet(storage.postings_dir))
@@ -65,10 +78,18 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_dir: str,
      .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
      .write.mode("overwrite").parquet(storage.term_stats_dir))
 
+    enc_min = dict(meta.get("encode_avgdl_min_by_field")
+                   or ({f: a for f, a in (meta.get("avgdl_by_field")
+                                          or {}).items() if a > 0}))
+    for f, a in avgdl_by_field.items():
+        if a > 0:
+            enc_min[f] = min(enc_min.get(f, a), a)
     meta.update({
         "n_docs": n_docs, "avgdl": avgdl,
+        "avgdl_by_field": avgdl_by_field,
         "encode_avgdl_min": min(meta.get("encode_avgdl_min",
                                          meta["avgdl"]), avgdl),
+        "encode_avgdl_min_by_field": enc_min,
         "built_partitions": meta.get("built_partitions", 0) + 1,
     })
     storage.write_meta(meta)

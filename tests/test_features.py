@@ -177,3 +177,17 @@ def test_multi_mentions_attribution(fixture_engine):
         by_entity.setdefault(r["entity_id"], set()).add(r["doc_id"])
     assert len(by_entity["e1"]) == 1
     assert len(by_entity["e2"]) == 2
+
+
+def test_synonyms_preserve_field(spark, fixture_index, syn_table):
+    """Regression (ADVICE r1): synonym rewrite must keep the field
+    attribute — lang:vladimir must NOT match content terms."""
+    from openaleph_search_spark.query.engine import Engine
+    eng = Engine(spark, fixture_index, synonyms=syn_table)
+    res = eng.search({"q": "lang:vladimir", "synonyms": "true",
+                      "limit": 10})
+    assert res.hit_rows(0, 10) == []
+    # fielded term WITH synonyms still searches the right field
+    res2 = eng.search({"q": "path:igumnov", "synonyms": "true",
+                       "limit": 10})
+    assert {r["path"] for r in res2.hit_rows(0, 10)} == {"a/igumnov.md"}

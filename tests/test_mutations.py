@@ -112,3 +112,81 @@ def test_spark_submit_packaging(tmp_path):
         capture_output=True, text=True, env=env, cwd=str(tmp_path))
     assert out.returncode == 0, out.stderr
     assert '["felix", 0]' in out.stdout
+
+
+def _hits(eng, args, n=20):
+    res = eng.search({**args, "limit": n})
+    return [(r["path"], round(r["score"], 9)) for r in res.hit_rows(0, n)]
+
+
+def test_append_preserves_field_config(spark, fixture_docs_df, tmp_path):
+    """Regression (ADVICE r1): append_batch must reuse the base build's
+    fields/bigrams config — appended docs get path/repo/lang postings
+    and bigram shingles, and results equal a from-scratch build."""
+    from openaleph_search_spark.streaming.incremental import append_batch
+    inc = str(tmp_path / "idx_inc")
+    full = str(tmp_path / "idx_full")
+    first = fixture_docs_df.filter(F.col("repo") != "r3")
+    batch = fixture_docs_df.filter(F.col("repo") == "r3")
+    build_index(spark, first, inc, num_partitions=4, num_shards=2,
+                bigrams=True)
+    append_batch(spark, batch, inc, epoch_id=0)
+    build_index(spark, fixture_docs_df, full, num_partitions=4,
+                num_shards=2, bigrams=True)
+    e_inc, e_full = Engine(spark, inc), Engine(spark, full)
+    # fielded query hits the APPENDED doc (c/long.rs has path tokens)
+    assert ("c/long.rs", ) [0] in [p for p, _ in
+                                   _hits(e_inc, {"q": "path:long"})]
+    # per-field scores identical to the from-scratch build
+    for q in ("path:long", "repo:r3", "lang:rs",
+              '"kwazulu natal"', "banana OR kwazulu"):
+        assert _hits(e_inc, {"q": q}) == _hits(e_full, {"q": q}), q
+    meta = IndexStorage(inc).read_meta()
+    assert meta["avgdl_by_field"].keys() == \
+        IndexStorage(full).read_meta()["avgdl_by_field"].keys()
+
+
+def test_compact_refreshes_per_field_stats(spark, fixture_docs_df,
+                                           tmp_path):
+    """Regression (ADVICE r1): compact must recompute avgdl_by_field and
+    re-fill every block bound, so post-compact results equal a fresh
+    build over the surviving docs (and pruning is re-enabled)."""
+    comp = str(tmp_path / "idx_comp")
+    fresh = str(tmp_path / "idx_fresh")
+    build_index(spark, fixture_docs_df, comp, num_partitions=4,
+                num_shards=2, bigrams=True)
+    st = IndexStorage(comp)
+    delete_docs(spark, st, F.col("repo") == "r3")
+    compact(spark, st)
+    survivors = fixture_docs_df.filter(F.col("repo") != "r3")
+    build_index(spark, survivors, fresh, num_partitions=4, num_shards=2,
+                bigrams=True)
+    e_c, e_f = Engine(spark, comp), Engine(spark, fresh)
+    for q in ("banana", "path:banana", '"banana crime"',
+              "banana OR manafort", "lang:txt"):
+        assert _hits(e_c, {"q": q}) == _hits(e_f, {"q": q}), q
+    m_c = st.read_meta()
+    m_f = IndexStorage(fresh).read_meta()
+    for f, a in m_f["avgdl_by_field"].items():
+        assert abs(m_c["avgdl_by_field"].get(f, 0.0) - a) < 1e-9, f
+    # pruning guard satisfied again after compact
+    assert m_c["encode_avgdl_min_by_field"] == {
+        f: a for f, a in m_c["avgdl_by_field"].items() if a > 0}
+
+
+def test_append_grown_avgdl_disables_pruning_soundly(
+        spark, fixture_docs_df, tmp_path):
+    """Appending long docs grows avgdl past encode-time bounds; results
+    must STILL be exact (pruning falls back to full evaluation)."""
+    from openaleph_search_spark.streaming.incremental import append_batch
+    inc = str(tmp_path / "idx_grow")
+    full = str(tmp_path / "idx_grow_full")
+    short = fixture_docs_df.filter(F.col("path") != "c/long.rs")
+    long_doc = fixture_docs_df.filter(F.col("path") == "c/long.rs")
+    build_index(spark, short, inc, num_partitions=4, num_shards=2)
+    append_batch(spark, long_doc, inc, epoch_id=0)
+    build_index(spark, fixture_docs_df, full, num_partitions=4,
+                num_shards=2)
+    e_inc, e_full = Engine(spark, inc), Engine(spark, full)
+    for q in ("kwazulu", "banana OR kwazulu", "path:long"):
+        assert _hits(e_inc, {"q": q}) == _hits(e_full, {"q": q}), q

@@ -245,3 +245,25 @@ def test_qfields_dismax(fixture_engine, ids_by_path):
 def test_fielded_phrase(fixture_engine, ids_by_path):
     res = fixture_engine.search({"q": 'path:"a kwazulu txt"', "limit": 5})
     assert [r["path"] for r in res.hit_rows(0, 5)] == ["a/kwazulu.txt"]
+
+
+def test_dash_negation_matches_not(fixture_engine, oracle):
+    """Regression: 'foo -bar' must equal 'foo NOT bar' (the '-word'
+    atom used to nest a pure-negative bool that matched nothing)."""
+    got = engine_topk(fixture_engine, "banana -crime")
+    want = engine_topk(fixture_engine, "banana NOT crime")
+    assert got == want and len(got) == 1
+
+
+def test_negated_phrase(fixture_engine):
+    """Regression: -"foo bar" is a negated phrase, not NOT foo AND bar."""
+    base = fixture_engine.search(
+        {"q": "banana", "limit": 10}).hit_rows(0, 10)
+    got = fixture_engine.search(
+        {"q": 'banana -"banana crime"', "limit": 10}).hit_rows(0, 10)
+    assert [r["path"] for r in got] == \
+        [r["path"] for r in base if r["path"] != "b/crime.go"]
+    # pure negative phrase excludes exactly the phrase's docs
+    res = fixture_engine.search({"q": '-"banana crime"', "limit": 100},
+                                with_total=True)
+    assert res.total == len(FIXTURE_DOCS) - 1
