@@ -328,11 +328,18 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 def dedup_simhash(spark, sf_dir):
-    """SimHash fingerprints (hash fn is engine-internal → rows-only
-    oracle; pair semantics tested in tests/test_ops.py)."""
+    """SimHash fingerprints with the portable md5-low64 token hash
+    (== DuckDB md5_number_lower), so the full 64-bit fingerprint is
+    oracle-exact. Emitted as an unsigned decimal string (no uint64 on
+    either side)."""
     from openaleph_search_spark.ops.dedup import simhash
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash(df)
+    out = simhash(df, hash_fn="md5")
+    unsigned = (F.col("simhash").cast("decimal(21,0)")
+                + F.when(F.col("simhash") < 0,
+                         F.lit("18446744073709551616").cast("decimal(21,0)"))
+                   .otherwise(F.lit(0).cast("decimal(21,0)")))
+    return out.select("doc_id", unsigned.cast("string").alias("simhash"))
 
 
 def sim_cosine_topk(spark, sf_dir):
@@ -343,11 +350,23 @@ def sim_cosine_topk(spark, sf_dir):
 
 
 def sim_lsh_ann(spark, sf_dir):
-    """ANN bucket scan (hyperplanes engine-internal → rows-only)."""
-    from openaleph_search_spark.ops.similarity import lsh_cosine_topk
+    """ANN over a STORED bucket column (materialized once at ingest via
+    with_ann_buckets — the 100 TB path: the Hamming ball becomes an
+    isin over the stored int, pushed into the parquet scan). Seeded
+    hyperplanes are embedded as literals in the oracle SQL."""
+    from openaleph_search_spark.ops.similarity import (lsh_cosine_topk,
+                                                       with_ann_buckets)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bdir = os.path.join(
+        "/tmp", "oa_ann_" + os.path.basename(
+            os.path.abspath(sf_dir).rstrip("/")))
+    if not os.path.exists(os.path.join(bdir, "_SUCCESS")):
+        (with_ann_buckets(emb, n_planes=8, seed=42)
+         .write.mode("overwrite").parquet(bdir))
+    emb_b = spark.read.parquet(bdir)
     probe = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
-    return lsh_cosine_topk(emb, probe, k=10, n_planes=8, probe_radius=3)
+    return lsh_cosine_topk(emb_b, probe, k=10, n_planes=8, probe_radius=3,
+                           bucket_name="ann_bucket")
 
 
 def text_language_id(spark, sf_dir):
@@ -467,33 +486,135 @@ def q19_mentions(spark, sf_dir):
 
 
 def q24_highlight(spark, sf_dir):
-    """Q24 (rows-only): fragment extraction on top-k hits."""
+    """Q24: fragment extraction on top-k hits. highlight_length is set
+    above the doc length so the greedy windows merge into ONE fragment
+    = the full text with every query-term hit <em>-wrapped — exactly
+    re-statable in SQL (regexp_replace) for a hash-exact oracle."""
     from openaleph_search_spark.query.engine import Engine
     from openaleph_search_spark.sources.code_table import load_docs
     eng = _engine(spark, sf_dir)
     eng2 = Engine(spark, eng.storage.root,
                   source_docs=load_docs(spark, sf_dir))
     res = eng2.search({"q": "vector stream", "highlight": "true",
-                       "limit": 5})
-    return _orig_id(res.hits).select(
-        "doc_id", F.element_at("highlights", 1).alias("fragment"))
+                       "highlight_length": "100000", "limit": 9999})
+    out = _orig_id(res.hits).select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.element_at("highlights", 1).alias("fragment"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(5)
 
 
 def q17_match_query(spark, sf_dir):
-    """Q17 (rows-only): blocking + tiered-signal match scoring."""
+    """Q17: blocking + tiered-signal match scoring (portable md5
+    MinHash family → the full blocking+scoring pipeline is restated in
+    SQL)."""
     from openaleph_search_spark.ops.matching import match_query
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     probe = docs.filter(F.col("doc_id") == 0).collect()[0]
     return match_query(docs, probe["text"], probe["lang"], k=10,
-                       text_col="text")
+                       text_col="text", num_hashes=16, bands=16,
+                       hash_fn="md5")
 
 
 def q18_blocking(spark, sf_dir):
-    """Q18 (rows-only): filter-context blocking candidates."""
+    """Q18: filter-context blocking candidates (md5 MinHash bands,
+    oracle-exact candidate set)."""
     from openaleph_search_spark.ops.matching import blocking_candidates
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     probe = docs.filter(F.col("doc_id") == 0).collect()[0]
-    return blocking_candidates(docs, probe["text"], text_col="text")
+    return blocking_candidates(docs, probe["text"], text_col="text",
+                               num_hashes=16, bands=16, hash_fn="md5")
+
+
+def _minhash_band_cte(num_hashes: int = 32, bands: int = 8,
+                      seed: int = 7, shingle: int = 3) -> str:
+    """CTE chain ending in ``bandtab(doc_id, band, bh)`` — replicates
+    ops.dedup._band_hash_batches with the portable md5-low64 base hash
+    (DuckDB md5_number_lower) using HUGEINT mod-2^64 arithmetic."""
+    import numpy as np
+    rows = num_hashes // bands
+    rs = np.random.RandomState(seed)
+    A = ((rs.randint(1, 2**62, size=num_hashes).astype(np.uint64) << 1)
+         | np.uint64(1))
+    Bv = rs.randint(0, 2**62, size=num_hashes).astype(np.uint64)
+    a_list = ", ".join(str(int(x)) for x in A)
+    b_list = ", ".join(str(int(x)) for x in Bv)
+    fnv = "14695981039346656037::UBIGINT"
+    for r in range(rows):
+        fnv = (f"(((xor({fnv}, v{r})::HUGEINT * 1099511628211) "
+               f"% 18446744073709551616)::UBIGINT)")
+    vcols = ",\n         ".join(
+        f"max(CASE WHEN hi % {rows} = {r} THEN hv END) AS v{r}"
+        for r in range(rows))
+    return f"""
+toks3 AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= {shingle}
+),
+sh3 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+             i -> array_to_string(t[i:i+{shingle - 1}], ' '))) AS shingles
+  FROM toks3
+),
+inv3 AS (SELECT doc_id, unnest(shingles) AS s FROM sh3),
+hh AS (
+  SELECT i.doc_id, g.h AS hi,
+         (((md5_number_lower(i.s)::HUGEINT
+            * ([{a_list}]::HUGEINT[])[g.h + 1]
+            + ([{b_list}]::HUGEINT[])[g.h + 1])
+           % 18446744073709551616)::UBIGINT) AS hv
+  FROM inv3 i, LATERAL (SELECT unnest(range({num_hashes})) AS h) g
+),
+sig AS (SELECT doc_id, hi, min(hv) AS hv FROM hh GROUP BY doc_id, hi),
+sigp AS (
+  SELECT doc_id, hi // {rows} AS band,
+         {vcols}
+  FROM sig GROUP BY doc_id, hi // {rows}
+),
+bandtab AS (SELECT doc_id, band, {fnv} AS bh FROM sigp)"""
+
+
+def _lsh_ann_sql(n_planes: int = 8, radius: int = 3, k: int = 10,
+                 seed: int = 42, dim: int = 64) -> str:
+    """Random-hyperplane ANN restated in SQL: the seeded planes are
+    embedded as DOUBLE literals (bit-exact float64 round-trip via
+    repr)."""
+    from openaleph_search_spark.ops.similarity import hyperplanes
+    planes = hyperplanes(dim, n_planes, seed)
+    vals = ",\n       ".join(
+        "(%d, [%s]::DOUBLE[])" % (
+            i, ", ".join(repr(float(x)) for x in planes[i]))
+        for i in range(n_planes))
+    return f"""
+WITH planes(pid, vec) AS (VALUES {vals}),
+probe AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS p
+          FROM embeddings WHERE vec_id = 0),
+pb AS (
+  SELECT sum(CASE WHEN list_dot_product(pl.vec, pr.p) > 0
+             THEN (1 << pl.pid) ELSE 0 END)::UBIGINT AS b
+  FROM planes pl CROSS JOIN probe pr
+),
+bk AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN list_dot_product(
+                 list_transform(e.embedding, x -> x::DOUBLE), pl.vec) > 0
+             THEN (1 << pl.pid) ELSE 0 END)::UBIGINT AS b
+  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id
+),
+cand AS (SELECT bk.vec_id FROM bk CROSS JOIN pb
+         WHERE bit_count(xor(bk.b, pb.b)) <= {radius}),
+scored AS (
+  SELECT e.vec_id,
+         list_dot_product(list_transform(e.embedding, x -> x::DOUBLE), pr.p)
+         / (sqrt(list_dot_product(
+                list_transform(e.embedding, x -> x::DOUBLE),
+                list_transform(e.embedding, x -> x::DOUBLE)))
+            * sqrt(list_dot_product(pr.p, pr.p))) AS c
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN probe pr
+)
+SELECT vec_id, round(c, 6) AS cosine FROM scored
+ORDER BY round(c, 6) DESC, vec_id LIMIT {k}
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -958,8 +1079,94 @@ j AS (
 SELECT token, fg_count, bg_count, round(score, 6) AS score
 FROM j WHERE score > 0 ORDER BY score DESC, token LIMIT 10
 """,
-        # dedup_simhash / sim_lsh_ann / q16 / q19 / q24 / q17 / q18:
-        # engine-internal hash functions or post-retrieval formatting →
-        # intentionally rows-only (weaker check), semantics pinned in
-        # tests/.
+        "dedup_simhash": """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '),
+                                   x -> x != '')) AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+h AS (SELECT doc_id, md5_number_lower(term) AS hv FROM tok),
+bits AS (
+  SELECT doc_id, g.b AS bit,
+         CASE WHEN (hv >> g.b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM h, LATERAL (SELECT unnest(range(64)) AS b) g
+),
+votes AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY 1, 2),
+sim AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << bit)
+                ELSE 0::UBIGINT END) AS s
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(sim.s, 0)::VARCHAR AS simhash
+FROM documents d LEFT JOIN sim USING (doc_id)
+""",
+        "sim_lsh_ann": _lsh_ann_sql(n_planes=8, radius=3, k=10, seed=42,
+                                    dim=64),
+        "q24_highlight": f"""
+WITH {_TOK_CTE.format(where='')},
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * tf.dl / stats.avgdl))
+         ) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  WHERE tf.term IN ('stream', 'vector')
+  GROUP BY tf.doc_id
+  HAVING count(*) = 2
+),
+top AS (
+  SELECT doc_id, round(score, 4) AS score FROM scores
+  ORDER BY round(score, 4) DESC, doc_id LIMIT 5
+)
+SELECT t.doc_id, t.score,
+       regexp_replace(d.text, '\\b(stream|vector)\\b', '<em>\\0</em>', 'g')
+       AS fragment
+FROM top t JOIN documents d USING (doc_id)
+""",
+        "q18_blocking": f"""
+WITH {_minhash_band_cte(16, 16)}
+SELECT DISTINCT b.doc_id
+FROM bandtab b JOIN bandtab p
+  ON p.doc_id = 0 AND b.band = p.band AND b.bh = p.bh
+""",
+        "q17_match_query": f"""
+WITH {_minhash_band_cte(16, 16)},
+cand AS (
+  SELECT DISTINCT b.doc_id FROM bandtab b
+  JOIN bandtab p ON p.doc_id = 0 AND b.band = p.band AND b.bh = p.bh
+),
+feats AS (
+  SELECT d.doc_id, d.lang, trim(d.text) AS body,
+         list_distinct(list_filter(string_split(d.text, ' '),
+                                   x -> x != '')) AS toks,
+         CASE WHEN len(string_split(d.text, ' ')) >= 3 THEN
+           list_distinct(list_transform(
+             range(1, len(string_split(d.text, ' ')) - 1),
+             i -> array_to_string(string_split(d.text, ' ')[i:i+2], ' ')))
+         ELSE []::VARCHAR[] END AS sh
+  FROM documents d
+),
+pr AS (SELECT * FROM feats WHERE doc_id = 0),
+j AS (
+  SELECT f.doc_id,
+         len(list_intersect(f.toks, pr.toks))::DOUBLE
+           / greatest(len(f.toks) + len(pr.toks)
+                      - len(list_intersect(f.toks, pr.toks)), 1) AS tj,
+         len(list_intersect(f.sh, pr.sh))::DOUBLE
+           / greatest(len(f.sh) + len(pr.sh)
+                      - len(list_intersect(f.sh, pr.sh)), 1) AS sj,
+         CASE WHEN sha256(f.body) = sha256(pr.body) THEN 5.0 ELSE 0.0 END
+         + CASE WHEN f.lang = pr.lang THEN 0.8 ELSE 0.0 END AS base
+  FROM feats f JOIN cand USING (doc_id) CROSS JOIN pr
+)
+SELECT doc_id,
+       round(base + CASE WHEN sj >= 0.5 THEN 3.0 ELSE 0.0 END + tj, 6)
+         AS match_score,
+       round(tj, 6) AS tok_jaccard, round(sj, 6) AS shingle_jaccard
+FROM j
+ORDER BY match_score DESC, doc_id LIMIT 10
+""",
     }

@@ -68,7 +68,30 @@ def _shingle_set(text_col: str, n: int):
     return shingles(text_col)
 
 
-def _band_hash_batches(num_hashes: int, bands: int, seed: int = 7):
+def _md5_low64(flat: np.ndarray) -> np.ndarray:
+    """Portable 64-bit string hash: little-endian bytes 8..16 of md5
+    (== DuckDB ``md5_number_lower``) — oracle-checkable across engines.
+    Hashes each UNIQUE string once (factorize first): per-batch unique
+    count ≪ token count, so the Python loop stays off the hot path."""
+    import hashlib
+    codes, uniq = pd.factorize(pd.Series(flat), sort=False)
+    hu = np.empty(len(uniq), dtype=np.uint64)
+    for i, t in enumerate(uniq):
+        hu[i] = int.from_bytes(
+            hashlib.md5(str(t).encode()).digest()[8:], "little")
+    return hu[codes]
+
+
+def _base_hash64(flat: np.ndarray, key: str, hash_fn: str) -> np.ndarray:
+    """``fast`` = pd.util.hash_array (vectorized, engine-internal);
+    ``md5`` = portable md5-low64 (SQL-expressible, oracle-checkable)."""
+    if hash_fn == "md5":
+        return _md5_low64(flat)
+    return pd.util.hash_array(flat, hash_key=key)
+
+
+def _band_hash_batches(num_hashes: int, bands: int, seed: int = 7,
+                       hash_fn: str = "fast"):
     """mapInPandas fn: (doc_id, _toks) → (doc_id, band, bh) rows.
 
     Vectorized MinHash: one base-hash pass over the flattened shingles,
@@ -94,7 +117,7 @@ def _band_hash_batches(num_hashes: int, bands: int, seed: int = 7):
                     continue
                 flat = np.concatenate(
                     [np.asarray(t, dtype=object) for t in pdf["_toks"][nz]])
-                base = pd.util.hash_array(flat, hash_key="minhash000000000")
+                base = _base_hash64(flat, "minhash000000000", hash_fn)
                 H = base[:, None] * A[None, :] + Bv[None, :]
                 starts = np.cumsum(counts[nz]) - counts[nz]
                 sig = np.minimum.reduceat(H, starts, axis=0)  # docs×hashes
@@ -157,44 +180,51 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "jaccard"))
 
 
-def _simhash_batch(it):
-    """mapInPandas: 64-bit SimHash over token sets, fully vectorized —
-    one flat hash pass + np.add.at bit voting per batch."""
+def _simhash_batches(hash_fn: str = "fast"):
+    """mapInPandas fn: 64-bit SimHash over token sets, fully vectorized
+    — one flat hash pass + np.add.at bit voting per batch."""
     shifts = np.arange(64, dtype=np.uint64)
-    for pdf in it:
-        n = len(pdf)
-        counts = pdf["_toks"].str.len().fillna(0).astype(np.int64).to_numpy()
-        sims = np.zeros(n, dtype=np.uint64)
-        nz = counts > 0
-        if nz.any():
-            flat = np.concatenate(
-                [np.asarray(t, dtype=object) for t in pdf["_toks"][nz]])
-            doc_idx = np.repeat(np.flatnonzero(nz), counts[nz])
-            h = pd.util.hash_array(flat, hash_key="simhash000000000")
-            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-            votes = np.zeros((n, 64), dtype=np.int64)
-            np.add.at(votes, doc_idx, 2 * bits - 1)
-            sims = ((votes > 0).astype(np.uint64) << shifts).sum(
-                axis=1, dtype=np.uint64)
-        yield pd.DataFrame({
-            "doc_id": pdf["doc_id"].to_numpy(),
-            "simhash": sims.astype(np.int64)})
+
+    def fn(it):
+        for pdf in it:
+            n = len(pdf)
+            counts = pdf["_toks"].str.len().fillna(0).astype(
+                np.int64).to_numpy()
+            sims = np.zeros(n, dtype=np.uint64)
+            nz = counts > 0
+            if nz.any():
+                flat = np.concatenate(
+                    [np.asarray(t, dtype=object) for t in pdf["_toks"][nz]])
+                doc_idx = np.repeat(np.flatnonzero(nz), counts[nz])
+                h = _base_hash64(flat, "simhash000000000", hash_fn)
+                bits = ((h[:, None] >> shifts)
+                        & np.uint64(1)).astype(np.int64)
+                votes = np.zeros((n, 64), dtype=np.int64)
+                np.add.at(votes, doc_idx, 2 * bits - 1)
+                sims = ((votes > 0).astype(np.uint64) << shifts).sum(
+                    axis=1, dtype=np.uint64)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "simhash": sims.astype(np.int64)})
+    return fn
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
+            text_col: str = "text", hash_fn: str = "fast") -> DataFrame:
     """→ (doc_id, simhash long)."""
     base = df.select(F.col(id_col).alias("doc_id"),
                      _token_set(text_col).alias("_toks"))
-    return base.mapInPandas(_simhash_batch, "doc_id long, simhash long")
+    return base.mapInPandas(_simhash_batches(hash_fn),
+                            "doc_id long, simhash long")
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+                  text_col: str = "text", max_hamming: int = 3,
+                  hash_fn: str = "fast") -> DataFrame:
     """Near-dup pairs: Hamming(simhash) ≤ max_hamming, found by banding
     the 64 bits into 4 × 16-bit chunks (pigeonhole: any pair within
     Hamming 3 shares ≥1 exact chunk) and verifying with bit_count."""
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(df, id_col, text_col, hash_fn)
     chunks = sh.select(
         "doc_id", "simhash",
         F.explode(F.expr(

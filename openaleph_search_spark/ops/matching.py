@@ -31,7 +31,8 @@ _TOKEN_RE = re.compile(r"[a-z0-9_]+")
 
 
 def _probe_bands(probe_text: str, num_hashes: int = 64, bands: int = 16,
-                 shingle: int = 3, seed: int = 7) -> list[tuple[int, int]]:
+                 shingle: int = 3, seed: int = 7,
+                 hash_fn: str = "fast") -> list[tuple[int, int]]:
     """Driver-side band keys of the probe (same hash family as
     _band_hash_batches)."""
     toks = _TOKEN_RE.findall(probe_text.lower())
@@ -41,7 +42,7 @@ def _probe_bands(probe_text: str, num_hashes: int = 64, bands: int = 16,
     if not sh:
         return []
     pdf = pd.DataFrame({"doc_id": [0], "_toks": [sh]})
-    fn = _band_hash_batches(num_hashes, bands, seed)
+    fn = _band_hash_batches(num_hashes, bands, seed, hash_fn)
     out = next(fn(iter([pdf])))
     return list(zip(out["band"].tolist(), out["bh"].tolist()))
 
@@ -49,7 +50,8 @@ def _probe_bands(probe_text: str, num_hashes: int = 64, bands: int = 16,
 def blocking_candidates(df: DataFrame, probe_text: str,
                         id_col: str = "doc_id", text_col: str = "text",
                         num_hashes: int = 64, bands: int = 16,
-                        shingle: int = 3) -> DataFrame:
+                        shingle: int = 3,
+                        hash_fn: str = "fast") -> DataFrame:
     """Q18: filter-context candidate retrieval — docs sharing ≥1 MinHash
     band bucket with the probe. Pure predicate, no scoring; the band
     keys are a tiny broadcast ``isin``."""
@@ -57,9 +59,10 @@ def blocking_candidates(df: DataFrame, probe_text: str,
                       _shingle_set(text_col, shingle).alias("_toks"))
             .filter(F.size("_toks") > 0))
     banded = base.mapInPandas(
-        _band_hash_batches(num_hashes, bands),
+        _band_hash_batches(num_hashes, bands, hash_fn=hash_fn),
         "doc_id long, band int, bh long")
-    keys = _probe_bands(probe_text, num_hashes, bands, shingle)
+    keys = _probe_bands(probe_text, num_hashes, bands, shingle,
+                        hash_fn=hash_fn)
     if not keys:
         return df.sparkSession.createDataFrame([], "doc_id long")
     pred = F.concat_ws(":", "band", "bh").isin(
@@ -70,11 +73,13 @@ def blocking_candidates(df: DataFrame, probe_text: str,
 def match_query(df: DataFrame, probe_text: str, probe_lang: str | None,
                 k: int = 10, id_col: str = "doc_id",
                 text_col: str = "text", lang_col: str = "lang",
-                shingle: int = 3) -> DataFrame:
+                shingle: int = 3, num_hashes: int = 64,
+                bands: int = 16, hash_fn: str = "fast") -> DataFrame:
     """Q17: blocking → tiered weighted scoring → top-k
     (doc_id, match_score, signals)."""
     cand_ids = blocking_candidates(df, probe_text, id_col, text_col,
-                                   shingle=shingle)
+                                   num_hashes=num_hashes, bands=bands,
+                                   shingle=shingle, hash_fn=hash_fn)
     cand = df.join(
         F.broadcast(cand_ids.withColumnRenamed("doc_id", "__cand_id")),
         df[id_col] == F.col("__cand_id"), "left_semi")

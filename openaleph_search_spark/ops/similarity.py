@@ -115,18 +115,58 @@ def bucket_col(vec_col: str, planes: np.ndarray):
     return _bucket(vec_col)
 
 
+def with_ann_buckets(df: DataFrame, n_planes: int = 16, seed: int = 42,
+                     vec_col: str = "embedding",
+                     bucket_name: str = "ann_bucket") -> DataFrame:
+    """Ingest-time ANN bucketing: materialize the random-hyperplane
+    sign-bucket as a STORED column (write the result to parquet once).
+    Query-time filtering then prunes on a plain stored int — the scan
+    never touches the vectors of non-candidate rows."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    return df.withColumn(bucket_name, bucket_col(vec_col, planes))
+
+
+def _hamming_ball(center: int, n_bits: int, radius: int) -> list[int]:
+    """All bucket values within Hamming ``radius`` of ``center``."""
+    from itertools import combinations
+    out = []
+    for r in range(radius + 1):
+        for bits in combinations(range(n_bits), r):
+            v = center
+            for b in bits:
+                v ^= (1 << b)
+            out.append(v)
+    return out
+
+
 def lsh_cosine_topk(df: DataFrame, probe: list[float] | np.ndarray,
                     k: int = 10, n_planes: int = 16, probe_radius: int = 2,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    seed: int = 42) -> DataFrame:
+                    seed: int = 42,
+                    bucket_name: str | None = None) -> DataFrame:
     """ANN: score only rows whose random-hyperplane bucket lies within
-    Hamming ``probe_radius`` of the probe's bucket. The bucket filter
-    is a JVM-side bit_count predicate → parquet scan prunes the rest."""
+    Hamming ``probe_radius`` of the probe's bucket.
+
+    Scale path: ``bucket_name`` names a STORED column (built at ingest
+    via :func:`with_ann_buckets`); the Hamming ball is enumerated
+    driver-side into an ``isin`` list, which Catalyst pushes into the
+    parquet scan (dictionary/row-group pruning) — no UDF runs before
+    the filter. Without a stored column the bucket is computed on the
+    fly (correct, but a full scan — fine for small tables only)."""
     probe = np.asarray(probe, dtype=np.float64)
     planes = hyperplanes(probe.shape[0], n_planes, seed)
     pbits = int(((probe @ planes.T) > 0).astype(np.int64)
                 @ (1 << np.arange(n_planes)))
-    bucketed = df.withColumn("_bucket", bucket_col(vec_col, planes))
-    cand = bucketed.filter(
-        F.expr(f"bit_count(_bucket ^ {pbits}) <= {probe_radius}"))
+    if bucket_name is not None:
+        bucketed, bcol = df, bucket_name
+    else:
+        bucketed = df.withColumn("_bucket", bucket_col(vec_col, planes))
+        bcol = "_bucket"
+    ball = _hamming_ball(pbits, n_planes, probe_radius)
+    if len(ball) <= 1024:  # pushable stored-column predicate
+        cand = bucketed.filter(F.col(bcol).isin(ball))
+    else:  # huge radius: fall back to the bit_count expression
+        cand = bucketed.filter(
+            F.expr(f"bit_count({bcol} ^ {pbits}) <= {probe_radius}"))
     return cosine_topk(cand, probe, k, id_col, vec_col)

@@ -125,7 +125,8 @@ class Engine:
                 hits = hits.filter(self._post_pred(sa, post_fields))
             hits = hits.limit(sa.k)
             if sa.highlight:
-                hits = self._highlight(hits, tree, sa.highlight_count)
+                hits = self._highlight(hits, tree, sa.highlight_count,
+                                       sa.highlight_length)
             return SearchResult(hits=hits)
 
         facets, facet_totals = {}, {}
@@ -152,7 +153,8 @@ class Engine:
             hits = fully.orderBy(F.desc("score"), F.asc("doc_id"))
         hits = hits.limit(sa.k) if sa.k else hits.limit(0)
         if sa.highlight and not isinstance(tree, MatchAll):
-            hits = self._highlight(hits, tree, sa.highlight_count)
+            hits = self._highlight(hits, tree, sa.highlight_count,
+                                   sa.highlight_length)
         return SearchResult(hits=hits,
                             total=total, facets=facets,
                             facet_totals=facet_totals, metrics=metrics_df)
@@ -278,7 +280,8 @@ class Engine:
         return pred
 
     def _highlight(self, hits: DataFrame, tree: Node,
-                   max_fragments: int) -> DataFrame:
+                   max_fragments: int,
+                   fragment_size: int = 200) -> DataFrame:
         """Q24: fragment extraction on the top-k hit set only. Content
         comes from the source docs table (the index stores none —
         reference _source-excludes design); the join side is k rows →
@@ -303,8 +306,9 @@ class Engine:
             for pdf in it:
                 pdf = pdf.copy()
                 pdf["highlights"] = pdf["content"].map(
-                    lambda t: highlight_text(t or "", terms,
-                                             max_fragments=max_fragments))
+                    lambda t: highlight_text(
+                        t or "", terms, fragment_size=fragment_size,
+                        max_fragments=max_fragments))
                 yield pdf.drop(columns=["content"])
 
         joined = hits.join(

@@ -38,7 +38,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..index.build import DOC_ID_PART_SHIFT, field_of_term
+from ..index.build import (BIGRAM_FIELD, DOC_ID_PART_SHIFT, FIELD_SEP,
+                           field_of_term)
 from ..index.codec import (bm25_idf, bm25_tfnorm, decode_positions,
                            varint_decode)
 from ..index.storage import IndexStorage
@@ -128,7 +129,8 @@ class _ShardEval:
     def __init__(self, blocks_by_term: dict[str, pd.DataFrame],
                  idf: dict[str, float], k: int | None,
                  allowed: np.ndarray | None, k1: float, b: float,
-                 avgdl_by_field: dict[str, float]):
+                 avgdl_by_field: dict[str, float],
+                 bigrams: bool = False):
         self.blocks = blocks_by_term
         self.idf = idf
         self.k = k
@@ -136,6 +138,7 @@ class _ShardEval:
         self.k1 = k1
         self.b = b
         self.avgdl_by_field = avgdl_by_field
+        self.bigrams = bigrams  # T16 shingle field present in the index
         # memo for unrestricted decodes: synonym/dis_max trees evaluate
         # the same term from several branches
         self._decode_cache: dict[str, tuple] = {}

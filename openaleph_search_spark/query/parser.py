@@ -209,6 +209,7 @@ class SearchArgs:
     synonyms: bool = False
     highlight: bool = False
     highlight_count: int = 3
+    highlight_length: int = 200  # fragment_size (reference settings.py:85)
     qfields: list[tuple[str, float]] = field(default_factory=list)
     function_score: bool = False
 
@@ -276,6 +277,8 @@ def parse_args(args: dict[str, list[str] | str]) -> SearchArgs:
             out.highlight = vals[-1].lower() in ("true", "1", "yes")
         elif key == "highlight_count":
             out.highlight_count = int(vals[-1])
+        elif key == "highlight_length":
+            out.highlight_length = int(vals[-1])
     # pagination ceiling, reference parser.py:153-155
     if out.offset + out.limit > MAX_PAGE:
         out.limit = max(0, MAX_PAGE - out.offset)
