@@ -40,13 +40,15 @@ def _engine(spark: SparkSession, sf_dir: str):
         stale = True
         if os.path.exists(meta_path):
             with open(meta_path) as f:
-                stale = (json.load(f).get("layout_version")
-                         != LAYOUT_VERSION)
+                m = json.load(f)
+                stale = (m.get("layout_version") != LAYOUT_VERSION
+                         or not m.get("bigrams"))
         if stale:
             shutil.rmtree(idx_dir, ignore_errors=True)
             from openaleph_search_spark.sources.code_table import load_docs
             docs = load_docs(spark, sf_dir)
-            build_index(spark, docs, idx_dir, num_partitions=8, num_shards=4)
+            build_index(spark, docs, idx_dir, num_partitions=8,
+                        num_shards=4, bigrams=True)
         _ENGINES[key] = Engine(spark, idx_dir)
     return _ENGINES[key]
 

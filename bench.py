@@ -67,7 +67,7 @@ def build_at(cores: int, num_partitions: int, tag: str,
         t0 = time.time()
         st = build_index(spark, docs, out,
                          num_partitions=num_partitions,
-                         num_shards=max(4, CPUS // 2))
+                         num_shards=max(4, CPUS // 2), bigrams=True)
         dt = min(dt, time.time() - t0)
     meta = st.read_meta()
     # shuffle/skew evidence: postings rows + max block rows per term

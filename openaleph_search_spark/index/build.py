@@ -76,18 +76,22 @@ _BLOCK_COLS = ["term", "shard", "first_doc", "last_doc", "doc_count",
 
 def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
                   shard_of_part, fields: dict[str, str] | None = None,
-                  bigrams: bool = False):
+                  bigrams: bool = False,
+                  meta_cols: list[str] | None = None):
     """Grouped-map fn: one source partition → packed block run +
     doc_meta + atomic manifest checkpoint.
 
     ``fields`` maps extra indexed field names → source columns; their
     terms are stored as ``field␟token`` (FIELD_SEP) with per-field
     lengths, so BM25 norms are per-field like Lucene. ``content`` is
-    the unprefixed default field.
+    the unprefixed default field. ``meta_cols`` are UNANALYZED
+    passthrough columns stored in doc_meta (filter/sort/facet targets —
+    the ES stored-field role for typed metadata like timestamps).
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
     fields = fields or {}
+    meta_cols = meta_cols or []
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.time()
@@ -214,6 +218,7 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
             "content_sha256": pdf["content_sha256"],
             "doc_len": dl_per_doc,
             "src_part": np.full(n, src_part, dtype=np.int32),
+            **{c: pdf[c] for c in meta_cols},
         })
 
         os.makedirs(storage.tf_runs_dir, exist_ok=True)

@@ -163,7 +163,7 @@ class _ShardEval:
 
     def _decode_term(self, term: str, candidates: np.ndarray | None = None,
                      want_positions: bool = False):
-        """→ (doc_ids, scores, dls, positions) sorted by doc_id,
+        """→ (doc_ids, scores, tfs, dls, positions) sorted by doc_id,
         restricted to ``allowed`` and optionally to ``candidates``.
         ``positions`` is a list of per-doc arrays (empty unless asked).
 
@@ -176,7 +176,7 @@ class _ShardEval:
             return self._decode_cache[term]
         pdf = self._term_blocks(term, candidates)
         empty = (np.empty(0, np.int64), np.empty(0, np.float64),
-                 np.empty(0, np.float64), [])
+                 np.empty(0, np.uint64), np.empty(0, np.float64), [])
         if pdf is None:
             if cacheable:
                 self._decode_cache[term] = empty
@@ -212,7 +212,7 @@ class _ShardEval:
         dls = dls.astype(np.float64)
         scores = self.idf.get(term, 0.0) * bm25_tfnorm(
             tfs, dls, self._avgdl(term), self.k1, self.b)
-        out = (ids, scores, dls, pos_l if pos_l is not None else [])
+        out = (ids, scores, tfs, dls, pos_l if pos_l is not None else [])
         if cacheable:
             self._decode_cache[term] = out
         return out
@@ -220,12 +220,12 @@ class _ShardEval:
     # -- node evaluation ------------------------------------------------------
     def eval(self, node: Node, candidates: np.ndarray | None = None):
         if isinstance(node, TermLeaf):
-            ids, sc, _, _ = self._decode_term(node.term, candidates)
+            ids, sc, _, _, _ = self._decode_term(node.term, candidates)
             return ids, sc * node.boost
         if isinstance(node, PrefixLeaf):
             acc = (np.empty(0, np.int64), np.empty(0, np.float64))
             for t in (node.expanded or []):
-                ids, sc, _, _ = self._decode_term(t, candidates)
+                ids, sc, _, _, _ = self._decode_term(t, candidates)
                 acc = _merge_sum(*acc, ids, sc * node.boost)
             return acc
         if isinstance(node, PhraseLeaf):
@@ -356,19 +356,55 @@ class _ShardEval:
         return acc_ids, acc_sc
 
     # -- phrase --------------------------------------------------------------
+    def _bigram_terms(self, terms: list[str]) -> list[str]:
+        return [f"{BIGRAM_FIELD}{FIELD_SEP}{a} {b}"
+                for a, b in zip(terms, terms[1:])]
+
     def _eval_phrase(self, node: PhraseLeaf, candidates: np.ndarray | None):
         """Positional phrase: tf = #anchors with all terms within slop;
-        idf = Σ term idfs (Lucene PhraseQuery scoring shape)."""
+        idf = Σ term idfs (Lucene PhraseQuery scoring shape).
+
+        T16 fast path (index built with bigram shingles, slop 0,
+        content field): candidates come from the bigram postings — for
+        a 2-term phrase the bigram tf IS the phrase tf (no positional
+        decode at all); longer phrases positional-verify only the docs
+        containing every consecutive bigram. Exact same scores as the
+        positional path (idf = Σ unigram idfs, content dl/avgdl)."""
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         terms = node.terms
         uniq = sorted(set(terms))
-        # 1. intersect doc sets rarest-first (docs/tfs only)
+        use_bi = (self.bigrams and node.slop == 0 and len(terms) >= 2
+                  and all(FIELD_SEP not in t for t in terms))
+        if use_bi and len(terms) == 2:
+            bi = self._bigram_terms(terms)[0]
+            ids, _, tfs, _, _ = self._decode_term(bi, candidates)
+            if ids.size == 0:
+                return empty
+            # content dl of the (tiny) hit set from the rarer unigram
+            u = min(uniq, key=lambda t: (
+                int(self.blocks[t]["doc_count"].sum())
+                if t in self.blocks else 0))
+            uids, _, _, udls, _ = self._decode_term(u, ids)
+            keep = _in_sorted(ids, uids)  # defensive; always all-true
+            ids, tfs = ids[keep], tfs[keep]
+            dls = udls[_in_sorted(uids, ids)]
+            idf_sum = sum(self.idf.get(t, 0.0) for t in uniq)
+            scores = idf_sum * bm25_tfnorm(
+                tfs.astype(np.float64), dls, self._avgdl(terms[0]),
+                self.k1, self.b)
+            return ids, scores * node.boost
+        # 1. intersect doc sets rarest-first (docs/tfs only) — with
+        # bigrams available, the consecutive shingles (far rarer than
+        # unigrams) pre-narrow the candidate set first
         inter = candidates
-        order = sorted(uniq, key=lambda t: (
+        pre = self._bigram_terms(terms) if use_bi else []
+        order = sorted(set(pre), key=lambda t: (
+            int(self.blocks[t]["doc_count"].sum())
+            if t in self.blocks else 0)) + sorted(uniq, key=lambda t: (
             int(self.blocks[t]["doc_count"].sum())
             if t in self.blocks else 0))
         for t in order:
-            ids, _, _, _ = self._decode_term(t, inter)
+            ids, _, _, _, _ = self._decode_term(t, inter)
             inter = ids if inter is None else np.intersect1d(
                 ids, inter, assume_unique=True)
             if inter is None or inter.size == 0:
@@ -379,7 +415,7 @@ class _ShardEval:
         per_uterm: dict[str, tuple] = {}
         dl_of = np.zeros(inter.size, dtype=np.float64)
         for t in uniq:
-            ids, _, dls, pos_list = self._decode_term(
+            ids, _, _, dls, pos_list = self._decode_term(
                 t, inter, want_positions=True)
             counts = np.array([len(p) for p in pos_list], dtype=np.int64)
             flat_pos = (np.concatenate(pos_list).astype(np.int64)
@@ -465,15 +501,25 @@ class SearchExecutor:
             leaf.expanded = [r["term"] for r in rows]
 
     def _collect_terms(self, tree: Node) -> list[str]:
+        bigrams_on = bool(self.meta.get("bigrams"))
         terms: set[str] = set()
         for leaf in tree.leaves():
             if isinstance(leaf, TermLeaf):
                 terms.add(leaf.term)
             elif isinstance(leaf, PhraseLeaf):
                 terms.update(leaf.terms)
+                if self._phrase_uses_bigrams(leaf, bigrams_on):
+                    terms.update(
+                        f"{BIGRAM_FIELD}{FIELD_SEP}{a} {b}"
+                        for a, b in zip(leaf.terms, leaf.terms[1:]))
             elif isinstance(leaf, PrefixLeaf):
                 terms.update(leaf.expanded or [])
         return sorted(terms)
+
+    @staticmethod
+    def _phrase_uses_bigrams(leaf: PhraseLeaf, bigrams_on: bool) -> bool:
+        return (bigrams_on and leaf.slop == 0 and len(leaf.terms) >= 2
+                and all(FIELD_SEP not in t for t in leaf.terms))
 
     def shard_col(self, doc_id_col):
         S = self.meta["num_shards"]
@@ -521,8 +567,15 @@ class SearchExecutor:
 
         # column pruning: positions are the fattest payload — only
         # phrase queries read them (the parquet scan skips the column
-        # entirely otherwise; verified in tests/test_plans.py)
-        need_pos = any(isinstance(l, PhraseLeaf) for l in tree.leaves())
+        # entirely otherwise; verified in tests/test_plans.py). With
+        # bigram shingles a 2-term slop-0 phrase needs NO positions at
+        # all (the bigram tf IS the phrase tf).
+        bigrams_on = bool(self.meta.get("bigrams"))
+        need_pos = any(
+            isinstance(l, PhraseLeaf)
+            and not (self._phrase_uses_bigrams(l, bigrams_on)
+                     and len(l.terms) == 2)
+            for l in tree.leaves())
         cols = ["term", "shard", "first_doc", "last_doc", "doc_count",
                 "sum_tf", "max_tf", "block_max_tfnorm", "docs_payload",
                 "tfs_payload", "dls_payload"]
@@ -544,7 +597,7 @@ class SearchExecutor:
                 t: g.sort_values(["first_doc"])
                 for t, g in blocks_pdf.groupby("term", sort=False)}
             ev = _ShardEval(by_term, idf, k_prune, allowed, k1, b,
-                            avgdl_by_field)
+                            avgdl_by_field, bigrams=bigrams_on)
             ids, scores = ev.eval(tree)
             if k is not None and ids.size > k:
                 # per-shard top-k: exact selection incl. doc_id tiebreak

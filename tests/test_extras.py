@@ -168,3 +168,37 @@ def test_function_score(fixture_engine):
     for d, row in f.items():
         expect = b[d]["score"] + math.sqrt(0.5 * b[d]["doc_len"])
         assert abs(row["score"] - expect) < 1e-9
+
+
+def test_bigram_fast_path_positions_on_score_identical(
+        spark, fixture_docs_df, tmp_path):
+    """Phrase fast path (VERDICT r1): with positions ON and bigrams
+    built, slop-0 phrases pre-intersect on the shingle postings (2-term
+    phrases skip the positional decode entirely) — scores must stay
+    identical to the pure positional path, sloppy phrases included."""
+    from openaleph_search_spark.index.build import build_index
+    from openaleph_search_spark.query.engine import Engine
+    plain = str(tmp_path / "idx_pos_plain")
+    fast = str(tmp_path / "idx_pos_bi")
+    build_index(spark, fixture_docs_df, plain, num_partitions=4,
+                num_shards=2)
+    build_index(spark, fixture_docs_df, fast, num_partitions=4,
+                num_shards=2, bigrams=True)
+    e_p, e_f = Engine(spark, plain), Engine(spark, fast)
+
+    def hits(eng, q):
+        res = eng.search({"q": q, "limit": 10})
+        return [(r["path"], round(r["score"], 10))
+                for r in res.hit_rows(0, 10)]
+
+    for q in ('"banana crime"',          # 2-term: bigram tf == phrase tf
+              '"banana crime wave"',     # 3-term: bigram pre-intersect
+              '"banana ba nana"',
+              '"crime banana"',          # no match
+              '"banana crime"~2',        # sloppy: positional path
+              '"kwazulu natal" OR banana',
+              'path:banana "banana crime"'):
+        assert hits(e_p, q) == hits(e_f, q), q
+    # repeated-term phrase: "banana crime ... banana crime wave of banana"
+    assert hits(e_p, '"banana crime" "crime wave"') == \
+        hits(e_f, '"banana crime" "crime wave"')
