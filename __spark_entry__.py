@@ -42,13 +42,22 @@ def _engine(spark: SparkSession, sf_dir: str):
             with open(meta_path) as f:
                 m = json.load(f)
                 stale = (m.get("layout_version") != LAYOUT_VERSION
-                         or not m.get("bigrams"))
+                         or not m.get("bigrams")
+                         or m.get("meta_cols") != ["created"])
         if stale:
             shutil.rmtree(idx_dir, ignore_errors=True)
             from openaleph_search_spark.sources.code_table import load_docs
             docs = load_docs(spark, sf_dir)
+            # deterministic typed timestamp (doc_values role): day
+            # offset = source doc id mod 360 from 2020-01-01
+            docs = docs.withColumn(
+                "created",
+                F.expr("timestamp'2020-01-01 00:00:00' + make_interval("
+                       "0, 0, 0, cast(regexp_extract(path, "
+                       "'mod_(\\\\d+)\\\\.', 1) as int) % 360, 0, 0, 0)"))
             build_index(spark, docs, idx_dir, num_partitions=8,
-                        num_shards=4, bigrams=True)
+                        num_shards=4, bigrams=True,
+                        meta_cols=["created"])
         _ENGINES[key] = Engine(spark, idx_dir)
     return _ENGINES[key]
 
@@ -280,6 +289,30 @@ def a7_systematic_sample(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (df.filter(F.pmod("event_id", F.lit(10)) == 0)
             .groupBy("event_type").agg(F.count("*").alias("n")))
+
+
+def a3_engine_histogram(spark, sf_dir):
+    """A3 THROUGH Engine.search (facet_interval arg dialect) plus a
+    partial-date range filter (filter:gte:created=yyyy-MM names the
+    whole month, reference mapping.py:35,47)."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search({"q": "vector", "facet": "created",
+                      "facet_interval:created": "month",
+                      "filter:gte:created": "2020-03", "limit": 0})
+    return res.facets["created"].select(
+        F.date_format("bucket", "yyyy-MM").alias("month"),
+        F.col("count").alias("n"))
+
+
+def a5_engine_significant(spark, sf_dir):
+    """A5 THROUGH Engine.search: significant facet of lang over the
+    match set vs the collection background."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search({"q": "vector stream",
+                      "facet_significant:lang": "true", "limit": 0})
+    return res.significant["lang"].select(
+        F.col("value").alias("lang"), "fg_count", "bg_count",
+        F.round("score", 6).alias("score"))
 
 
 def s7_filtered_scan(spark, sf_dir):
@@ -640,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_date_histogram": a3_date_histogram,
         "a4_metrics_nested": a4_metrics_nested,
         "a5_significant_terms": a5_significant_terms,
+        "a3_engine_histogram": a3_engine_histogram,
+        "a5_engine_significant": a5_engine_significant,
         "a7_systematic_sample": a7_systematic_sample,
         "s7_filtered_scan": s7_filtered_scan,
         "s9_ids_lookup": s9_ids_lookup,
@@ -857,6 +892,61 @@ SELECT event_type, round(sum(value), 4) AS sum_value,
        round(min(value), 4) AS min_value,
        round(max(value), 4) AS max_value
 FROM events GROUP BY event_type
+""",
+        "a3_engine_histogram": """
+WITH m AS (
+  SELECT doc_id,
+         TIMESTAMP '2020-01-01' + INTERVAL ((doc_id % 360)) DAY AS created
+  FROM documents
+  WHERE doc_id IN (
+    SELECT DISTINCT doc_id FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents) WHERE term = 'vector')
+    AND TIMESTAMP '2020-01-01' + INTERVAL ((doc_id % 360)) DAY
+        >= TIMESTAMP '2020-03-01'
+),
+c AS (
+  SELECT date_trunc('month', created) AS bucket, count(*) AS n
+  FROM m GROUP BY 1
+),
+bounds AS (
+  SELECT date_trunc('month', min(created)) AS lo,
+         date_trunc('month', max(created)) AS hi FROM m
+),
+frame AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS bucket
+  FROM bounds
+)
+SELECT strftime(f.bucket, '%Y-%m') AS month, coalesce(c.n, 0) AS n
+FROM frame f LEFT JOIN c USING (bucket) ORDER BY f.bucket
+""",
+        "a5_engine_significant": """
+WITH m AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, count(DISTINCT term) AS hit FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents) WHERE term IN ('vector', 'stream')
+    GROUP BY doc_id) WHERE hit = 2
+),
+fg AS (
+  SELECT d.lang AS v, count(*) AS fg_count
+  FROM documents d JOIN m USING (doc_id) GROUP BY 1
+),
+bg AS (SELECT lang AS v, count(*) AS bg_count FROM documents GROUP BY 1),
+tot AS (
+  SELECT (SELECT count(*) FROM m) AS ft,
+         (SELECT count(*) FROM documents) AS bt
+),
+j AS (
+  SELECT fg.v, fg.fg_count, coalesce(bg.bg_count, 0) AS bg_count,
+         (fg.fg_count / ft::DOUBLE
+          - (coalesce(bg.bg_count, 0) + 1.0) / (bt + 1.0))
+         * (fg.fg_count / ft::DOUBLE)
+         / ((coalesce(bg.bg_count, 0) + 1.0) / (bt + 1.0)) AS score
+  FROM fg LEFT JOIN bg USING (v) CROSS JOIN tot
+)
+SELECT v AS lang, fg_count, bg_count, round(score, 6) AS score
+FROM j WHERE score > 0 ORDER BY score DESC, v LIMIT 20
 """,
         "a5_significant_terms": """
 WITH fg AS (

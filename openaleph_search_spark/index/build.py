@@ -238,8 +238,16 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
             pa.Table.from_pandas(run, schema=run_schema,
                                  preserve_index=False),
             os.path.join(storage.tf_runs_dir, f"part={src_part}.parquet"))
+        meta_tbl = pa.Table.from_pandas(meta, preserve_index=False)
+        for i, fld in enumerate(meta_tbl.schema):
+            # Spark cannot read nanosecond parquet timestamps — coerce
+            # pandas' default ns unit to µs for meta_cols
+            if pa.types.is_timestamp(fld.type) and fld.type.unit == "ns":
+                meta_tbl = meta_tbl.set_column(
+                    i, fld.name, meta_tbl.column(i).cast(
+                        pa.timestamp("us", fld.type.tz)))
         pq.write_table(
-            pa.Table.from_pandas(meta, preserve_index=False),
+            meta_tbl,
             os.path.join(storage.doc_meta_dir, f"part={src_part}.parquet"))
         # per-doc per-field lengths (long format, zero rows skipped):
         # compact() needs these to recompute exact per-field avgdl
@@ -347,22 +355,29 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
                 with_positions: bool = True, resume: bool = True,
                 attempt: int = 1,
                 fields: dict[str, str] | None = None,
-                bigrams: bool = False) -> IndexStorage:
+                bigrams: bool = False,
+                meta_cols: list[str] | None = None) -> IndexStorage:
     """Build (or resume) the inverted index for a docs table.
 
     ``docs`` must have columns (repo, path, commit, lang, content) —
     the BASELINE.json ``input_hint`` shape. ``fields`` adds extra
     indexed fields (name → source column); default: path/repo/lang
     (the reference's multi-field model, queries.py:112-118).
+    ``meta_cols`` are unanalyzed typed columns (dates, numbers) stored
+    in doc_meta for filter/range/sort/facet use (ES doc_values role).
     """
     if fields is None:
         fields = DEFAULT_FIELDS
+    meta_cols = meta_cols or []
     storage = IndexStorage(index_dir)
     sc_parallelism = spark.sparkContext.defaultParallelism
     P = num_partitions or max(sc_parallelism, 4)
 
+    base_cols = ["repo", "path", "commit", "lang", "content"]
+    extra = [c for c in {*fields.values(), *meta_cols}
+             if c not in base_cols]
     prepared = docs.select(
-        "repo", "path", "commit", "lang", "content",
+        *base_cols, *extra,
         F.sha2(F.col("content"), 256).alias("content_sha256"),
         F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(P))
          .cast("int").alias("src_part"),
@@ -379,7 +394,8 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     # partition-prefixed
     manifests = prepared.groupBy("src_part").applyInPandas(
         _spimi_writer(storage, with_positions, attempt,
-                      lambda sp: sp % num_shards, fields, bigrams),
+                      lambda sp: sp % num_shards, fields, bigrams,
+                      meta_cols),
         MANIFEST_SCHEMA)
     new_rows = manifests.collect()  # tiny: one row per partition
 
@@ -408,6 +424,7 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
             "with_positions": with_positions, "n_docs": 0, "avgdl": 0.0,
             "avgdl_by_field": {}, "fields": sorted(["content", *fields]),
             "field_map": fields, "encode_avgdl_min_by_field": {},
+            "meta_cols": meta_cols,
             "bigrams": bigrams, "encode_avgdl_min": 0.0,
             "analyzer": "icu-default-v1",
             "layout_version": LAYOUT_VERSION,
@@ -441,6 +458,7 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         "avgdl_by_field": avgdl_by_field,
         "fields": sorted(["content", *fields]),
         "field_map": fields,
+        "meta_cols": meta_cols,
         "bigrams": bigrams,
         "encode_avgdl_min": avgdl,
         # per-field smallest avgdl any block was encoded under — the

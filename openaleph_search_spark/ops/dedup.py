@@ -250,7 +250,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.8,
-                        stop_shingle_df: int | None = None) -> DataFrame:
+                        stop_shingle_df: int | None = 1000) -> DataFrame:
     """Exact n-token-shingle Jaccard similarity join via a shingle
     inverted index: explode shingles → self-join on shingle → count
     common → |A∩B| / (|A|+|B|−|A∩B|).
@@ -258,13 +258,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     ``stop_shingle_df`` drops shingles appearing in more than that many
     docs before the pair join (bounds the quadratic fan-out on hot
     shingles — the same role as hot-term salting in the index build).
+    Default 1000 caps any shingle's pair fan-out at ~500k; pass None to
+    disable (exact similarity join, quadratic on hot shingles).
+
+    Shingling runs in the vectorized pandas UDF (_shingle_set) — the
+    JVM higher-order-function formulation is interpreted per element
+    and measured 20-50x slower (CLAUDE.md perf rule).
     """
-    toks = tokens_col(F.col(text_col))
-    base = (df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
-            .filter(F.size("_t") >= n)
-            .withColumn("shingles", F.array_distinct(F.expr(
-                f"transform(sequence(0, size(_t) - {n}), "
-                f"i -> array_join(slice(_t, i + 1, {n}), ' '))"))))
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      _shingle_set(text_col, n).alias("shingles"))
+            .filter(F.size("shingles") > 0))
     sizes = base.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = base.select("doc_id", F.explode("shingles").alias("sh"))
     if stop_shingle_df is not None:

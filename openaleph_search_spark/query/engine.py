@@ -20,7 +20,9 @@ from ..analysis.analyzer import analyze_text
 from ..index.storage import IndexStorage
 from ..index.build import FIELD_SEP
 from .executor import SearchExecutor
-from .facets import cardinality, metric_aggs, terms_facet
+from .facets import (cardinality, histogram_facet, metric_aggs,
+                     significant_terms, terms_facet)
+from .parser import partial_date_bounds
 from .ir import Bool, DisMax, MatchAll, Node, PhraseLeaf, PrefixLeaf, TermLeaf
 from .parser import SearchArgs, parse_args, parse_query_string
 
@@ -31,6 +33,7 @@ class SearchResult:
     total: int | None = None
     facets: dict[str, DataFrame] = field(default_factory=dict)
     facet_totals: dict[str, DataFrame] = field(default_factory=dict)
+    significant: dict[str, DataFrame] = field(default_factory=dict)
     metrics: DataFrame | None = None
 
     def hit_rows(self, offset: int = 0, limit: int = 20) -> list[dict]:
@@ -90,6 +93,7 @@ class Engine:
             else self.doc_meta
 
         need_full_match = bool(sa.facets or sa.facet_total or sa.metrics
+                               or sa.facet_significant
                                or sa.sort or with_total
                                or sa.function_score)
         pure_negative = (isinstance(tree, Bool) and tree.must_not
@@ -129,14 +133,29 @@ class Engine:
                                        sa.highlight_length)
             return SearchResult(hits=hits)
 
-        facets, facet_totals = {}, {}
+        facets, facet_totals, significant = {}, {}, {}
         for f in sa.facets:
             others = [g for g in post_fields if g != f]
             branch = matched.filter(self._post_pred(sa, others)) \
                 if others else matched
-            facets[f] = terms_facet(branch, f, sa.facet_size.get(f, 20))
+            if f in sa.facet_interval:
+                # A3 through the arg dialect: calendar buckets for
+                # date/timestamp fields, width buckets for numerics
+                facets[f] = histogram_facet(branch, f,
+                                            sa.facet_interval[f])
+            else:
+                facets[f] = terms_facet(branch, f,
+                                        sa.facet_size.get(f, 20))
             if f in sa.facet_total:
                 facet_totals[f] = cardinality(branch, f)
+        for f in sa.facet_significant:
+            # A5 through the arg dialect: matched docs as foreground,
+            # the whole (live) collection as background
+            others = [g for g in post_fields if g != f]
+            branch = matched.filter(self._post_pred(sa, others)) \
+                if others else matched
+            significant[f] = significant_terms(
+                branch, self.doc_meta, f, sa.facet_size.get(f, 20))
 
         fully = matched.filter(self._post_pred(sa, post_fields)) \
             if post_fields else matched
@@ -157,7 +176,8 @@ class Engine:
                                    sa.highlight_length)
         return SearchResult(hits=hits,
                             total=total, facets=facets,
-                            facet_totals=facet_totals, metrics=metrics_df)
+                            facet_totals=facet_totals,
+                            significant=significant, metrics=metrics_df)
 
     def count(self, args: dict | SearchArgs) -> int:
         """Q31: filtered match count without hits."""
@@ -271,10 +291,30 @@ class Engine:
         for f in sa.empties:
             conj(F.col(f).isNull())
         for f, ops in sa.ranges.items():
+            dtype = (self.doc_meta.schema[f].dataType
+                     if f in self.doc_meta.columns else None)
+            dateish = dtype is not None and dtype.typeName() in (
+                "timestamp", "date", "timestamp_ntz")
             for op, v in ops.items():
                 col = F.col(f)
-                lit = F.lit(v).cast(self.doc_meta.schema[f].dataType) \
-                    if f in self.doc_meta.columns else F.lit(v)
+                if dateish:
+                    bounds = partial_date_bounds(v)
+                    if bounds is not None:
+                        start, end = bounds
+                        s_lit = F.lit(start).cast(dtype)
+                        e_lit = F.lit(end).cast(dtype)
+                        if start == end:  # full timestamp → exact point
+                            conj({"gte": col >= s_lit, "lte": col <= s_lit,
+                                  "gt": col > s_lit,
+                                  "lt": col < s_lit}[op])
+                        else:
+                            # ES partial-date semantics: the value names
+                            # a whole period (mapping.py:35,47)
+                            conj({"gte": col >= s_lit, "gt": col >= e_lit,
+                                  "lte": col < e_lit,
+                                  "lt": col < s_lit}[op])
+                        continue
+                lit = F.lit(v).cast(dtype) if dtype is not None else F.lit(v)
                 conj({"gte": col >= lit, "lte": col <= lit,
                       "gt": col > lit, "lt": col < lit}[op])
         return pred

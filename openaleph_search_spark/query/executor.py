@@ -487,18 +487,40 @@ class SearchExecutor:
 
     def _expand_prefixes(self, tree: Node) -> None:
         """Plan-time prefix rewrite against the term dictionary
-        (ES query_string top-terms rewrite, capped expansions)."""
-        prefixes = [l for l in tree.leaves() if isinstance(l, PrefixLeaf)]
+        (ES query_string top-terms rewrite, capped expansions).
+
+        ALL prefix leaves expand in ONE dictionary scan: the ranges OR
+        into a single pushed filter, a per-prefix window keeps the top
+        ``max_expansions`` by df, and one bounded collect distributes
+        the result (≤ n_prefixes × max_expansions rows)."""
+        prefixes = [l for l in tree.leaves()
+                    if isinstance(l, PrefixLeaf) and l.expanded is None]
         if not prefixes:
             return
+        from pyspark.sql import Window
         ts = self.storage.term_stats(self.spark)
+        cond = None
         for leaf in prefixes:
-            hi = leaf.prefix + "￿"
-            rows = (ts.filter((F.col("term") >= leaf.prefix)
-                              & (F.col("term") < hi))
-                      .orderBy(F.desc("df"), "term")
-                      .limit(leaf.max_expansions).collect())
-            leaf.expanded = [r["term"] for r in rows]
+            c = ((F.col("term") >= leaf.prefix)
+                 & (F.col("term") < leaf.prefix + "￿"))
+            cond = c if cond is None else (cond | c)
+        pf = self.spark.createDataFrame(
+            [(i, l.prefix) for i, l in enumerate(prefixes)],
+            "pid int, prefix string")
+        w = Window.partitionBy("pid").orderBy(F.desc("df"), "term")
+        cap = max(l.max_expansions for l in prefixes)
+        rows = (ts.filter(cond)
+                .join(F.broadcast(pf),
+                      F.col("term").startswith(F.col("prefix")))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= cap)
+                .select("pid", "term", "_rn").collect())
+        by_pid: dict[int, list[tuple[int, str]]] = {}
+        for r in rows:
+            by_pid.setdefault(r["pid"], []).append((r["_rn"], r["term"]))
+        for i, leaf in enumerate(prefixes):
+            got = sorted(by_pid.get(i, []))[:leaf.max_expansions]
+            leaf.expanded = [t for _, t in got]
 
     def _collect_terms(self, tree: Node) -> list[str]:
         bigrams_on = bool(self.meta.get("bigrams"))
@@ -526,20 +548,16 @@ class SearchExecutor:
         return F.pmod(F.shiftright(doc_id_col, DOC_ID_PART_SHIFT),
                       F.lit(S)).cast("int")
 
-    def run(self, tree: Node, k: int | None,
-            filter_df: DataFrame | None = None) -> DataFrame:
-        """Execute a scored query → DataFrame(doc_id, score).
-
-        ``k=None`` returns ALL matching docs (facet/count path);
-        otherwise each shard emits ≤ k rows and the caller applies the
-        global orderBy/limit (the gather phase is shards × k rows).
-        ``filter_df`` is a DataFrame with a ``doc_id`` column; it is
-        cogrouped per shard (stays distributed).
-        """
-        self._expand_prefixes(tree)
-        terms = self._collect_terms(tree)
+    def _prepare(self, trees: list[Node], k: int | None):
+        """Shared driver-side planning: prefix expansion, term stats →
+        idf, pruning-soundness guard, postings scan with term filter +
+        positions-column pruning. → (terms, ctx dict, postings)."""
+        for t in trees:
+            self._expand_prefixes(t)
+        terms = sorted(set().union(
+            *(self._collect_terms(t) for t in trees)))
         if not terms:
-            return self.spark.createDataFrame([], RESULT_SCHEMA)
+            return terms, None, None
 
         n_docs = float(self.meta["n_docs"])
         avgdl = float(self.meta["avgdl"])
@@ -559,7 +577,6 @@ class SearchExecutor:
         else:  # legacy single-field meta
             prune_ok = avgdl <= float(
                 self.meta.get("encode_avgdl_min", avgdl)) + 1e-9
-        k_prune = k if prune_ok else None
         stats = (self.storage.term_stats(self.spark)
                  .filter(F.col("term").isin(terms)).collect())
         idf = {r["term"]: float(bm25_idf(float(r["df"]), n_docs))
@@ -575,7 +592,7 @@ class SearchExecutor:
             isinstance(l, PhraseLeaf)
             and not (self._phrase_uses_bigrams(l, bigrams_on)
                      and len(l.terms) == 2)
-            for l in tree.leaves())
+            for t in trees for l in t.leaves())
         cols = ["term", "shard", "first_doc", "last_doc", "doc_count",
                 "sum_tf", "max_tf", "block_max_tfnorm", "docs_payload",
                 "tfs_payload", "dls_payload"]
@@ -587,6 +604,24 @@ class SearchExecutor:
         if not need_pos:
             postings = postings.withColumn("pos_payload",
                                            F.lit(b"").cast("binary"))
+        ctx = {"idf": idf, "k_prune": (k if prune_ok else None),
+               "k1": k1, "b": b, "avgdl_by_field": avgdl_by_field,
+               "bigrams": bigrams_on}
+        return terms, ctx, postings
+
+    def run(self, tree: Node, k: int | None,
+            filter_df: DataFrame | None = None) -> DataFrame:
+        """Execute a scored query → DataFrame(doc_id, score).
+
+        ``k=None`` returns ALL matching docs (facet/count path);
+        otherwise each shard emits ≤ k rows and the caller applies the
+        global orderBy/limit (the gather phase is shards × k rows).
+        ``filter_df`` is a DataFrame with a ``doc_id`` column; it is
+        cogrouped per shard (stays distributed).
+        """
+        terms, ctx, postings = self._prepare([tree], k)
+        if not terms:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
 
         def make_eval(blocks_pdf: pd.DataFrame,
                       allowed: np.ndarray | None) -> pd.DataFrame:
@@ -596,8 +631,9 @@ class SearchExecutor:
             by_term = {
                 t: g.sort_values(["first_doc"])
                 for t, g in blocks_pdf.groupby("term", sort=False)}
-            ev = _ShardEval(by_term, idf, k_prune, allowed, k1, b,
-                            avgdl_by_field, bigrams=bigrams_on)
+            ev = _ShardEval(by_term, ctx["idf"], ctx["k_prune"], allowed,
+                            ctx["k1"], ctx["b"], ctx["avgdl_by_field"],
+                            bigrams=ctx["bigrams"])
             ids, scores = ev.eval(tree)
             if k is not None and ids.size > k:
                 # per-shard top-k: exact selection incl. doc_id tiebreak
@@ -626,6 +662,52 @@ class SearchExecutor:
             res = postings.groupBy("shard").applyInPandas(
                 lambda key, pdf: make_eval(pdf, None), RESULT_SCHEMA)
         return res
+
+    def run_multi(self, trees: dict[str, Node],
+                  k: int | None) -> DataFrame:
+        """Evaluate MANY query trees in ONE per-shard pass with
+        attribution → DataFrame(doc_id, score, entity_id).
+
+        One postings scan (union of all trees' terms), one grouped-map
+        job; each shard emits ≤ k rows PER tree. The per-term decode
+        cache is shared across trees inside a shard, so entities with
+        overlapping vocabularies decode each term once. This replaces
+        the per-entity plan-union shape (10k entities = 10k unioned
+        jobs would explode the driver/planner; reference caps mention
+        sources at 10k names, query/mentions.py:76-130)."""
+        items = sorted(trees.items())
+        terms, ctx, postings = self._prepare([t for _, t in items], k)
+        schema = RESULT_SCHEMA + ", entity_id string"
+        if not terms:
+            return self.spark.createDataFrame([], schema)
+
+        def make_eval(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({
+                "doc_id": pd.Series(dtype=np.int64),
+                "score": pd.Series(dtype=np.float64),
+                "entity_id": pd.Series(dtype=object)})
+            if blocks_pdf.empty:
+                return empty
+            by_term = {
+                t: g.sort_values(["first_doc"])
+                for t, g in blocks_pdf.groupby("term", sort=False)}
+            ev = _ShardEval(by_term, ctx["idf"], ctx["k_prune"], None,
+                            ctx["k1"], ctx["b"], ctx["avgdl_by_field"],
+                            bigrams=ctx["bigrams"])
+            parts = []
+            for eid, tree in items:
+                ids, scores = ev.eval(tree)
+                if k is not None and ids.size > k:
+                    order = np.lexsort((ids, -scores))[:k]
+                    ids, scores = ids[order], scores[order]
+                if ids.size:
+                    parts.append(pd.DataFrame({
+                        "doc_id": ids, "score": scores,
+                        "entity_id": eid}))
+            return pd.concat(parts, ignore_index=True) if parts else empty
+
+        return postings.groupBy("shard").applyInPandas(
+            lambda key, pdf: make_eval(pdf), schema)
 
     def topk(self, tree: Node, k: int,
              filter_df: DataFrame | None = None) -> DataFrame:

@@ -74,6 +74,20 @@ def date_histogram(df: DataFrame, field: str, interval: str = "year",
     return counts.orderBy("bucket")
 
 
+def histogram_facet(df: DataFrame, field: str, interval: str) -> DataFrame:
+    """A3 through the search surface: calendar intervals for
+    date/timestamp columns (ES date_histogram), numeric interval width
+    otherwise (ES histogram). → (bucket, count) ordered by bucket."""
+    if interval in _INTERVALS:
+        return date_histogram(df, field, interval)
+    width = float(interval)
+    bucket = (F.floor(F.col(field) / F.lit(width)) * F.lit(width))
+    return (df.filter(F.col(field).isNotNull())
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("count"))
+            .orderBy("bucket"))
+
+
 _METRIC_FNS = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
                "count": F.count}
 

@@ -29,9 +29,11 @@ def doc_term_vector(spark: SparkSession, storage: IndexStorage,
     import numpy as np
     import pandas as pd
     from .executor import SearchExecutor
-    from ..index.codec import decode_block
+    from ..index.codec import varint_decode
     ex = SearchExecutor(spark, storage)
     blocks = (storage.postings(spark)
+              .select("term", "shard", "first_doc", "last_doc",
+                      "doc_count", "docs_payload", "tfs_payload")
               .filter((F.col("shard") == ex.shard_col(F.lit(doc_id)))
                       & (F.col("first_doc") <= doc_id)
                       & (F.col("last_doc") >= doc_id)))
@@ -39,17 +41,26 @@ def doc_term_vector(spark: SparkSession, storage: IndexStorage,
     from ..index.build import FIELD_SEP
 
     def extract(it):
+        # batched decode (no per-row python): ONE varint pass over all
+        # kept blocks, segmented cumsum, then a mask on ids == doc_id
         for pdf in it:
-            terms, tfs = [], []
-            for _, row in pdf.iterrows():
-                if FIELD_SEP in row["term"]:
-                    continue  # MLT draws from the content field only
-                d, t, _ = decode_block(row)
-                j = np.searchsorted(d, np.uint64(doc_id))
-                if j < d.size and d[j] == np.uint64(doc_id):
-                    terms.append(row["term"])
-                    tfs.append(int(t[j]))
-            yield pd.DataFrame({"term": terms, "tf": tfs})
+            pdf = pdf[~pdf["term"].str.contains(FIELD_SEP, regex=False)]
+            if not len(pdf):
+                yield pd.DataFrame({"term": [], "tf": []})
+                continue
+            counts = pdf["doc_count"].to_numpy(np.int64)
+            starts = np.cumsum(counts) - counts
+            deltas = varint_decode(b"".join(pdf["docs_payload"]))
+            total = np.cumsum(deltas.astype(np.int64))
+            base = np.zeros(counts.size, dtype=np.int64)
+            base[1:] = total[starts[1:] - 1]
+            ids = total - np.repeat(base, counts)
+            tfs = varint_decode(b"".join(pdf["tfs_payload"])) + np.uint64(1)
+            mask = ids == doc_id
+            term_idx = np.repeat(np.arange(len(pdf)), counts)[mask]
+            yield pd.DataFrame({
+                "term": pdf["term"].to_numpy()[term_idx],
+                "tf": tfs[mask].astype(np.int32)})
 
     return [(r["term"], r["tf"]) for r in
             blocks.mapInPandas(extract, "term string, tf int").collect()]

@@ -204,6 +204,7 @@ class SearchArgs:
     facet_size: dict[str, int] = field(default_factory=dict)
     facet_total: list[str] = field(default_factory=list)
     facet_interval: dict[str, str] = field(default_factory=dict)
+    facet_significant: list[str] = field(default_factory=list)
     metrics: dict[str, list[str]] = field(default_factory=dict)  # op→props
     sort: list[tuple[str, bool]] = field(default_factory=list)  # (field, asc)
     synonyms: bool = False
@@ -261,6 +262,10 @@ def parse_args(args: dict[str, list[str] | str]) -> SearchArgs:
             out.facet_total.append(key[len("facet_total:"):])
         elif key.startswith("facet_interval:"):
             out.facet_interval[key[len("facet_interval:"):]] = vals[-1]
+        elif key.startswith("facet_significant:"):
+            if vals[-1].lower() in ("true", "1", "yes"):
+                out.facet_significant.append(
+                    key[len("facet_significant:"):])
         elif key.startswith("metric:"):
             op = key[len("metric:"):]
             out.metrics.setdefault(op, []).extend(vals)
@@ -283,3 +288,37 @@ def parse_args(args: dict[str, list[str] | str]) -> SearchArgs:
     if out.offset + out.limit > MAX_PAGE:
         out.limit = max(0, MAX_PAGE - out.offset)
     return out
+
+
+# ---------------------------------------------------------------------------
+# partial-date inputs (reference index/mapping.py:35,47 format chain:
+# yyyy-MM-dd'T'HH:mm:ss || yyyy-MM-dd || yyyy-MM || yyyy)
+# ---------------------------------------------------------------------------
+
+def partial_date_bounds(value: str) -> tuple[str, str] | None:
+    """ES partial-date range semantics: a truncated date names a whole
+    period. → (start_iso, end_iso_exclusive), or None if the value
+    isn't date-like. Full date-times are exact (end == start)."""
+    import datetime as _dt
+    v = value.strip()
+    m = re.fullmatch(r"(\d{4})", v)
+    if m:
+        y = int(m.group(1))
+        return (f"{y:04d}-01-01 00:00:00", f"{y + 1:04d}-01-01 00:00:00")
+    m = re.fullmatch(r"(\d{4})-(\d{2})", v)
+    if m:
+        y, mo = int(m.group(1)), int(m.group(2))
+        y2, mo2 = (y + 1, 1) if mo == 12 else (y, mo + 1)
+        return (f"{y:04d}-{mo:02d}-01 00:00:00",
+                f"{y2:04d}-{mo2:02d}-01 00:00:00")
+    m = re.fullmatch(r"(\d{4})-(\d{2})-(\d{2})", v)
+    if m:
+        d = _dt.date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+        nxt = d + _dt.timedelta(days=1)
+        return (f"{d.isoformat()} 00:00:00", f"{nxt.isoformat()} 00:00:00")
+    try:
+        ts = _dt.datetime.fromisoformat(v.replace("T", " "))
+    except ValueError:
+        return None
+    iso = ts.strftime("%Y-%m-%d %H:%M:%S")
+    return (iso, iso)  # exact point

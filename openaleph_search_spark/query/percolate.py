@@ -235,19 +235,23 @@ def mentions_query(engine, names: list[str], k: int = 10,
 
 def multi_mentions(engine, entities: dict[str, list[str]], k: int = 10,
                    slop: int = DEFAULT_SLOP) -> DataFrame:
-    """Per-entity attribution: union of per-entity mention queries
-    (entity count is driver-bounded, reference caps at 10k names)."""
-    parts = []
+    """Per-entity attribution in ONE Spark job: every entity's phrase
+    tree is evaluated in a single per-shard grouped-map pass (shared
+    postings scan + per-term decode cache), then a per-entity window
+    keeps the global top-k. The previous shape — one topk() plan per
+    entity unioned together — was a driver/planner explosion at the
+    reference's 10k-entity cap (query/mentions.py:76-130)."""
+    trees = {}
     for eid, names in sorted(entities.items()):
         tree = mentions_tree(names, slop)
-        if tree is None:
-            continue
-        parts.append(engine.executor.topk(tree, k)
-                     .withColumn("entity_id", F.lit(eid)))
-    if not parts:
+        if tree is not None:
+            trees[eid] = tree
+    if not trees:
         return engine.spark.createDataFrame(
             [], "doc_id long, score double, entity_id string")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    from pyspark.sql import Window
+    res = engine.executor.run_multi(trees, k)
+    w = Window.partitionBy("entity_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (res.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))

@@ -38,11 +38,13 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_dir: str,
     fields: dict[str, str] = meta.get("field_map") or {
         f: f for f in meta.get("fields", []) if f != "content"}
     bigrams = bool(meta.get("bigrams", False))
+    meta_cols: list[str] = meta.get("meta_cols") or []
     # epoch partitions live above the base namespace → doc ids unique
     base_part = (max(storage.completed_partitions(), default=P - 1) + 1)
 
     base_cols = ["repo", "path", "commit", "lang", "content"]
-    extra_cols = [c for c in fields.values() if c not in base_cols]
+    extra_cols = [c for c in {*fields.values(), *meta_cols}
+                  if c not in base_cols]
     prepared = docs.select(
         *base_cols, *extra_cols,
         F.sha2(F.col("content"), 256).alias("content_sha256"),
@@ -51,7 +53,8 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_dir: str,
         .cast("int").alias("src_part"))
     (prepared.groupBy("src_part")
      .applyInPandas(_spimi_writer(storage, meta["with_positions"], 1,
-                                  lambda sp: sp % S, fields, bigrams),
+                                  lambda sp: sp % S, fields, bigrams,
+                                  meta_cols),
                     MANIFEST_SCHEMA)).collect()
 
     n_docs = storage.doc_meta(spark).count()

@@ -89,3 +89,64 @@ def test_diversified_sample(spark):
     out = diversified_sample(df, "g", "v", cap=3)
     assert out.count() == 6
     assert out.groupBy("g").count().agg(F.max("count")).collect()[0][0] == 3
+
+
+def test_engine_facet_interval_and_dates(spark, fixture_docs_df, tmp_path):
+    """VERDICT r1: facet_interval + partial-date ranges must work
+    THROUGH Engine.search (reference parse/parser.py:160-300 dialect).
+    Index stores a typed timestamp via meta_cols (doc_values role)."""
+    from pyspark.sql import functions as F
+    from openaleph_search_spark.index.build import build_index
+    from openaleph_search_spark.query.engine import Engine
+    docs = fixture_docs_df.withColumn(
+        "created",
+        F.expr("timestamp'2021-01-01 00:00:00' + make_interval(0, 0, 0, "
+               "cast(crc32(path) % 400 as int), 0, 0, 0)"))
+    out = str(tmp_path / "idx_dates")
+    build_index(spark, docs, out, num_partitions=4, num_shards=2,
+                meta_cols=["created"])
+    eng = Engine(spark, out)
+    assert "created" in eng.doc_meta.columns
+
+    # date_histogram through the arg dialect
+    res = eng.search({"q": "banana OR kwazulu", "facet": "created",
+                      "facet_interval:created": "month", "limit": 0})
+    buckets = res.facets["created"].collect()
+    assert sum(r["count"] for r in buckets) == 4  # 4 matching docs
+    # zero-fill: consecutive months between min and max
+    months = [r["bucket"] for r in buckets]
+    assert months == sorted(months) and len(months) >= 2
+
+    # numeric histogram through the same arg
+    res2 = eng.search({"facet": "doc_len",
+                       "facet_interval:doc_len": "5", "limit": 0})
+    total = sum(r["count"] for r in res2.facets["doc_len"].collect())
+    assert total == eng.doc_meta.count()
+
+    # partial-date range semantics: gte:yyyy / lte:yyyy-MM name periods
+    sub = eng.search({"filter:gte:created": "2021", "limit": 100},
+                     with_total=True)
+    assert sub.total == docs.filter("created >= '2021-01-01'").count()
+    y, m = 2021, 6
+    lte = eng.search({"filter:lte:created": f"{y}-{m:02d}", "limit": 100},
+                     with_total=True)
+    assert lte.total == docs.filter(
+        f"created < '{y}-{m + 1:02d}-01'").count()
+    # exact full timestamp stays a point comparison
+    one = docs.select("created").collect()[0]["created"]
+    iso = one.strftime("%Y-%m-%dT%H:%M:%S")
+    gt = eng.search({"filter:gt:created": iso, "limit": 100},
+                    with_total=True)
+    assert gt.total == docs.filter(F.col("created") > F.lit(one)).count()
+
+
+def test_engine_facet_significant(spark, fixture_engine):
+    """A5 through Engine.search: matched docs vs collection background."""
+    res = fixture_engine.search({"q": "banana",
+                                 "facet_significant:lang": "true",
+                                 "limit": 0})
+    rows = res.significant["lang"].collect()
+    assert rows, "significant facet empty"
+    # 'go' is maximally over-represented: 1/2 fg vs 1/10 bg
+    assert rows[0]["value"] == "go"
+    assert rows[0]["fg_count"] == 1 and rows[0]["bg_count"] == 1

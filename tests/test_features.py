@@ -191,3 +191,24 @@ def test_synonyms_preserve_field(spark, fixture_index, syn_table):
     res2 = eng.search({"q": "path:igumnov", "synonyms": "true",
                        "limit": 10})
     assert {r["path"] for r in res2.hit_rows(0, 10)} == {"a/igumnov.md"}
+
+
+def test_multi_mentions_single_job_parity(fixture_engine):
+    """VERDICT r1: multi_mentions must run as ONE grouped-map job and
+    return exactly what per-entity topk() unions returned."""
+    from openaleph_search_spark.query.percolate import (mentions_tree,
+                                                        multi_mentions)
+    entities = {"e1": ["Banana"], "e2": ["KwaZulu Natal"],
+                "e3": ["Vladimir Igumnov", "Wladimir Igumnow"],
+                "e4": ["nothing matches this"]}
+    got = sorted(
+        ((r["entity_id"], r["doc_id"], round(r["score"], 9))
+         for r in multi_mentions(fixture_engine, entities, k=5).collect()))
+    want = []
+    for eid, names in entities.items():
+        tree = mentions_tree(names, 2)
+        if tree is None:
+            continue
+        for r in fixture_engine.executor.topk(tree, 5).collect():
+            want.append((eid, r["doc_id"], round(r["score"], 9)))
+    assert got == sorted(want) and got, got
