@@ -89,7 +89,6 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
     the ES stored-field role for typed metadata like timestamps).
     """
     import pyarrow as pa
-    import pyarrow.parquet as pq
     fields = fields or {}
     meta_cols = meta_cols or []
 
@@ -221,11 +220,12 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
             **{c: pdf[c] for c in meta_cols},
         })
 
-        os.makedirs(storage.tf_runs_dir, exist_ok=True)
-        os.makedirs(storage.doc_meta_dir, exist_ok=True)
-        os.makedirs(storage.manifest_dir, exist_ok=True)
-        os.makedirs(storage.term_stats_parts_dir, exist_ok=True)
-        os.makedirs(storage.field_lens_dir, exist_ok=True)
+        # all direct writes go through storage.io (pyarrow.fs): works on
+        # object stores / HDFS, atomic under speculative task attempts
+        for d in (storage.tf_runs_dir, storage.doc_meta_dir,
+                  storage.manifest_dir, storage.term_stats_parts_dir,
+                  storage.field_lens_dir):
+            storage.io.mkdirs(d)
         run_schema = pa.schema([
             ("term", pa.string()), ("shard", pa.int32()),
             ("first_doc", pa.int64()), ("last_doc", pa.int64()),
@@ -234,7 +234,7 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
             ("docs_payload", pa.binary()), ("tfs_payload", pa.binary()),
             ("dls_payload", pa.binary()), ("pos_payload", pa.binary()),
         ])
-        pq.write_table(
+        storage.io.write_parquet_atomic(
             pa.Table.from_pandas(run, schema=run_schema,
                                  preserve_index=False),
             os.path.join(storage.tf_runs_dir, f"part={src_part}.parquet"))
@@ -246,7 +246,7 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
                 meta_tbl = meta_tbl.set_column(
                     i, fld.name, meta_tbl.column(i).cast(
                         pa.timestamp("us", fld.type.tz)))
-        pq.write_table(
+        storage.io.write_parquet_atomic(
             meta_tbl,
             os.path.join(storage.doc_meta_dir, f"part={src_part}.parquet"))
         # per-doc per-field lengths (long format, zero rows skipped):
@@ -266,7 +266,7 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
             "dl": (np.concatenate(fl_dls).astype(np.int32) if fl_dls
                    else np.empty(0, np.int32)),
         })
-        pq.write_table(
+        storage.io.write_parquet_atomic(
             pa.Table.from_pandas(fl, preserve_index=False,
                                  schema=pa.schema([
                                      ("doc_id", pa.int64()),
@@ -282,7 +282,7 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
                   .reset_index())
         else:
             ts = pd.DataFrame({"term": [], "df": [], "cf": []})
-        pq.write_table(
+        storage.io.write_parquet_atomic(
             pa.Table.from_pandas(ts, preserve_index=False,
                                  schema=pa.schema([
                                      ("term", pa.string()),
@@ -292,11 +292,10 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
                          f"part={src_part}.parquet"))
 
         # per-field (docs, tokens) partials → global per-field avgdl
-        fstats_path = os.path.join(storage.manifest_dir,
-                                   f"fields_part={src_part}.json")
-        with open(fstats_path + ".tmp", "w") as f:
-            json.dump(field_stats, f)
-        os.replace(fstats_path + ".tmp", fstats_path)
+        storage.io.write_bytes_atomic(
+            os.path.join(storage.manifest_dir,
+                         f"fields_part={src_part}.json"),
+            json.dumps(field_stats).encode())
 
         row = {
             "src_part": src_part, "status": "done", "docs": n,
@@ -304,10 +303,8 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
             "seconds": time.time() - t0, "attempt": attempt,
         }
         # JSON manifest written LAST = the atomic per-partition commit.
-        tmp = storage.manifest_path(src_part) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(row, f)
-        os.replace(tmp, storage.manifest_path(src_part))
+        storage.io.write_bytes_atomic(storage.manifest_path(src_part),
+                                      json.dumps(row).encode())
         return pd.DataFrame([row])
 
     return fn
@@ -407,9 +404,9 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
     avgdl_by_field = _read_field_stats(storage)
 
-    if not os.path.isdir(storage.tf_runs_dir):
+    if not storage.io.isdir(storage.tf_runs_dir):
         # empty corpus: materialize empty tables so readers work
-        os.makedirs(storage.tf_runs_dir, exist_ok=True)
+        storage.io.mkdirs(storage.tf_runs_dir)
         # no partitionBy: an empty partitioned write leaves no schema
         (spark.createDataFrame([], POSTINGS_SCHEMA).write
          .mode("overwrite").parquet(storage.postings_dir))
@@ -476,14 +473,16 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
 
 def _read_field_stats(storage: IndexStorage) -> dict[str, float]:
     """Per-field avgdl from the per-partition field-stat jsons."""
-    import glob
     totals: dict[str, list[int]] = {}
-    for p in glob.glob(os.path.join(storage.manifest_dir,
-                                    "fields_part=*.json")):
-        with open(p) as f:
-            for fname, (docs_f, toks_f) in json.load(f).items():
-                t = totals.setdefault(fname, [0, 0])
-                t[0] += docs_f
-                t[1] += toks_f
+    for name in storage.io.listdir(storage.manifest_dir):
+        if not (name.startswith("fields_part=")
+                and name.endswith(".json")):
+            continue
+        stats = json.loads(storage.io.read_bytes(
+            os.path.join(storage.manifest_dir, name)))
+        for fname, (docs_f, toks_f) in stats.items():
+            t = totals.setdefault(fname, [0, 0])
+            t[0] += docs_f
+            t[1] += toks_f
     return {f: (t[1] / t[0] if t[0] else 0.0)
             for f, t in totals.items()}

@@ -30,8 +30,7 @@ def tombstones_dir(storage: IndexStorage) -> str:
 def read_tombstones(spark: SparkSession,
                     storage: IndexStorage) -> DataFrame | None:
     d = tombstones_dir(storage)
-    if not os.path.isdir(d) or not any(
-            f.endswith(".parquet") for f in os.listdir(d)):
+    if not any(f.endswith(".parquet") for f in storage.io.listdir(d)):
         return None
     return spark.read.parquet(d).select("doc_id").distinct()
 
@@ -153,9 +152,7 @@ def compact(spark: SparkSession, storage: IndexStorage) -> None:
     closure broadcast), then EVERY block's impact bound is re-filled
     with the fresh post-delete per-field avgdl, so block-max pruning is
     fully restored (encode_avgdl_min_by_field == avgdl_by_field)."""
-    import glob as _glob
     import json as _json
-    import shutil
 
     from .build import (DOC_ID_PART_SHIFT, POSTINGS_SCHEMA,
                         fill_block_max)
@@ -183,8 +180,8 @@ def compact(spark: SparkSession, storage: IndexStorage) -> None:
     def swap(df_writer, target):
         tmp = target + ".compact"
         df_writer(tmp)
-        shutil.rmtree(target)
-        os.replace(tmp, target)
+        storage.io.delete_dir(target)
+        storage.io.move(tmp, target)
 
     # order matters: materialize everything reading OLD paths first
     swap(lambda d: (runs_clean
@@ -222,15 +219,14 @@ def compact(spark: SparkSession, storage: IndexStorage) -> None:
          storage.term_stats_parts_dir)
     # consolidate the per-partition field-stat partials to the
     # post-delete truth (appends re-read these via _read_field_stats)
-    for p in _glob.glob(os.path.join(storage.manifest_dir,
-                                     "fields_part=*.json")):
-        os.remove(p)
-    cpath = os.path.join(storage.manifest_dir,
-                         "fields_part=compacted.json")
-    with open(cpath + ".tmp", "w") as f:
-        _json.dump({fn: (n_docs, t) for fn, t in field_totals.items()},
-                   f)
-    os.replace(cpath + ".tmp", cpath)
+    for name in storage.io.listdir(storage.manifest_dir):
+        if name.startswith("fields_part=") and name.endswith(".json"):
+            storage.io.delete_file(
+                os.path.join(storage.manifest_dir, name))
+    storage.io.write_bytes_atomic(
+        os.path.join(storage.manifest_dir, "fields_part=compacted.json"),
+        _json.dumps({fn: (n_docs, t)
+                     for fn, t in field_totals.items()}).encode())
 
     meta.update({
         "n_docs": n_docs, "avgdl": avgdl,
@@ -240,4 +236,4 @@ def compact(spark: SparkSession, storage: IndexStorage) -> None:
             f: a for f, a in avgdl_by_field.items() if a > 0},
     })
     storage.write_meta(meta)
-    shutil.rmtree(tombstones_dir(storage), ignore_errors=True)
+    storage.io.delete_dir(tombstones_dir(storage), missing_ok=True)

@@ -23,14 +23,20 @@ from __future__ import annotations
 
 import json
 import os
-import glob
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .fsio import FsIO
 
 
 class IndexStorage:
     def __init__(self, index_dir: str):
-        self.root = index_dir
+        self.root = index_dir.rstrip("/")
+        # side-channel (non-Spark) I/O goes through pyarrow.fs — the
+        # index root may be file:// / hdfs:// / s3://; Spark reads the
+        # same URIs through Hadoop FS
+        self.io = FsIO(self.root)
+        index_dir = self.root
         self.meta_path = os.path.join(index_dir, "meta.json")
         self.manifest_dir = os.path.join(index_dir, "manifest")
         self.doc_meta_dir = os.path.join(index_dir, "doc_meta")
@@ -43,18 +49,16 @@ class IndexStorage:
 
     # -- meta ---------------------------------------------------------------
     def write_meta(self, meta: dict) -> None:
-        os.makedirs(self.root, exist_ok=True)
-        tmp = self.meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f, indent=2, sort_keys=True)
-        os.replace(tmp, self.meta_path)
+        self.io.mkdirs(self.root)
+        self.io.write_bytes_atomic(
+            self.meta_path,
+            json.dumps(meta, indent=2, sort_keys=True).encode())
 
     def read_meta(self) -> dict:
-        with open(self.meta_path) as f:
-            return json.load(f)
+        return json.loads(self.io.read_bytes(self.meta_path))
 
     def exists(self) -> bool:
-        return os.path.exists(self.meta_path)
+        return self.io.exists(self.meta_path)
 
     # -- manifest (per-partition checkpoints) --------------------------------
     def manifest_path(self, src_part: int) -> str:
@@ -63,10 +67,12 @@ class IndexStorage:
     def completed_partitions(self) -> dict[int, dict]:
         """Map src_part → manifest row for partitions already built."""
         out: dict[int, dict] = {}
-        for p in glob.glob(os.path.join(self.manifest_dir, "part=*.json")):
+        for name in self.io.listdir(self.manifest_dir):
+            if not (name.startswith("part=") and name.endswith(".json")):
+                continue
             try:
-                with open(p) as f:
-                    row = json.load(f)
+                row = json.loads(self.io.read_bytes(
+                    os.path.join(self.manifest_dir, name)))
                 if row.get("status") == "done":
                     out[int(row["src_part"])] = row
             except (ValueError, OSError, json.JSONDecodeError):

@@ -43,21 +43,36 @@ class SearchResult:
 
 class Engine:
     def __init__(self, spark: SparkSession, index_dir: str,
-                 synonyms=None, source_docs: DataFrame | None = None):
+                 synonyms=None, source_docs: DataFrame | None = None,
+                 require_auth: bool = False, auth_field: str = "repo"):
         """``synonyms``: a SynonymTable or a path to a synonym file
         (search-time expansion, Q22/Q23). ``source_docs``: the original
         docs table — needed only for content-bearing features
-        (highlighting), mirroring the reference's _source excludes."""
+        (highlighting), mirroring the reference's _source excludes.
+        ``require_auth``: every search/count must carry a SearchAuth
+        (reference OPENALEPH_SEARCH_AUTH=true; query/auth.py)."""
         self.spark = spark
         self.storage = IndexStorage(index_dir)
         self.executor = SearchExecutor(spark, self.storage)
         self._doc_meta: DataFrame | None = None
         self._has_tombstones = False
         self.source_docs = source_docs
+        self.require_auth = require_auth
+        self.auth_field = auth_field
         if isinstance(synonyms, str):
             from .synonyms import SynonymTable
             synonyms = SynonymTable.from_file(synonyms)
         self.synonyms = synonyms
+
+    def _auth_pred(self, auth):
+        """Mandatory session ACL conjunct (query/auth.py semantics)."""
+        if auth is None:
+            if self.require_auth:
+                raise RuntimeError(
+                    "auth required: pass auth=SearchAuth(...) "
+                    "(reference model.py:11-28)")
+            return None
+        return auth.predicate(self.auth_field)
 
     # -- public surface -------------------------------------------------------
     def analyze(self, text: str) -> list[tuple[str, int]]:
@@ -78,8 +93,8 @@ class Engine:
             self._doc_meta = dm
         return self._doc_meta
 
-    def search(self, args: dict | SearchArgs, with_total: bool = False
-               ) -> SearchResult:
+    def search(self, args: dict | SearchArgs, with_total: bool = False,
+               auth=None) -> SearchResult:
         sa = args if isinstance(args, SearchArgs) else parse_args(args)
         tree = self._plan(sa)
 
@@ -89,6 +104,12 @@ class Engine:
         pre_filters = {f: v for f, v in sa.filters.items()
                        if f not in post_fields}
         pre_pred = self._predicate(pre_filters, sa)
+        auth_pred = self._auth_pred(auth)
+        if auth_pred is not None:
+            # injected BEFORE user filters — facets and post-filters all
+            # run inside the visibility set; never widened by filter:
+            pre_pred = auth_pred if pre_pred is None \
+                else (auth_pred & pre_pred)
         base_meta = self.doc_meta.filter(pre_pred) if pre_pred is not None \
             else self.doc_meta
 
@@ -179,11 +200,14 @@ class Engine:
                             facet_totals=facet_totals,
                             significant=significant, metrics=metrics_df)
 
-    def count(self, args: dict | SearchArgs) -> int:
+    def count(self, args: dict | SearchArgs, auth=None) -> int:
         """Q31: filtered match count without hits."""
         sa = args if isinstance(args, SearchArgs) else parse_args(args)
         tree = self._plan(sa)
         pred = self._predicate(sa.filters, sa)
+        auth_pred = self._auth_pred(auth)
+        if auth_pred is not None:
+            pred = auth_pred if pred is None else (auth_pred & pred)
         base = self.doc_meta.filter(pred) if pred is not None else self.doc_meta
         if isinstance(tree, MatchAll):
             return base.count()

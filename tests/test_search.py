@@ -267,3 +267,53 @@ def test_negated_phrase(fixture_engine):
     res = fixture_engine.search({"q": '-"banana crime"', "limit": 100},
                                 with_total=True)
     assert res.total == len(FIXTURE_DOCS) - 1
+
+
+def test_search_auth_model(spark, fixture_index):
+    """SearchAuth semantics ported from the reference
+    (tests/test_search_auth.py:31-60): admin bypass, empty dataset set
+    -> match_none, mandatory injection, facet + explicit-filter
+    interplay. Dataset field re-based to repo."""
+    import pytest as _pytest
+    from openaleph_search_spark.query.auth import SearchAuth
+    from openaleph_search_spark.query.engine import Engine
+    eng = Engine(spark, fixture_index, require_auth=True)
+    unauthenticated = SearchAuth()
+    auth_public = SearchAuth(datasets={"r1"}, logged_in=True)
+    auth_private = SearchAuth(datasets={"r1", "r2", "r3"}, logged_in=True)
+    auth_admin = SearchAuth(is_admin=True, logged_in=True)
+
+    n_r1 = len([d for d in FIXTURE_DOCS if d[0] == "r1"])
+    n_all = len(FIXTURE_DOCS)
+
+    # no auth object raises when auth is required
+    with _pytest.raises(RuntimeError):
+        eng.search({"limit": 10})
+    with _pytest.raises(RuntimeError):
+        eng.count({"q": "banana"})
+    # unauthenticated sees nothing
+    assert eng.search({"limit": 100}, with_total=True,
+                      auth=unauthenticated).total == 0
+    assert eng.count({"q": "banana"}, auth=unauthenticated) == 0
+    # public / private / admin tiers
+    assert eng.search({"limit": 100}, with_total=True,
+                      auth=auth_public).total == n_r1
+    assert eng.search({"limit": 100}, with_total=True,
+                      auth=auth_private).total == n_all
+    assert eng.search({"limit": 100}, with_total=True,
+                      auth=auth_admin).total == n_all
+
+    # q + facet: facet buckets honor the ACL
+    res = eng.search({"q": "banana", "facet": "repo", "limit": 10},
+                     auth=auth_public)
+    assert {r["value"] for r in res.facets["repo"].collect()} == {"r1"}
+    # banana also lives in r2 (crime.go) — public can't see it
+    assert eng.count({"q": "banana"}, auth=auth_public) == 1
+    assert eng.count({"q": "banana"}, auth=auth_private) == 2
+    # explicit filter:repo can't bypass the ACL
+    assert eng.count({"q": "banana", "filter:repo": "r2"},
+                     auth=auth_public) == 0
+    # scored hits path (limit without facets) honors it too
+    hits = eng.search({"q": "banana", "limit": 10},
+                      auth=auth_public).hit_rows(0, 10)
+    assert {h["repo"] for h in hits} == {"r1"}
