@@ -150,9 +150,8 @@ class Engine:
                 hits = hits.filter(self._post_pred(sa, post_fields))
             hits = hits.limit(sa.k)
             if sa.highlight:
-                hits = self._highlight(hits, tree, sa.highlight_count,
-                                       sa.highlight_length)
-            return SearchResult(hits=hits)
+                hits = self._highlight(hits, tree, sa)
+            return SearchResult(hits=self._dehydrate(hits, sa))
 
         facets, facet_totals, significant = {}, {}, {}
         for f in sa.facets:
@@ -193,8 +192,8 @@ class Engine:
             hits = fully.orderBy(F.desc("score"), F.asc("doc_id"))
         hits = hits.limit(sa.k) if sa.k else hits.limit(0)
         if sa.highlight and not isinstance(tree, MatchAll):
-            hits = self._highlight(hits, tree, sa.highlight_count,
-                                   sa.highlight_length)
+            hits = self._highlight(hits, tree, sa)
+        hits = self._dehydrate(hits, sa)
         return SearchResult(hits=hits,
                             total=total, facets=facets,
                             facet_totals=facet_totals,
@@ -273,6 +272,8 @@ class Engine:
 
         def walk(n: Node) -> Node:
             if isinstance(n, TermLeaf):
+                if FIELD_SEP in n.term:
+                    return n  # already a resolved dictionary term
                 if n.field:
                     return TermLeaf(prefix(n.term, n.field), n.boost)
                 if qfields:
@@ -343,15 +344,28 @@ class Engine:
                       "gt": col > lit, "lt": col < lit}[op])
         return pred
 
+    # short-code filter groups are never highlighted (reference
+    # base.py:414-423: "es" for Spain would match German text)
+    HIGHLIGHT_SKIP_FILTERS = {"lang"}
+
     def _highlight(self, hits: DataFrame, tree: Node,
-                   max_fragments: int,
-                   fragment_size: int = 200) -> DataFrame:
+                   sa: SearchArgs) -> DataFrame:
         """Q24: fragment extraction on the top-k hit set only. Content
         comes from the source docs table (the index stores none —
         reference _source-excludes design); the join side is k rows →
-        broadcast."""
+        broadcast.
+
+        ``highlight_query`` overrides the term source (reference
+        get_highlighter text override); values of human-readable
+        filters are highlighted too (base.py:414-446)."""
         if self.source_docs is None:
             return hits
+        max_fragments = sa.highlight_count
+        fragment_size = sa.highlight_length
+        if sa.highlight_query:
+            tree = parse_query_string(sa.highlight_query)
+            if sa.synonyms and self.synonyms is not None:
+                tree = self.synonyms.rewrite(tree)
         terms: set[str] = set()
         for leaf in tree.leaves():
             if isinstance(leaf, TermLeaf):
@@ -360,6 +374,13 @@ class Engine:
                 terms.update(leaf.terms)
             elif isinstance(leaf, PrefixLeaf):
                 terms.update(leaf.expanded or [])
+        # filter-value highlighting (human-readable groups only)
+        from ..analysis.analyzer import analyze_query_terms
+        for f, vals in sa.filters.items():
+            if f in self.HIGHLIGHT_SKIP_FILTERS or ":" in f:
+                continue
+            for v in vals:
+                terms.update(analyze_query_terms(v))
         # highlighting targets the content field only
         terms = {t for t in terms if FIELD_SEP not in t}
 
@@ -383,6 +404,27 @@ class Engine:
             for f in joined.schema.fields if f.name != "content"
         ) + ", highlights array<string>"
         return joined.mapInPandas(add_hl, schema)
+
+    # reference queries.py:279-294: include_fields accepts both plain
+    # column names and GROUP names that expand to column sets (the FtM
+    # property-group expansion, re-based onto the code-table columns)
+    FIELD_GROUPS = {
+        "identity": ["repo", "path", "commit"],
+        "stats": ["doc_len", "content_sha256"],
+    }
+    DEHYDRATE_BASE = ["doc_id", "score", "repo", "path"]
+
+    def _dehydrate(self, hits: DataFrame, sa: SearchArgs) -> DataFrame:
+        """Q25: strip the hit payload to the fast-path column set;
+        include_fields adds columns (or whole groups) back."""
+        if not sa.dehydrate:
+            return hits
+        cols = [c for c in self.DEHYDRATE_BASE if c in hits.columns]
+        for f in sa.include_fields:
+            for c in self.FIELD_GROUPS.get(f, [f]):
+                if c in hits.columns and c not in cols:
+                    cols.append(c)
+        return hits.select(*cols)
 
     def _post_pred(self, sa: SearchArgs, fields: list[str]):
         pred = F.lit(True)

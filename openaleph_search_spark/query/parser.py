@@ -208,9 +208,12 @@ class SearchArgs:
     metrics: dict[str, list[str]] = field(default_factory=dict)  # op→props
     sort: list[tuple[str, bool]] = field(default_factory=list)  # (field, asc)
     synonyms: bool = False
+    dehydrate: bool = False
+    include_fields: list[str] = field(default_factory=list)
     highlight: bool = False
     highlight_count: int = 3
     highlight_length: int = 200  # fragment_size (reference settings.py:85)
+    highlight_query: str | None = None  # term-source override (Q24)
     qfields: list[tuple[str, float]] = field(default_factory=list)
     function_score: bool = False
 
@@ -276,6 +279,12 @@ def parse_args(args: dict[str, list[str] | str]) -> SearchArgs:
                     out.qfields.append((name, float(boost or 1.0)))
         elif key == "synonyms":
             out.synonyms = vals[-1].lower() in ("true", "1", "yes")
+        elif key == "dehydrate":
+            out.dehydrate = vals[-1].lower() in ("true", "1", "yes")
+        elif key == "include_fields":
+            for v in vals:
+                out.include_fields.extend(
+                    x.strip() for x in v.split(",") if x.strip())
         elif key == "function_score":
             out.function_score = vals[-1].lower() in ("true", "1", "yes")
         elif key == "highlight":
@@ -284,6 +293,8 @@ def parse_args(args: dict[str, list[str] | str]) -> SearchArgs:
             out.highlight_count = int(vals[-1])
         elif key == "highlight_length":
             out.highlight_length = int(vals[-1])
+        elif key == "highlight_query":
+            out.highlight_query = vals[-1]
     # pagination ceiling, reference parser.py:153-155
     if out.offset + out.limit > MAX_PAGE:
         out.limit = max(0, MAX_PAGE - out.offset)

@@ -33,6 +33,48 @@ SINGLE_TOKEN_MIN_LENGTH = 7  # reference pytest env pins 7
 NAME_BOOST = 2.0
 OTHER_NAME_BOOST = 0.8
 DEFAULT_SLOP = 2
+MAX_PICKED_NAMES = 5   # reference pick_names budget (matching.py:31-69)
+MAX_CLAUSES = 500      # reference MAX_CLAUSES (matching.py:28)
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Plain DP edit distance — names are short, driver-side only."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def pick_names(names: list[str], limit: int = MAX_PICKED_NAMES
+               ) -> list[str]:
+    """Bound a huge alias list to a few representative names before
+    query compilation (reference matching.py:31-69: an entity with
+    hundreds of aliases would be prohibitively expensive to search).
+
+    Deterministic re-base of the reference algorithm: the centroid is
+    the name minimizing the summed edit distance to all others (the
+    registry.name.pick role), then greedily add the name MAXIMIZING
+    summed distance to everything picked (diversity)."""
+    names = sorted(set(names))
+    if len(names) <= limit:
+        return names
+    sums = {n: sum(_levenshtein(n, m) for m in names if m != n)
+            for n in names}
+    picked = [min(names, key=lambda n: (sums[n], n))]  # centroid
+    while len(picked) < limit:
+        rest = [n for n in names if n not in picked]
+        best = max(rest, key=lambda n: (
+            sum(_levenshtein(n, p) for p in picked), n))
+        picked.append(best)
+    return picked
 
 
 def clean_names(names: list[str],
@@ -67,13 +109,25 @@ def compile_watchlist(rows: list[dict],
     out = []
     for r in rows:
         clauses = [(t, NAME_BOOST) for t in
-                   clean_names(r.get("names"), single_token_min_length)]
+                   _budgeted_names(r.get("names"),
+                                   single_token_min_length)]
         clauses += [(t, OTHER_NAME_BOOST) for t in
-                    clean_names(r.get("other_names"),
-                                single_token_min_length)]
+                    _budgeted_names(r.get("other_names"),
+                                    single_token_min_length)]
         if clauses:
-            out.append(StoredQuery(str(r["entity_id"]), clauses))
+            out.append(StoredQuery(str(r["entity_id"]),
+                                   clauses[:MAX_CLAUSES]))
     return out
+
+
+def _budgeted_names(names, single_token_min_length: int
+                    ) -> list[list[str]]:
+    """clean → (if over budget) pick_names → token lists."""
+    cleaned = clean_names(names, single_token_min_length)
+    if len(cleaned) <= MAX_PICKED_NAMES:
+        return cleaned
+    keep = set(pick_names([" ".join(t) for t in cleaned]))
+    return [t for t in cleaned if " ".join(t) in keep]
 
 
 def _phrase_hits(pos_map: dict, tokens: list[str], slop: int) -> int:
@@ -210,6 +264,79 @@ def percolate_docs(docs: DataFrame, stored: list[StoredQuery],
             f"matched_names array<string>")
 
 
+# ---------------------------------------------------------------------------
+# stored percolator registry (reference index/indexes.py:119-124 persists
+# one percolator query per entity in the index; here the compiled
+# watchlist lives under <index>/percolator/ and is registered once)
+# ---------------------------------------------------------------------------
+
+def register_watchlist(storage, rows: list[dict],
+                       single_token_min_length: int =
+                       SINGLE_TOKEN_MIN_LENGTH) -> int:
+    """Compile and PERSIST watchlist entities into the index directory
+    (register once, percolate many times). Re-registering an entity_id
+    replaces its stored query. → number of stored queries written."""
+    import json
+    compiled = compile_watchlist(rows, single_token_min_length)
+    reg_dir = _registry_dir(storage)
+    storage.io.mkdirs(reg_dir)
+    existing = load_watchlist(storage)
+    by_id = {sq.entity_id: sq for sq in existing}
+    for sq in compiled:
+        by_id[sq.entity_id] = sq
+    payload = [{"entity_id": sq.entity_id,
+                "clauses": [[toks, boost] for toks, boost in sq.clauses]}
+               for sq in sorted(by_id.values(),
+                                key=lambda s: s.entity_id)]
+    import os
+    storage.io.write_bytes_atomic(
+        os.path.join(reg_dir, "queries.json"),
+        json.dumps(payload).encode())
+    return len(compiled)
+
+
+def unregister_watchlist(storage, entity_ids: list[str]) -> int:
+    import json
+    import os
+    drop = set(map(str, entity_ids))
+    kept = [sq for sq in load_watchlist(storage)
+            if sq.entity_id not in drop]
+    payload = [{"entity_id": sq.entity_id,
+                "clauses": [[toks, boost] for toks, boost in sq.clauses]}
+               for sq in kept]
+    storage.io.write_bytes_atomic(
+        os.path.join(_registry_dir(storage), "queries.json"),
+        json.dumps(payload).encode())
+    return len(kept)
+
+
+def load_watchlist(storage) -> list[StoredQuery]:
+    import json
+    import os
+    path = os.path.join(_registry_dir(storage), "queries.json")
+    if not storage.io.exists(path):
+        return []
+    rows = json.loads(storage.io.read_bytes(path))
+    return [StoredQuery(r["entity_id"],
+                        [(list(toks), float(boost))
+                         for toks, boost in r["clauses"]])
+            for r in rows]
+
+
+def percolate_index(storage, docs: DataFrame,
+                    id_cols: list[str] | None = None,
+                    text_col: str = "content",
+                    slop: int = DEFAULT_SLOP) -> DataFrame:
+    """Percolate against the index's REGISTERED watchlist."""
+    return percolate_docs(docs, load_watchlist(storage),
+                          id_cols=id_cols, text_col=text_col, slop=slop)
+
+
+def _registry_dir(storage) -> str:
+    import os
+    return os.path.join(storage.root, "percolator")
+
+
 def mentions_tree(names: list[str], slop: int = DEFAULT_SLOP,
                   single_token_min_length: int = SINGLE_TOKEN_MIN_LENGTH
                   ) -> Bool | None:
@@ -217,7 +344,9 @@ def mentions_tree(names: list[str], slop: int = DEFAULT_SLOP,
     entity's cleaned names (runs through the normal executor, using
     stored positions)."""
     clauses = []
-    for toks in clean_names(names, single_token_min_length):
+    for toks in _budgeted_names(names, single_token_min_length):
+        if len(clauses) >= MAX_CLAUSES:
+            break
         if len(toks) == 1:
             clauses.append(TermLeaf(toks[0]))
         else:

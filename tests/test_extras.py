@@ -202,3 +202,26 @@ def test_bigram_fast_path_positions_on_score_identical(
     # repeated-term phrase: "banana crime ... banana crime wave of banana"
     assert hits(e_p, '"banana crime" "crime wave"') == \
         hits(e_f, '"banana crime" "crime wave"')
+
+
+def test_highlight_query_override_and_filter_values(
+        spark, fixture_index, fixture_docs_df):
+    """Q24 parity knobs (reference base.py:394-452): highlight_query
+    overrides the term source; human-readable filter values highlight
+    too; short-code groups (lang) never do."""
+    from openaleph_search_spark.query.engine import Engine
+    eng = Engine(spark, fixture_index, source_docs=fixture_docs_df)
+    # override: query matches 'banana', highlighting marks 'crime'
+    res = eng.search({"q": "banana", "highlight": "true",
+                      "highlight_query": "crime", "limit": 10})
+    frags = {r["path"]: r["highlights"] for r in res.hit_rows(0, 10)}
+    assert any("<em>crime</em>" in f for f in frags["b/crime.go"])
+    assert not any("<em>banana</em>" in f
+                   for fl in frags.values() for f in fl)
+    # filter values highlight; lang codes don't
+    res2 = eng.search({"q": "banana", "filter:lang": "go",
+                       "highlight": "true", "limit": 10})
+    rows2 = res2.hit_rows(0, 10)
+    assert len(rows2) == 1
+    assert any("<em>banana</em>" in f for f in rows2[0]["highlights"])
+    assert not any("<em>go</em>" in f for f in rows2[0]["highlights"])

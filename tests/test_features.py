@@ -212,3 +212,104 @@ def test_multi_mentions_single_job_parity(fixture_engine):
         for r in fixture_engine.executor.topk(tree, 5).collect():
             want.append((eid, r["doc_id"], round(r["score"], 9)))
     assert got == sorted(want) and got, got
+
+
+def test_pick_names_budget():
+    from openaleph_search_spark.query.percolate import pick_names
+    names = [f"variant {i} of a very long name" for i in range(20)]
+    names += ["completely different string", "zzz"]
+    got = pick_names(names, limit=5)
+    assert len(got) == 5 and len(set(got)) == 5
+    # diversity: the two outliers beat near-identical variants
+    assert "zzz" in got and "completely different string" in got
+    # deterministic
+    assert got == pick_names(list(reversed(names)), limit=5)
+    # under budget → unchanged (sorted set)
+    assert pick_names(["b", "a"], limit=5) == ["a", "b"]
+
+
+def test_mentions_tree_clause_budget():
+    from openaleph_search_spark.query.percolate import (MAX_PICKED_NAMES,
+                                                        mentions_tree)
+    names = [f"alias number {i} extra" for i in range(50)]
+    tree = mentions_tree(names)
+    assert len(tree.should) == MAX_PICKED_NAMES
+
+
+def test_stored_percolator_registry(spark, fixture_index,
+                                    fixture_docs_df):
+    """Register-once percolation surface (reference index/indexes.py:
+    119-124): queries persist in the index dir and survive reloads."""
+    from openaleph_search_spark.index.storage import IndexStorage
+    from openaleph_search_spark.query.percolate import (
+        load_watchlist, percolate_index, register_watchlist,
+        unregister_watchlist)
+    st = IndexStorage(fixture_index)
+    n = register_watchlist(st, [
+        {"entity_id": "w1", "names": ["Banana Crime"]},
+        {"entity_id": "w2", "names": ["KwaZulu Natal"]},
+    ])
+    assert n == 2
+    out = percolate_index(st, fixture_docs_df).collect()
+    hits = {(r["entity_id"], r["path"]) for r in out}
+    assert ("w1", "b/crime.go") in hits
+    assert ("w2", "a/kwazulu.txt") in hits
+    # fresh storage object sees the registry (it is persisted)
+    st2 = IndexStorage(fixture_index)
+    assert {q.entity_id for q in load_watchlist(st2)} == {"w1", "w2"}
+    # re-register replaces; unregister removes
+    register_watchlist(st2, [{"entity_id": "w1", "names": ["Manafort"]}])
+    assert len(load_watchlist(st2)) == 2
+    unregister_watchlist(st2, ["w2"])
+    assert {q.entity_id for q in load_watchlist(st2)} == {"w1"}
+
+
+def test_dehydrate_include_fields(fixture_engine):
+    """Q25: dehydrate strips the payload; include_fields adds columns
+    or whole groups back (reference queries.py:279-294)."""
+    res = fixture_engine.search({"q": "banana", "limit": 5,
+                                 "dehydrate": "true"})
+    assert set(res.hits.columns) == {"doc_id", "score", "repo", "path"}
+    res2 = fixture_engine.search({"q": "banana", "limit": 5,
+                                  "dehydrate": "true",
+                                  "include_fields": "lang,stats"})
+    assert set(res2.hits.columns) == {"doc_id", "score", "repo", "path",
+                                      "lang", "doc_len",
+                                      "content_sha256"}
+    assert res2.hit_rows(0, 5)
+
+
+def test_synonym_keyword_legs(spark, fixture_docs_df, tmp_path):
+    """Q22 keyword-side expansion (reference queries.py:56-108): with
+    synonyms=true a free-text term gains name_symbols (boost 0.5) and
+    name_keys (boost 0.3) legs over indexed keyword fields."""
+    from pyspark.sql import functions as F
+    from openaleph_search_spark.analysis.names import name_key
+    from openaleph_search_spark.index.build import (DEFAULT_FIELDS,
+                                                    build_index)
+    from openaleph_search_spark.query.engine import Engine
+    # symbol + name-key columns (the indexer-side T5-T8 signals; the
+    # symbol dictionary itself is caller-supplied)
+    docs = fixture_docs_df.withColumn(
+        "sym", F.when(F.col("path").isin("a/igumnov.md", "b/putin.txt"),
+                      "Q7747").otherwise(F.lit("")))
+    docs = docs.withColumn(
+        "nk", F.when(F.col("path") == "a/igumnov.md",
+                     name_key("vladimir") or "").otherwise(F.lit("")))
+    out = str(tmp_path / "idx_syn_legs")
+    build_index(spark, docs, out, num_partitions=4, num_shards=2,
+                fields={**DEFAULT_FIELDS, "name_symbols": "sym",
+                        "name_keys": "nk"})
+    from openaleph_search_spark.query.synonyms import SynonymTable
+    table = SynonymTable([], symbols={"vladimir": "Q7747"},
+                         key_field="name_keys")
+    eng = Engine(spark, out, synonyms=table)
+    # without synonyms: only the doc containing the latin token
+    plain = eng.search({"q": "vladimir", "limit": 10}).hit_rows(0, 10)
+    assert {r["path"] for r in plain} == {"a/igumnov.md"}
+    # with synonyms: the symbol leg also finds the cyrillic doc
+    res = eng.search({"q": "vladimir", "synonyms": "true", "limit": 10})
+    rows = res.hit_rows(0, 10)
+    assert {r["path"] for r in rows} == {"a/igumnov.md", "b/putin.txt"}
+    # legs boost the doc carrying both signals above the symbol-only doc
+    assert rows[0]["path"] == "a/igumnov.md"
