@@ -196,6 +196,13 @@ def percolate_docs(docs: DataFrame, stored: list[StoredQuery],
     """Batch percolation: broadcast the compiled watchlist, analyze each
     partition's docs once, emit (doc ids..., entity_id, score, matched).
 
+    Fully vectorized trigger + verify: the batch's (doc, token, pos)
+    table hash-joins against a (token, clause, slot) table (pandas
+    merge), then each phrase length class runs ONE composite-key
+    searchsorted nearest-neighbor chain over every (doc, clause) pair
+    at once — existence, not tf, is all percolation needs. No per-doc
+    or per-clause Python in the hot path.
+
     Scale shape: watchlist is driver-compiled & closure-broadcast (the
     reference caps percolator candidates per shard the same way); docs
     stream through mapInPandas with constant memory.
@@ -203,59 +210,112 @@ def percolate_docs(docs: DataFrame, stored: list[StoredQuery],
     id_cols = id_cols or ["repo", "path", "commit"]
     cols = [*id_cols, text_col]
 
-    # candidate narrowing (the reference's filtered-percolation speedup,
-    # docs/percolation.md:210-222): a clause can only fire if its
-    # rarest trigger token occurs in the doc — build token→clauses once
-    # driver-side, probe per doc with set lookups
-    trigger: dict[str, list[tuple[int, int]]] = {}
-    for qi, sq in enumerate(stored):
-        for ci, (tokens, _boost) in enumerate(sq.clauses):
-            trigger.setdefault(tokens[0], []).append((qi, ci))
+    # flat clause tables (driver-side, tiny)
+    c_tok, c_gid, c_slot = [], [], []
+    g_entity, g_boost, g_name, g_m = [], [], [], []
+    gid = 0
+    for sq in stored:
+        for tokens, boost in sq.clauses:
+            for s, t in enumerate(tokens):
+                c_tok.append(t)
+                c_gid.append(gid)
+                c_slot.append(s)
+            g_entity.append(sq.entity_id)
+            g_boost.append(boost)
+            g_name.append(" ".join(tokens))
+            g_m.append(len(tokens))
+            gid += 1
+    clause_df = pd.DataFrame({
+        "term": np.asarray(c_tok, dtype=object),
+        "gid": np.asarray(c_gid, dtype=np.int64),
+        "slot": np.asarray(c_slot, dtype=np.int64)})
+    g_entity = np.asarray(g_entity, dtype=object)
+    g_boost = np.asarray(g_boost, dtype=np.float64)
+    g_name = np.asarray(g_name, dtype=object)
+    g_m = np.asarray(g_m, dtype=np.int64)
+    # entity ordinal per clause: clauses of one entity are contiguous
+    # gids, so (doc, entity) groups are contiguous in sorted pair order
+    g_eord = np.zeros(gid, dtype=np.int64)
+    if gid:
+        g_eord[1:] = np.cumsum(g_entity[1:] != g_entity[:-1])
+    n_gid = gid
+    m_classes = sorted(set(g_m.tolist()))
 
     def fn(it):
+        empty = pd.DataFrame({
+            **{c: pd.Series(dtype=object) for c in id_cols},
+            "entity_id": pd.Series(dtype=object),
+            "score": pd.Series(dtype=np.float64),
+            "matched_names": pd.Series(dtype=object)})
         for pdf in it:
             ridx, terms, pos = tokenize_flat(pdf[text_col])
-            # ONE batch-wide (doc, term) sort; per-doc slices via
-            # searchsorted (the per-doc boolean-mask scan was O(docs ×
-            # total_tokens))
-            order = np.lexsort((terms.to_numpy(), ridx))
-            r_s = ridx[order]
-            t_s = terms.to_numpy()[order]
-            p_s = pos[order]
-            doc_lo = np.searchsorted(r_s, np.arange(len(pdf)))
-            doc_hi = np.searchsorted(r_s, np.arange(len(pdf)),
-                                     side="right")
-            out_rows = []
-            for i in range(len(pdf)):
-                lo, hi = int(doc_lo[i]), int(doc_hi[i])
-                pos_np: dict[str, list[int]] = {}
-                if hi > lo:
-                    td = t_s[lo:hi]
-                    pd_ = p_s[lo:hi]
-                    bounds = np.flatnonzero(
-                        np.r_[True, td[1:] != td[:-1]])
-                    for b, e in zip(bounds, np.r_[bounds[1:], td.size]):
-                        pos_np[td[b]] = sorted(pd_[b:e].tolist())
-                # narrow to clauses whose trigger token is present
-                cand: dict[int, list[int]] = {}
-                for tok in pos_np.keys() & trigger.keys():
-                    for qi, ci in trigger[tok]:
-                        cand.setdefault(qi, []).append(ci)
-                for qi, cis in cand.items():
-                    sq = stored[qi]
-                    score, matched = 0.0, []
-                    for ci in sorted(set(cis)):
-                        tokens, boost = sq.clauses[ci]
-                        if _phrase_hits(pos_np, tokens, slop) > 0:
-                            score += boost
-                            matched.append(" ".join(tokens))
-                    if matched:
-                        out_rows.append((
-                            *[pdf[c].iloc[i] for c in id_cols],
-                            sq.entity_id, score, matched))
-            yield pd.DataFrame(
-                out_rows,
-                columns=[*id_cols, "entity_id", "score", "matched_names"])
+            if not len(terms) or not n_gid:
+                yield empty
+                continue
+            tok_df = pd.DataFrame({
+                "doc": ridx, "term": terms.to_numpy(), "pos": pos})
+            hits = tok_df.merge(clause_df, on="term", copy=False)
+            if not len(hits):
+                yield empty
+                continue
+            doc = hits["doc"].to_numpy(np.int64)
+            hgid = hits["gid"].to_numpy(np.int64)
+            slot = hits["slot"].to_numpy(np.int64)
+            adj = hits["pos"].to_numpy(np.int64) - slot
+            # composite key: (doc, clause) pair base + adjusted pos.
+            # span must exceed TWICE the in-pair key range plus slop so
+            # the nearest key of a NEIGHBORING pair is always farther
+            # than slop (keys near a pair's top edge sit span-offmax
+            # away from the next pair's bottom edge).
+            offset = np.int64(int(g_m.max()) + 1)  # adj ≥ -(m-1)
+            off_max = int(pos.max()) + int(offset)
+            span = np.int64(2 * off_max + slop + 2)
+            pair = doc * np.int64(n_gid) + hgid
+            key = pair * span + adj + offset
+            hm = g_m[hgid]
+            matched_pairs = []
+            for m in m_classes:
+                sel = hm == m
+                if not sel.any():
+                    continue
+                if m == 1:
+                    matched_pairs.append(np.unique(pair[sel]))
+                    continue
+                anchors = np.sort(key[sel & (slot == 0)])
+                for j in range(1, m):
+                    if anchors.size == 0:
+                        break
+                    ref = np.sort(key[sel & (slot == j)])
+                    if ref.size == 0:
+                        anchors = anchors[:0]
+                        break
+                    idx = np.searchsorted(ref, anchors)
+                    left = ref[np.maximum(idx - 1, 0)]
+                    right = ref[np.minimum(idx, ref.size - 1)]
+                    dist = np.minimum(np.abs(anchors - left),
+                                      np.abs(right - anchors))
+                    anchors = anchors[dist <= slop]
+                if anchors.size:
+                    matched_pairs.append(np.unique(anchors // span))
+            if not matched_pairs:
+                yield empty
+                continue
+            # (doc, entity) groups are contiguous in sorted pair order
+            # (entity clauses have contiguous gids): segment-reduce the
+            # scores and np.split the matched names — no per-group
+            # python aggregation
+            mp = np.unique(np.concatenate(matched_pairs))
+            m_doc = (mp // n_gid).astype(np.int64)
+            m_gid = (mp % n_gid).astype(np.int64)
+            m_e = g_eord[m_gid]
+            grp = np.flatnonzero(np.r_[True, (m_doc[1:] != m_doc[:-1])
+                                       | (m_e[1:] != m_e[:-1])])
+            res = pd.DataFrame(
+                {c: pdf[c].to_numpy()[m_doc[grp]] for c in id_cols})
+            res["entity_id"] = g_entity[m_gid[grp]]
+            res["score"] = np.add.reduceat(g_boost[m_gid], grp)
+            res["matched_names"] = np.split(g_name[m_gid], grp[1:])
+            yield res
 
     id_schema = ", ".join(
         f"{c} {docs.schema[c].dataType.simpleString()}" for c in id_cols)
