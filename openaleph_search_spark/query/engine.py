@@ -119,6 +119,32 @@ class Engine:
                                or sa.function_score)
         pure_negative = (isinstance(tree, Bool) and tree.must_not
                          and not tree.must and not tree.should)
+
+        # facet-only fast path: plain terms facets over string meta
+        # columns with no hits/total/interplay wanted → ONE cogrouped
+        # pass emitting per-shard (value, count) partials; the match
+        # set never shuffles (executor.facet_counts)
+        dtypes = dict(self.doc_meta.dtypes)
+        if (sa.facets and sa.k == 0 and not post_fields
+                and not sa.facet_total and not sa.metrics
+                and not sa.facet_significant and not sa.sort
+                and not with_total and not sa.function_score
+                and not sa.highlight and not isinstance(tree, MatchAll)
+                and not pure_negative
+                and all(f not in sa.facet_interval
+                        and dtypes.get(f) == "string"
+                        for f in sa.facets)):
+            partials = self.executor.facet_counts(tree, sa.facets,
+                                                  base_meta)
+            facets = {
+                f: (partials.filter(F.col("field") == f)
+                    .select("value", "count")
+                    .orderBy(F.desc("count"), F.asc("value"))
+                    .limit(sa.facet_size.get(f, 20)))
+                for f in sa.facets}
+            hits = (self.doc_meta.withColumn("score", F.lit(0.0))
+                    .limit(0))
+            return SearchResult(hits=hits, facets=facets)
         if isinstance(tree, MatchAll):
             matched = base_meta.withColumn("score", F.lit(0.0))
         elif pure_negative:
@@ -130,7 +156,13 @@ class Engine:
                                       "doc_id", "left_anti")
                        .withColumn("score", F.lit(0.0)))
         elif need_full_match:
-            ids = self.executor.run(tree, k=None, filter_df=base_meta)
+            # only cogroup the doc_meta filter set into the executor
+            # when a predicate/ACL/tombstone actually restricts it —
+            # otherwise the full doc_meta would shuffle for nothing
+            self.doc_meta  # resolve tombstone state
+            fdf = base_meta if (pre_pred is not None
+                                or self._has_tombstones) else None
+            ids = self.executor.run(tree, k=None, filter_df=fdf)
             matched = base_meta.join(ids, "doc_id")
             if sa.function_score:
                 # Q21 function_score (queries.py:227-277): additive

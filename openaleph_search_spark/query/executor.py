@@ -663,6 +663,57 @@ class SearchExecutor:
                 lambda key, pdf: make_eval(pdf, None), RESULT_SCHEMA)
         return res
 
+    def facet_counts(self, tree: Node, fields: list[str],
+                     meta_df: DataFrame) -> DataFrame:
+        """One-pass terms-facet partials: cogroup postings with the
+        (projected) doc_meta per shard, evaluate the query inside the
+        shard, count facet values of the matching docs there, and emit
+        only (field, value, count) partials — the match set never
+        shuffles and doc_meta never joins on doc_id. The meta side
+        doubles as the filter (tombstones/ACL already subtracted).
+        → DataFrame(field, value, count) summed across shards."""
+        terms, ctx, postings = self._prepare([tree], None)
+        out_schema = "field string, value string, count long"
+        if not terms:
+            return self.spark.createDataFrame([], out_schema)
+        fdf = (meta_df.select("doc_id", *fields)
+               .withColumn("shard", self.shard_col(F.col("doc_id"))))
+
+        def cg(posting_pdf: pd.DataFrame,
+               meta_pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"field": pd.Series(dtype=object),
+                                  "value": pd.Series(dtype=object),
+                                  "count": pd.Series(dtype=np.int64)})
+            if posting_pdf.empty or meta_pdf.empty:
+                return empty
+            by_term = {
+                t: g.sort_values(["first_doc"])
+                for t, g in posting_pdf.groupby("term", sort=False)}
+            m_ids = meta_pdf["doc_id"].to_numpy(np.int64)
+            order = np.argsort(m_ids)
+            allowed = m_ids[order]
+            ev = _ShardEval(by_term, ctx["idf"], None, allowed,
+                            ctx["k1"], ctx["b"], ctx["avgdl_by_field"],
+                            bigrams=ctx["bigrams"])
+            ids, _ = ev.eval(tree)
+            if ids.size == 0:
+                return empty
+            pos = np.searchsorted(allowed, ids)
+            parts = []
+            for f in fields:
+                vals = meta_pdf[f].to_numpy()[order][pos]
+                vc = pd.Series(vals).value_counts(dropna=True)
+                parts.append(pd.DataFrame({
+                    "field": f, "value": vc.index.astype(object),
+                    "count": vc.to_numpy(np.int64)}))
+            return pd.concat(parts, ignore_index=True)
+
+        res = (postings.groupBy("shard")
+               .cogroup(fdf.groupBy("shard"))
+               .applyInPandas(lambda key, l, r: cg(l, r), out_schema))
+        return (res.groupBy("field", "value")
+                .agg(F.sum("count").alias("count")))
+
     def run_multi(self, trees: dict[str, Node],
                   k: int | None) -> DataFrame:
         """Evaluate MANY query trees in ONE per-shard pass with
