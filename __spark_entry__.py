@@ -213,6 +213,25 @@ def q4_term_filter_scored(spark, sf_dir):
                  {"q": "vector stream", "filter:lang": "de", "limit": 20}, 20)
 
 
+def q12_auth_filter(spark, sf_dir):
+    """Q12: session-injected SearchAuth ACL (admin bypass / match_none
+    / mandatory terms filter) — scored search restricted to two repos."""
+    from openaleph_search_spark.query.auth import SearchAuth
+    eng = _engine(spark, sf_dir)
+    auth = SearchAuth(datasets={"org1/project1", "org2/project2",
+                                "org3/project3"}, logged_in=True)
+    res = eng.search({"q": "vector", "limit": 9999}, auth=auth)
+    out = _orig_id(res.hits).select(
+        "doc_id", F.round("score", 4).alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+def q11_exclude_filter(spark, sf_dir):
+    """Q11: negative (exclude:) filter — scored search minus a lang."""
+    return _hits(_engine(spark, sf_dir),
+                 {"q": "vector", "exclude:lang": "en", "limit": 20}, 20)
+
+
 def q31_count(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     n = eng.count({"q": "vector merge"})
@@ -665,6 +684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_phrase": q14_phrase,
         "q8_prefix": q8_prefix,
         "q4_term_filter_scored": q4_term_filter_scored,
+        "q12_auth_filter": q12_auth_filter,
+        "q11_exclude_filter": q11_exclude_filter,
         "q31_count": q31_count,
         "q26_sort_q27_paging": q26_sort_q27_paging,
         "q10_post_filter_facet": q10_post_filter_facet,
@@ -839,6 +860,14 @@ FROM t
         "q8_prefix": _bm25_sql(["scan"], 10, "or"),
         "q4_term_filter_scored": _bm25_sql(
             ["vector", "stream"], 20, "and", doc_filter="lang = 'de'"),
+        # auth: repo = 'org' || doc_id%7 || '/project' || doc_id%23
+        "q12_auth_filter": _bm25_sql(
+            ["vector"], 20, "or",
+            doc_filter="('org' || (doc_id % 7) || '/project' || "
+                       "(doc_id % 23)) IN ('org1/project1', "
+                       "'org2/project2', 'org3/project3')"),
+        "q11_exclude_filter": _bm25_sql(
+            ["vector"], 20, "or", doc_filter="lang != 'en'"),
         "q31_count": f"""
 WITH {_TOK_CTE.format(where='')}
 SELECT count(*) AS matches FROM (

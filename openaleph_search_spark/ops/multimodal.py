@@ -1,16 +1,22 @@
-"""Multimodal column plumbing: image/audio/video as opaque ``binary``
-columns with typed metadata, processed by Arrow-batched UDFs.
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched UDFs.
 
-The Spark-side machinery (schemas, batch shapes, partition-preserving
-``mapInPandas`` signatures) is real and tested; the actual media
-decoding is STUBBED — the container ships no image/audio libraries —
-behind ``decoder=`` hooks that default to a deterministic fake.  Swap
-in a real decoder (PIL/torchaudio/ffmpeg) at deploy time without
-touching the Spark plumbing.
+The decode layer is REAL for formats the standard library + numpy can
+parse — P6 PPM and 24-bit BMP images (pure byte parsing), 16-bit PCM
+WAV audio (stdlib ``wave``) — with real feature extraction (channel
+stats + luminance histogram for images; RMS, zero-crossing rate and
+FFT band energies for audio) and a real nearest-neighbor resize that
+re-encodes PPM. Codec-heavy formats (JPEG/MP3/video containers) have
+no stdlib decoder: they raise ``NotImplementedError`` unless a
+``decoder=`` hook is supplied (PIL/torchaudio/ffmpeg at deploy time) —
+the Spark plumbing (schemas, Arrow batch shapes, partition-preserving
+``mapInPandas``) is identical either way.
 """
 from __future__ import annotations
 
-import hashlib
+import io
+import struct
+import wave
 
 import numpy as np
 import pandas as pd
@@ -30,44 +36,199 @@ MEDIA_SCHEMA = T.StructType([
 FEATURE_DIM = 16
 
 
-def _fake_decode(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for a real decoder: derives FEATURE_DIM
-    floats from a sha256 of the bytes. Replace with a real decode +
-    model forward pass in production."""
-    if payload is None:
-        payload = b""
-    h = hashlib.sha256(payload).digest()
-    arr = np.frombuffer(h[:FEATURE_DIM * 4], dtype=np.uint32).astype(
-        np.float64)
-    # pad deterministically if the digest is shorter than needed
-    if arr.size < FEATURE_DIM:
-        arr = np.resize(arr, FEATURE_DIM)
-    return (arr / np.uint32(0xFFFFFFFF)).astype(np.float32)
+# ---------------------------------------------------------------------------
+# real decoders (stdlib + numpy only)
+# ---------------------------------------------------------------------------
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 netpbm → (H, W, 3) uint8."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    fields, i = [], 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while payload[i:i + 1] not in (b"\n", b""):
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = fields
+    i += 1  # single whitespace after maxval
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                         offset=i)
+    return data.reshape(h, w, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → (H, W, 3) uint8 (RGB, top-down)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                         offset=off).reshape(h, stride)
+    img = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if flip else img
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """16-bit PCM WAV → (float64 mono samples in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV supported")
+        rate = f.getframerate()
+        n_ch = f.getnchannels()
+        raw = f.readframes(f.getnframes())
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if n_ch > 1:
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    return samples, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes((np.clip(samples, -1, 1) * 32767)
+                      .astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "no stdlib decoder for this image format — pass decoder= "
+        "(e.g. PIL) to the operator")
+
+
+# ---------------------------------------------------------------------------
+# real feature extraction
+# ---------------------------------------------------------------------------
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """(H, W, 3) → FEATURE_DIM floats: per-channel mean+std (6) +
+    8-bin luminance histogram (8) + aspect/scale (2)."""
+    f = np.empty(FEATURE_DIM, dtype=np.float64)
+    x = img.astype(np.float64) / 255.0
+    f[0:3] = x.mean(axis=(0, 1))
+    f[3:6] = x.std(axis=(0, 1))
+    lum = x @ np.array([0.2126, 0.7152, 0.0722])
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 1.0))
+    f[6:14] = hist / max(lum.size, 1)
+    f[14] = img.shape[1] / max(img.shape[0], 1)   # aspect
+    f[15] = np.log1p(img.shape[0] * img.shape[1]) / 20.0
+    return f.astype(np.float32)
+
+
+def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """mono samples → FEATURE_DIM floats: RMS, zero-crossing rate,
+    duration, 12 FFT band energies, spectral centroid."""
+    f = np.zeros(FEATURE_DIM, dtype=np.float64)
+    n = samples.size
+    if n == 0:
+        return f.astype(np.float32)
+    f[0] = np.sqrt(np.mean(samples ** 2))
+    f[1] = np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1]))
+    f[2] = np.log1p(n / rate)
+    spec = np.abs(np.fft.rfft(samples))
+    bands = np.array_split(spec, 12)
+    e = np.array([float((b ** 2).sum()) for b in bands])
+    tot = e.sum() or 1.0
+    f[3:15] = e / tot
+    freqs = np.fft.rfftfreq(n, 1.0 / rate)
+    f[15] = float((freqs * spec).sum() / (spec.sum() or 1.0)) / (rate / 2)
+    return f.astype(np.float32)
+
+
+def media_features(payload: bytes, kind: str) -> np.ndarray:
+    if kind == "image":
+        return image_features(decode_image(payload))
+    if kind == "audio":
+        return audio_features(*decode_wav(payload))
+    raise NotImplementedError(
+        f"no stdlib decoder for kind={kind} — pass decoder= "
+        "(e.g. ffmpeg frame extraction for video)")
+
+
+# ---------------------------------------------------------------------------
+# distributed operators (Arrow-batched; constant memory per task)
+# ---------------------------------------------------------------------------
 
 def extract_features(df: DataFrame, decoder=None,
                      payload_col: str = "payload") -> DataFrame:
-    """Binary payload → feature vector column via mapInPandas.
+    """(media_id, kind, payload) → (media_id, features array<float>).
 
-    Batch shape: one Arrow batch of (media_id, payload) in, one batch of
-    (media_id, features array<float>) out — constant memory per task
-    regardless of table size.
+    ``decoder(payload, kind) -> np.ndarray`` overrides the stdlib
+    decode+featurize (for codec formats). Batch shape: one Arrow batch
+    in, one out.
     """
-    decode = decoder or _fake_decode
+    decode = decoder or media_features
 
     def fn(it):
         for pdf in it:
-            feats = [decode(p).tolist() for p in pdf[payload_col]]
+            feats = [decode(p, k).tolist()
+                     for p, k in zip(pdf[payload_col], pdf["kind"])]
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "features": feats})
-    return df.select("media_id", payload_col).mapInPandas(
+    return df.select("media_id", "kind", payload_col).mapInPandas(
         fn, "media_id long, features array<float>")
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  decoder=None, encoder=None) -> DataFrame:
+    """Real nearest-neighbor resize of image payloads (PPM/BMP in,
+    PPM out); swap ``decoder``/``encoder`` for codec formats."""
+    dec = decoder or decode_image
+    enc = encoder or encode_ppm
+
+    def fn(it):
+        for pdf in it:
+            outs = []
+            for p in pdf["payload"]:
+                img = dec(p)
+                yi = (np.arange(height) * img.shape[0] // height)
+                xi = (np.arange(width) * img.shape[1] // width)
+                outs.append(enc(img[yi][:, xi]))
+            out = pd.DataFrame({"media_id": pdf["media_id"],
+                                "payload": outs})
+            out["width"] = np.int32(width)
+            out["height"] = np.int32(height)
+            yield out
+    return (df.filter(F.col("kind") == "image")
+            .select("media_id", "payload").mapInPandas(
+                fn, "media_id long, payload binary, width int, "
+                    "height int"))
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: explodes each video row into the
     frame timestamps a decoder would extract (the shuffle-free part of
-    frame extraction; the pixel decode is the stubbed step)."""
+    frame extraction; pixel decode of video needs an external codec)."""
     return (df.filter(F.col("kind") == "video")
             .withColumn("frame_ms", F.explode(F.sequence(
                 F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)),
@@ -75,32 +236,50 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             .select("media_id", "frame_ms"))
 
 
-def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize: plumbing only — records the target geometry and
-    passes payload through. A real implementation swaps the identity
-    transform for a PIL/opencv call inside the same mapInPandas."""
-    def fn(it):
-        for pdf in it:
-            out = pdf[["media_id", "payload"]].copy()
-            out["width"] = np.int32(width)
-            out["height"] = np.int32(height)
-            yield out
-    return df.mapInPandas(
-        fn, "media_id long, payload binary, width int, height int")
-
-
 def synthesize_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests (no external data)."""
-    rows = spark.range(n).select(
+    """Deterministic REAL media table for tests (no external data):
+    P6 PPM gradient images and 16-bit PCM WAV tones, generated from
+    the media_id inside a mapInPandas (video rows carry a fake payload
+    — container formats have no stdlib encoder either)."""
+    base = spark.range(n).select(
         F.col("id").alias("media_id"),
-        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"),
+                             F.lit("video")),
                      (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"))
          .alias("kind"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.sha2(F.col("id").cast("string"), 256).cast("binary")
-         .alias("payload"),
-        (F.pmod(F.col("id"), F.lit(16)) * 64 + 64).cast("int").alias("width"),
-        (F.pmod(F.col("id"), F.lit(9)) * 64 + 64).cast("int").alias("height"),
+        (F.pmod(F.col("id"), F.lit(16)) * 4 + 8).cast("int").alias("width"),
+        (F.pmod(F.col("id"), F.lit(9)) * 4 + 8).cast("int").alias("height"),
         (F.pmod(F.col("id"), F.lit(7)) * 1000 + 500).cast("int")
          .alias("duration_ms"))
-    return rows
+
+    def gen(it):
+        for pdf in it:
+            payloads, mimes = [], []
+            for mid, kind, w, h, dur in zip(
+                    pdf["media_id"], pdf["kind"], pdf["width"],
+                    pdf["height"], pdf["duration_ms"]):
+                if kind == "image":
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    img = np.stack([
+                        (xx * 255 // max(w - 1, 1)),
+                        (yy * 255 // max(h - 1, 1)),
+                        np.full((h, w), int(mid) * 37 % 256)],
+                        axis=-1).astype(np.uint8)
+                    payloads.append(encode_ppm(img))
+                    mimes.append("image/x-portable-pixmap")
+                elif kind == "audio":
+                    t = np.arange(int(8000 * dur / 1000)) / 8000.0
+                    tone = 0.5 * np.sin(
+                        2 * np.pi * (220 + 20 * (int(mid) % 10)) * t)
+                    payloads.append(encode_wav(tone))
+                    mimes.append("audio/wav")
+                else:
+                    payloads.append(b"FAKEVIDEO" + bytes([int(mid) % 256]))
+                    mimes.append("video/x-fake")
+            out = pdf.copy()
+            out["mime"] = mimes
+            out["payload"] = payloads
+            yield out[["media_id", "kind", "mime", "payload", "width",
+                       "height", "duration_ms"]]
+
+    return base.mapInPandas(gen, MEDIA_SCHEMA)

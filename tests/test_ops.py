@@ -185,17 +185,48 @@ def test_fingerprint_stability(spark):
 
 # ----------------------------------------------------------- multimodal --
 def test_multimodal_features(spark):
+    """Image (PPM) + audio (WAV) decode/featurize are REAL (stdlib +
+    numpy); video container decode requires an external codec and must
+    raise without a decoder= hook."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
     from openaleph_search_spark.ops.multimodal import (
-        extract_features, frame_sample_plan, resize_stub, synthesize_media)
+        audio_features, decode_ppm, decode_wav, extract_features,
+        frame_sample_plan, image_features, resize_images,
+        synthesize_media)
     media = synthesize_media(spark, 30)
-    feats = extract_features(media)
+    av = media.filter(F.col("kind") != "video")
+    feats = extract_features(av)
     rows = feats.collect()
-    assert len(rows) == 30
+    assert len(rows) == av.count()
     assert all(len(r["features"]) == 16 for r in rows)
-    # deterministic: same payload → same features
-    again = {r["media_id"]: r["features"] for r in feats.collect()}
-    assert all(again[r["media_id"]] == r["features"] for r in rows)
+    # spark-side features == direct decode+featurize of the same bytes
+    one = media.filter(F.col("kind") == "image").limit(1).collect()[0]
+    img = decode_ppm(bytes(one["payload"]))
+    assert img.shape == (one["height"], one["width"], 3)
+    want = image_features(img)
+    got = dict((r["media_id"], r["features"]) for r in rows)[
+        one["media_id"]]
+    assert np.allclose(got, want, atol=1e-6)
+    wav = media.filter(F.col("kind") == "audio").limit(1).collect()[0]
+    samples, rate = decode_wav(bytes(wav["payload"]))
+    assert rate == 8000 and samples.size > 0
+    assert np.allclose(
+        dict((r["media_id"], r["features"]) for r in rows)[
+            wav["media_id"]],
+        audio_features(samples, rate), atol=1e-6)
+    # video: no stdlib codec → explicit NotImplementedError w/o hook
+    with pytest.raises(Exception, match="decoder"):
+        extract_features(media.filter(F.col("kind") == "video")).collect()
+    # custom decoder hook handles it (the deploy-time swap point)
+    hooked = extract_features(
+        media, decoder=lambda p, k: np.zeros(16, dtype=np.float32))
+    assert hooked.count() == 30
     plan = frame_sample_plan(media, every_ms=1000)
     assert plan.count() > 0
-    rz = resize_stub(media, 224, 224).collect()
-    assert all(r["width"] == 224 and r["height"] == 224 for r in rz)
+    # real nearest-neighbor resize: output decodes to the target shape
+    rz = resize_images(media, 12, 10).collect()
+    assert rz and all(r["width"] == 12 and r["height"] == 10 for r in rz)
+    out_img = decode_ppm(bytes(rz[0]["payload"]))
+    assert out_img.shape == (10, 12, 3)
