@@ -423,6 +423,36 @@ def sim_lsh_ann(spark, sf_dir):
                            bucket_name="ann_bucket")
 
 
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: hyperplane-bucket candidates
+    (Hamming ≤ 2) verified by exact cosine ≥ 0.4 — seeded planes make
+    the candidate set SQL-replicable."""
+    from openaleph_search_spark.ops.similarity import (
+        embedding_near_dup_pairs)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(emb, threshold=0.4, n_planes=8,
+                                    radius=2)
+
+
+def sim_ivf_ann(spark, sf_dir):
+    """IVF ANN: deterministic md5-sampled centroids, stored cell column
+    (materialized once at ingest), top-k over the n_probe nearest
+    cells."""
+    from openaleph_search_spark.ops.similarity import (
+        ivf_centroids, ivf_cosine_topk, with_ivf_cells)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(emb, n_centroids=16)
+    bdir = os.path.join(
+        "/tmp", "oa_ivf_" + os.path.basename(
+            os.path.abspath(sf_dir).rstrip("/")))
+    if not os.path.exists(os.path.join(bdir, "_SUCCESS")):
+        (with_ivf_cells(emb, cents)
+         .write.mode("overwrite").parquet(bdir))
+    emb_c = spark.read.parquet(bdir)
+    probe = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ivf_cosine_topk(emb_c, probe, cents, k=10, n_probe=4)
+
+
 def text_language_id(spark, sf_dir):
     from openaleph_search_spark.ops.textstats import with_language_id
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -671,6 +701,108 @@ ORDER BY round(c, 6) DESC, vec_id LIMIT {k}
 """
 
 
+def _planes_values(n_planes: int, seed: int, dim: int) -> str:
+    from openaleph_search_spark.ops.similarity import hyperplanes
+    planes = hyperplanes(dim, n_planes, seed)
+    return ",\n       ".join(
+        "(%d, [%s]::DOUBLE[])" % (
+            i, ", ".join(repr(float(x)) for x in planes[i]))
+        for i in range(n_planes))
+
+
+def _embedding_dedup_sql(threshold: float = 0.9, n_planes: int = 8,
+                         radius: int = 2, seed: int = 42,
+                         dim: int = 64) -> str:
+    return f"""
+WITH planes(pid, vec) AS (VALUES {_planes_values(n_planes, seed, dim)}),
+bk AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN list_dot_product(
+                 list_transform(e.embedding, x -> x::DOUBLE), pl.vec) > 0
+             THEN (1 << pl.pid) ELSE 0 END)::UBIGINT AS b
+  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b ON a.vec_id < b.vec_id
+  WHERE bit_count(xor(a.b, b.b)) <= {radius}
+),
+sc AS (
+  SELECT c.id_a, c.id_b,
+         round(list_dot_product(
+                 list_transform(ea.embedding, x -> x::DOUBLE),
+                 list_transform(eb.embedding, x -> x::DOUBLE))
+           / (sqrt(list_dot_product(
+                 list_transform(ea.embedding, x -> x::DOUBLE),
+                 list_transform(ea.embedding, x -> x::DOUBLE)))
+              * sqrt(list_dot_product(
+                 list_transform(eb.embedding, x -> x::DOUBLE),
+                 list_transform(eb.embedding, x -> x::DOUBLE)))), 6)
+         AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, cosine FROM sc WHERE cosine >= {threshold}
+"""
+
+
+def _ivf_ann_sql(n_centroids: int = 16, n_probe: int = 4,
+                 k: int = 10) -> str:
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> x::DOUBLE) AS cv
+  FROM embeddings
+  ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {n_centroids}
+),
+asg AS (
+  SELECT e.vec_id, c.cid,
+         round(list_dot_product(
+                 list_transform(e.embedding, x -> x::DOUBLE), c.cv)
+           / (sqrt(list_dot_product(
+                 list_transform(e.embedding, x -> x::DOUBLE),
+                 list_transform(e.embedding, x -> x::DOUBLE)))
+              * sqrt(list_dot_product(c.cv, c.cv))), 9) AS s
+  FROM embeddings e CROSS JOIN cents c
+),
+cell AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cid) AS rn
+    FROM asg) WHERE rn = 1
+),
+probe AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS p
+          FROM embeddings WHERE vec_id = 0),
+pcells AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           round(list_dot_product(c.cv, pr.p)
+             / (sqrt(list_dot_product(c.cv, c.cv))
+                * sqrt(list_dot_product(pr.p, pr.p))), 9) AS s
+    FROM cents c CROSS JOIN probe pr)
+  ORDER BY s DESC, cid LIMIT {n_probe}
+),
+scored AS (
+  SELECT e.vec_id,
+         list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                          pr.p)
+         / (sqrt(list_dot_product(
+                list_transform(e.embedding, x -> x::DOUBLE),
+                list_transform(e.embedding, x -> x::DOUBLE)))
+            * sqrt(list_dot_product(pr.p, pr.p))) AS c
+  FROM embeddings e
+  JOIN cell ON cell.vec_id = e.vec_id
+  CROSS JOIN probe pr
+  WHERE cell.cid IN (SELECT cid FROM pcells)
+)
+SELECT vec_id, round(c, 6) AS cosine FROM scored
+ORDER BY round(c, 6) DESC, vec_id LIMIT {k}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 match top-k over the sf0.001 code table."""
     return q28_bm25_match_topk(spark, "/root/testdata/sf0.001")
@@ -704,8 +836,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_simhash": dedup_simhash,
+        "dedup_embedding": dedup_embedding,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_lsh_ann": sim_lsh_ann,
+        "sim_ivf_ann": sim_ivf_ann,
         "text_language_id": text_language_id,
         "text_token_quality": text_token_quality,
         "text_fingerprint": text_fingerprint,
@@ -1226,6 +1360,9 @@ FROM documents d LEFT JOIN sim USING (doc_id)
 """,
         "sim_lsh_ann": _lsh_ann_sql(n_planes=8, radius=3, k=10, seed=42,
                                     dim=64),
+        "sim_ivf_ann": _ivf_ann_sql(n_centroids=16, n_probe=4, k=10),
+        "dedup_embedding": _embedding_dedup_sql(threshold=0.4,
+                                                n_planes=8, radius=2),
         "q24_highlight": f"""
 WITH {_TOK_CTE.format(where='')},
 scores AS (

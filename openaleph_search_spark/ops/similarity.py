@@ -140,6 +140,108 @@ def _hamming_ball(center: int, n_bits: int, radius: int) -> list[int]:
     return out
 
 
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             n_planes: int = 8, radius: int = 1,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: candidate pairs
+    share a hyperplane sign-bucket within Hamming ``radius`` (one
+    equi-join on the bucket key after a driver-side neighbor-bucket
+    explode), then exact cosine verifies. Deterministic given the seed;
+    recall is the LSH band bound (sign buckets of near-parallel vectors
+    differ in few planes). → (id_a, id_b, cosine) with id_a < id_b."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    bucketed = (df.select(F.col(id_col).alias("vec_id"), vec_col)
+                .withColumn("_b", bucket_col(vec_col, planes))).persist()
+    # neighbor expansion on ONE side: each row also claims every bucket
+    # within the radius ball, so an equi-join finds all pairs within
+    # Hamming `radius` exactly once per (bucket, pair)
+    flips = _hamming_ball(0, n_planes, radius)
+    left = bucketed.withColumn(
+        "_bj", F.explode(F.array(*[
+            F.col("_b").bitwiseXOR(F.lit(x)) for x in flips])))
+    right = bucketed.select(F.col("vec_id").alias("id_b"),
+                            F.col(vec_col).alias("_vb"),
+                            F.col("_b").alias("_bj"))
+    cand = (left.join(right, "_bj")
+            .filter(F.col("vec_id") < F.col("id_b"))
+            .select(F.col("vec_id").alias("id_a"), "id_b",
+                    F.col(vec_col).alias("_va"), "_vb")
+            .dropDuplicates(["id_a", "id_b"]))
+
+    def verify(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            a = _norm(np.vstack(pdf["_va"].to_numpy()).astype(np.float64))
+            b = _norm(np.vstack(pdf["_vb"].to_numpy()).astype(np.float64))
+            cos = np.round((a * b).sum(axis=1), 6)
+            keep = cos >= threshold
+            yield pd.DataFrame({"id_a": pdf["id_a"].to_numpy()[keep],
+                                "id_b": pdf["id_b"].to_numpy()[keep],
+                                "cosine": cos[keep]})
+    return cand.mapInPandas(verify,
+                            "id_a long, id_b long, cosine double")
+
+
+def ivf_centroids(df: DataFrame, n_centroids: int = 16,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> list[tuple[int, list]]:
+    """Deterministic IVF coarse quantizer: the centroid set is the
+    ``n_centroids`` rows with the smallest md5-low64 hash of their id —
+    a seedless, engine-independent sample (SQL-replicable, unlike
+    k-means iterations)."""
+    import hashlib
+    rows = df.select(id_col, vec_col).collect()
+    def h(i):
+        return int.from_bytes(
+            hashlib.md5(str(i).encode()).digest()[8:], "little")
+    rows.sort(key=lambda r: (h(r[id_col]), r[id_col]))
+    return [(r[id_col], list(r[vec_col])) for r in rows[:n_centroids]]
+
+
+def with_ivf_cells(df: DataFrame, centroids: list[tuple[int, list]],
+                   vec_col: str = "embedding",
+                   cell_name: str = "ivf_cell") -> DataFrame:
+    """Ingest-time cell assignment: cell = centroid id with the highest
+    cosine (ties → smaller centroid id). Store the result to parquet so
+    query-time cell filters prune the scan."""
+    cmat = _norm(np.array([c for _, c in centroids], dtype=np.float64))
+    cids = np.array([i for i, _ in centroids], dtype=np.int64)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _cell(v: pd.Series) -> pd.Series:
+        mat = _norm(np.vstack(v.to_numpy()).astype(np.float64))
+        sims = np.round(mat @ cmat.T, 9)
+        # argmax with exact ties resolved toward the smaller centroid id
+        mx = sims.max(axis=1, keepdims=True)
+        cand = np.where(sims >= mx, cids[None, :],
+                        np.iinfo(np.int64).max)
+        return pd.Series(cand.min(axis=1))
+    return df.withColumn(cell_name, _cell(vec_col))
+
+
+def ivf_cosine_topk(df: DataFrame, probe: list[float] | np.ndarray,
+                    centroids: list[tuple[int, list]], k: int = 10,
+                    n_probe: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    cell_name: str = "ivf_cell") -> DataFrame:
+    """IVF ANN: scan only the ``n_probe`` cells whose centroids are
+    most cosine-similar to the probe — a stored-column isin the scan
+    prunes on (the inverted-file coarse search)."""
+    probe = np.asarray(probe, dtype=np.float64)
+    cmat = _norm(np.array([c for _, c in centroids], dtype=np.float64))
+    cids = np.array([i for i, _ in centroids], dtype=np.int64)
+    sims = np.round(cmat @ _norm(probe), 9)
+    order = np.lexsort((cids, -sims))[:n_probe]
+    probe_cells = [int(cids[j]) for j in order]
+    cand = df.filter(F.col(cell_name).isin(probe_cells))
+    return cosine_topk(cand, probe, k, id_col, vec_col)
+
+
 def lsh_cosine_topk(df: DataFrame, probe: list[float] | np.ndarray,
                     k: int = 10, n_planes: int = 16, probe_radius: int = 2,
                     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -230,3 +230,47 @@ def test_multimodal_features(spark):
     assert rz and all(r["width"] == 12 and r["height"] == 10 for r in rz)
     out_img = decode_ppm(bytes(rz[0]["payload"]))
     assert out_img.shape == (10, 12, 3)
+
+
+def test_embedding_near_dup_pairs(spark):
+    """Embedding-cosine near-dup: identical vectors always pair; the
+    verify step is exact cosine."""
+    import numpy as np
+    from openaleph_search_spark.ops.similarity import (
+        embedding_near_dup_pairs)
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((40, 16)).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    rows.append((100, base[3].tolist()))          # exact dup of 3
+    rows.append((101, (base[7] * 2.0).tolist()))  # scaled dup of 7
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_near_dup_pairs(
+                 emb, threshold=0.99, n_planes=8, radius=2).collect()}
+    assert pairs[(3, 100)] == 1.0
+    assert pairs[(7, 101)] == 1.0
+    assert all(c >= 0.99 for c in pairs.values())
+
+
+def test_ivf_ann_recall_and_pruning(spark):
+    """IVF: stored cell column prunes the scan; results equal brute
+    force restricted to the probed cells; high recall on clustered
+    data (probe's own cluster lands in the probed cells)."""
+    import numpy as np
+    from openaleph_search_spark.ops.similarity import (
+        cosine_topk, ivf_centroids, ivf_cosine_topk, with_ivf_cells)
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((4, 16)) * 3
+    rows = []
+    for i in range(200):
+        v = centers[i % 4] + rng.standard_normal(16) * 0.3
+        rows.append((i, v.astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_centroids(emb, n_centroids=8)
+    cells = with_ivf_cells(emb, cents)
+    probe = rows[0][1]
+    got = ivf_cosine_topk(cells, probe, cents, k=10, n_probe=3).collect()
+    assert len(got) == 10
+    # exact top-10 over the whole set: clustered data → IVF recalls most
+    brute = {r["vec_id"] for r in cosine_topk(emb, probe, k=10).collect()}
+    assert len({r["vec_id"] for r in got} & brute) >= 8
