@@ -360,9 +360,14 @@ def s10_checksum_counts(spark, sf_dir):
 
 
 def dedup_exact(spark, sf_dir):
+    """Exact dedup with deterministic injected duplicates (the raw
+    table has none — doc_ids 0..19 are re-added under id+1000000 on
+    BOTH sides so the groups are non-trivial)."""
     from openaleph_search_spark.ops.dedup import exact_duplicates
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return exact_duplicates(df).select(
+    dup = (df.filter(F.col("doc_id") < 20)
+           .withColumn("doc_id", F.col("doc_id") + 1000000))
+    return exact_duplicates(df.unionByName(dup)).select(
         "content_hash", "n_docs",
         F.array_join(F.transform("doc_ids",
                                  lambda x: x.cast("string")), ",")
@@ -1149,9 +1154,14 @@ SELECT sha256(text) AS checksum, count(*) AS n FROM documents
 GROUP BY 1 HAVING count(*) > 0 ORDER BY checksum LIMIT 50
 """,
         "dedup_exact": """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+)
 SELECT sha256(trim(text)) AS content_hash, count(*) AS n_docs,
        array_to_string(list_sort(list(doc_id)), ',') AS ids
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM all_docs GROUP BY 1 HAVING count(*) > 1
 """,
         "dedup_minhash_lsh": jacc,
         "dedup_ngram_jaccard": ngram,

@@ -24,15 +24,30 @@ from .textstats import tokens_col
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     max_group_ids: int = 10_000) -> DataFrame:
     """Exact dedup: groups of byte-identical (post-trim) content.
-    → (content_hash, n_docs, doc_ids sorted) for groups with n>1."""
-    return (df
-            .select(F.col(id_col).alias("doc_id"),
-                    F.sha2(F.trim(F.col(text_col)), 256).alias("content_hash"))
+    → (content_hash, n_docs, doc_ids sorted) for groups with n>1.
+
+    ``n_docs`` is always the true group size; the materialized id list
+    is capped at ``max_group_ids`` BEFORE aggregation (rank window, so
+    the agg buffer itself stays bounded) — a degenerate group (millions
+    of empty files) cannot build a row bigger than executor memory.
+    Dedup decisions need the full COUNT but only a bounded sample of
+    members (keep-first policies read doc_ids[0]). The window and the
+    groupBy hash-partition on the same key, so Catalyst reuses one
+    exchange."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.trim(F.col(text_col)), 256).alias("content_hash"))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    ranked = base.withColumn("_rn", F.row_number().over(w))
+    return (ranked
             .groupBy("content_hash")
             .agg(F.count("*").alias("n_docs"),
-                 F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+                 F.sort_array(F.collect_list(
+                     F.when(F.col("_rn") <= max_group_ids,
+                            F.col("doc_id")))).alias("doc_ids"))
             .filter(F.col("n_docs") > 1))
 
 
