@@ -232,6 +232,22 @@ def q11_exclude_filter(spark, sf_dir):
                  {"q": "vector", "exclude:lang": "en", "limit": 20}, 20)
 
 
+def s10_msearch(spark, sf_dir):
+    """S10 proper: multi-query batch — every query tree evaluates in
+    ONE per-shard pass (Engine.msearch / executor.run_multi)."""
+    from pyspark.sql import Window
+    eng = _engine(spark, sf_dir)
+    out = eng.msearch({"qa": {"q": "merge join"},
+                       "qb": {"q": "vector OR stream"},
+                       "qc": {"q": '"table scan"'}}, k=9999)
+    scored = _orig_id(out).select(
+        "query_id", "doc_id", F.round("score", 4).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 10).drop("_rn"))
+
+
 def q31_count(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     n = eng.count({"q": "vector merge"})
@@ -837,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_filtered_scan": s7_filtered_scan,
         "s9_ids_lookup": s9_ids_lookup,
         "s10_checksum_counts": s10_checksum_counts,
+        "s10_msearch": s10_msearch,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1000,6 +1017,13 @@ FROM t
         "q4_term_filter_scored": _bm25_sql(
             ["vector", "stream"], 20, "and", doc_filter="lang = 'de'"),
         # auth: repo = 'org' || doc_id%7 || '/project' || doc_id%23
+        "s10_msearch": (
+            "SELECT 'qa' AS query_id, * FROM ("
+            + _bm25_sql(["merge", "join"], 10, "and")
+            + ") UNION ALL SELECT 'qb', * FROM ("
+            + _bm25_sql(["vector", "stream"], 10, "or")
+            + ") UNION ALL SELECT 'qc', * FROM ("
+            + _phrase_sql("table", "scan", 10) + ")"),
         "q12_auth_filter": _bm25_sql(
             ["vector"], 20, "or",
             doc_filter="('org' || (doc_id % 7) || '/project' || "

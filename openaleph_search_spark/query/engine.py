@@ -231,6 +231,44 @@ class Engine:
                             facet_totals=facet_totals,
                             significant=significant, metrics=metrics_df)
 
+    def msearch(self, queries: dict[str, dict | SearchArgs],
+                k: int = 10, auth=None) -> DataFrame:
+        """ES ``_msearch``, Spark-first: every query's tree evaluates in
+        ONE per-shard grouped-map pass (shared postings scan + decode
+        cache — executor.run_multi), then a per-query window keeps the
+        top-k. → DataFrame(query_id, doc_id, score, …doc_meta cols)
+        with ≤ k rows per query — the batch-native result shape (the
+        reference's msearch fans out N HTTP requests instead;
+        openaleph_search uses it for checksum batch counts)."""
+        from pyspark.sql import Window
+        trees = {}
+        for qid, a in queries.items():
+            sa = a if isinstance(a, SearchArgs) else parse_args(a)
+            if sa.filters or sa.facets or sa.sort:
+                raise ValueError(
+                    "msearch batches pure scored queries; use search() "
+                    f"for {qid!r} (filters/facets/sort present)")
+            tree = self._plan(sa)
+            if not isinstance(tree, MatchAll):
+                trees[str(qid)] = tree
+        auth_pred = self._auth_pred(auth)
+        if not trees:
+            return (self.doc_meta.withColumn("score", F.lit(0.0))
+                    .withColumn("query_id", F.lit("")).limit(0))
+        # ACL/tombstones must be cogrouped INTO the per-shard top-k
+        # (filtering after the cut would drop hits without refill)
+        dm = self.doc_meta if auth_pred is None \
+            else self.doc_meta.filter(auth_pred)
+        fdf = dm if (auth_pred is not None
+                     or self._has_tombstones) else None
+        res = self.executor.run_multi(trees, k, filter_df=fdf)
+        return (res.withColumnRenamed("entity_id", "query_id")
+                .join(dm, "doc_id")
+                .withColumn("_rn", F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.desc("score"), F.asc("doc_id"))))
+                .filter(F.col("_rn") <= k).drop("_rn"))
+
     def count(self, args: dict | SearchArgs, auth=None) -> int:
         """Q31: filtered match count without hits."""
         sa = args if isinstance(args, SearchArgs) else parse_args(args)

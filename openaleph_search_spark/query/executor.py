@@ -715,7 +715,8 @@ class SearchExecutor:
                 .agg(F.sum("count").alias("count")))
 
     def run_multi(self, trees: dict[str, Node],
-                  k: int | None) -> DataFrame:
+                  k: int | None,
+                  filter_df: DataFrame | None = None) -> DataFrame:
         """Evaluate MANY query trees in ONE per-shard pass with
         attribution → DataFrame(doc_id, score, entity_id).
 
@@ -732,7 +733,8 @@ class SearchExecutor:
         if not terms:
             return self.spark.createDataFrame([], schema)
 
-        def make_eval(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
+        def make_eval(blocks_pdf: pd.DataFrame,
+                      allowed: np.ndarray | None) -> pd.DataFrame:
             empty = pd.DataFrame({
                 "doc_id": pd.Series(dtype=np.int64),
                 "score": pd.Series(dtype=np.float64),
@@ -742,7 +744,7 @@ class SearchExecutor:
             by_term = {
                 t: g.sort_values(["first_doc"])
                 for t, g in blocks_pdf.groupby("term", sort=False)}
-            ev = _ShardEval(by_term, ctx["idf"], ctx["k_prune"], None,
+            ev = _ShardEval(by_term, ctx["idf"], ctx["k_prune"], allowed,
                             ctx["k1"], ctx["b"], ctx["avgdl_by_field"],
                             bigrams=ctx["bigrams"])
             parts = []
@@ -757,8 +759,21 @@ class SearchExecutor:
                         "entity_id": eid}))
             return pd.concat(parts, ignore_index=True) if parts else empty
 
+        if filter_df is not None:
+            fdf = (filter_df.select("doc_id")
+                   .withColumn("shard", self.shard_col(F.col("doc_id"))))
+
+            def cg(posting_pdf, allow_pdf):
+                allowed = np.sort(allow_pdf["doc_id"].to_numpy(np.int64))
+                if allowed.size == 0:
+                    return make_eval(posting_pdf.iloc[0:0], None)
+                return make_eval(posting_pdf, allowed)
+
+            return (postings.groupBy("shard")
+                    .cogroup(fdf.groupBy("shard"))
+                    .applyInPandas(lambda key, l, r: cg(l, r), schema))
         return postings.groupBy("shard").applyInPandas(
-            lambda key, pdf: make_eval(pdf), schema)
+            lambda key, pdf: make_eval(pdf, None), schema)
 
     def topk(self, tree: Node, k: int,
              filter_df: DataFrame | None = None) -> DataFrame:

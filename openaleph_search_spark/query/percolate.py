@@ -189,27 +189,11 @@ def percolate_text(text: str, stored: list[StoredQuery],
     return out
 
 
-def percolate_docs(docs: DataFrame, stored: list[StoredQuery],
-                   id_cols: list[str] | None = None,
-                   text_col: str = "content",
-                   slop: int = DEFAULT_SLOP) -> DataFrame:
-    """Batch percolation: broadcast the compiled watchlist, analyze each
-    partition's docs once, emit (doc ids..., entity_id, score, matched).
-
-    Fully vectorized trigger + verify: the batch's (doc, token, pos)
-    table hash-joins against a (token, clause, slot) table (pandas
-    merge), then each phrase length class runs ONE composite-key
-    searchsorted nearest-neighbor chain over every (doc, clause) pair
-    at once — existence, not tf, is all percolation needs. No per-doc
-    or per-clause Python in the hot path.
-
-    Scale shape: watchlist is driver-compiled & closure-broadcast (the
-    reference caps percolator candidates per shard the same way); docs
-    stream through mapInPandas with constant memory.
-    """
-    id_cols = id_cols or ["repo", "path", "commit"]
-    cols = [*id_cols, text_col]
-
+def _percolate_batch_fn(stored: list[StoredQuery], id_cols: list[str],
+                        text_col: str, slop: int):
+    """The mapInPandas body of :func:`percolate_docs` (module-level so
+    the property suite can fuzz it directly against the per-doc
+    ``percolate_text`` reference path)."""
     # flat clause tables (driver-side, tiny)
     c_tok, c_gid, c_slot = [], [], []
     g_entity, g_boost, g_name, g_m = [], [], [], []
@@ -317,9 +301,32 @@ def percolate_docs(docs: DataFrame, stored: list[StoredQuery],
             res["matched_names"] = np.split(g_name[m_gid], grp[1:])
             yield res
 
+    return fn
+
+
+def percolate_docs(docs: DataFrame, stored: list[StoredQuery],
+                   id_cols: list[str] | None = None,
+                   text_col: str = "content",
+                   slop: int = DEFAULT_SLOP) -> DataFrame:
+    """Batch percolation: broadcast the compiled watchlist, analyze each
+    partition's docs once, emit (doc ids..., entity_id, score, matched).
+
+    Fully vectorized trigger + verify: the batch's (doc, token, pos)
+    table hash-joins against a (token, clause, slot) table (pandas
+    merge), then each phrase length class runs ONE composite-key
+    searchsorted nearest-neighbor chain over every (doc, clause) pair
+    at once — existence, not tf, is all percolation needs. No per-doc
+    or per-clause Python in the hot path.
+
+    Scale shape: watchlist is driver-compiled & closure-broadcast (the
+    reference caps percolator candidates per shard the same way); docs
+    stream through mapInPandas with constant memory.
+    """
+    id_cols = id_cols or ["repo", "path", "commit"]
+    fn = _percolate_batch_fn(stored, id_cols, text_col, slop)
     id_schema = ", ".join(
         f"{c} {docs.schema[c].dataType.simpleString()}" for c in id_cols)
-    return docs.select(*cols).mapInPandas(
+    return docs.select(*id_cols, text_col).mapInPandas(
         fn, f"{id_schema}, entity_id string, score double, "
             f"matched_names array<string>")
 

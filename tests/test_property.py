@@ -246,3 +246,48 @@ def test_arbitrary_trees_match_oracle(docs_tokens, tree, k):
     ids, scores = ev.eval(tree)
     want = oracle_eval(tree, oracle)
     check(ids, scores, want, k=k)
+
+
+# --------------------------------------------------------------------------
+# percolation: vectorized batch path vs the per-doc reference path
+# --------------------------------------------------------------------------
+
+_vocab = st.sampled_from(
+    ["alpha", "bravo", "charlie", "delta", "echoecho", "foxtrot"])
+_doc_toks = st.lists(_vocab, min_size=0, max_size=14)
+_clause = st.lists(_vocab, min_size=1, max_size=3)
+
+
+@settings(max_examples=60, deadline=None)
+@given(docs=st.lists(_doc_toks, min_size=1, max_size=8),
+       clauses=st.lists(_clause, min_size=1, max_size=6),
+       slop=st.integers(min_value=0, max_value=3))
+def test_percolate_batch_matches_per_doc_reference(docs, clauses, slop):
+    """The vectorized composite-key percolation (join + searchsorted
+    chains + segment reduce) must agree exactly with percolate_text's
+    per-doc _phrase_hits evaluation on every (doc, entity, score,
+    matched_names)."""
+    from openaleph_search_spark.query.percolate import (
+        StoredQuery, _percolate_batch_fn, percolate_text)
+    stored = [StoredQuery(f"e{i}", [(toks, 2.0 if i % 2 == 0 else 0.8)])
+              for i, toks in enumerate(clauses)]
+    # merge multi-clause entities too: attach every third clause to e0
+    if len(clauses) >= 3:
+        stored[0] = StoredQuery("e0", [(clauses[0], 2.0),
+                                       (clauses[2], 0.8)])
+        del stored[2]
+    pdf = pd.DataFrame({"doc_id": range(len(docs)),
+                        "content": [" ".join(d) for d in docs]})
+    fn = _percolate_batch_fn(stored, ["doc_id"], "content", slop)
+    got = set()
+    for out in fn(iter([pdf])):
+        for _, r in out.iterrows():
+            got.add((int(r["doc_id"]), r["entity_id"],
+                     round(float(r["score"]), 9),
+                     tuple(r["matched_names"])))
+    want = set()
+    for i, text in enumerate(pdf["content"]):
+        for hit in percolate_text(text, stored, slop=slop):
+            want.add((i, hit["entity_id"], round(hit["score"], 9),
+                      tuple(hit["matched_names"])))
+    assert got == want

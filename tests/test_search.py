@@ -317,3 +317,33 @@ def test_search_auth_model(spark, fixture_index):
     hits = eng.search({"q": "banana", "limit": 10},
                       auth=auth_public).hit_rows(0, 10)
     assert {h["repo"] for h in hits} == {"r1"}
+
+
+def test_msearch_batches_match_individual(fixture_engine):
+    """msearch: one grouped-map pass; per-query hits identical to
+    individual search() calls."""
+    queries = {"qa": {"q": "banana"}, "qb": {"q": "kwazulu natal"},
+               "qc": {"q": '"banana crime"'}, "qd": {"q": "zzznothing"}}
+    out = fixture_engine.msearch(queries, k=5).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9)))
+    for qid, args in queries.items():
+        want = [(r["doc_id"], round(r["score"], 9)) for r in
+                fixture_engine.search({**args, "limit": 5}).hit_rows(0, 5)]
+        assert sorted(got.get(qid, [])) == sorted(want), qid
+    # unsupported combos are rejected, not silently wrong
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fixture_engine.msearch({"x": {"q": "a", "filter:lang": "go"}})
+
+
+def test_msearch_respects_auth(spark, fixture_index):
+    from openaleph_search_spark.query.auth import SearchAuth
+    from openaleph_search_spark.query.engine import Engine
+    eng = Engine(spark, fixture_index)
+    out = eng.msearch({"qa": {"q": "banana"}}, k=5,
+                      auth=SearchAuth(datasets={"r1"}, logged_in=True))
+    rows = out.collect()
+    assert rows and all(r["repo"] == "r1" for r in rows)
