@@ -190,3 +190,67 @@ def test_append_grown_avgdl_disables_pruning_soundly(
     e_inc, e_full = Engine(spark, inc), Engine(spark, full)
     for q in ("kwazulu", "banana OR kwazulu", "path:long"):
         assert _hits(e_inc, {"q": q}) == _hits(e_full, {"q": q}), q
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    """Watermarked windowed aggregation over a streaming source equals
+    the batch computation of the same frame."""
+    from openaleph_search_spark.streaming.windows import (
+        windowed_event_counts)
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("ts", "event_type").limit(500))
+    src = str(tmp_path / "ev_src")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = windowed_event_counts(stream, window="1 hour",
+                                watermark="2 hours")
+    q = (out.writeStream.format("memory").queryName("winagg")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["window_start"], r["event_type"]): r["count"]
+           for r in spark.sql("select * from winagg").collect()}
+    want = {(r["window_start"], r["event_type"]): r["count"]
+            for r in windowed_event_counts(
+                spark.read.parquet(src), window="1 hour").collect()}
+    assert got == want and got
+
+
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): gap-based
+    sessions — events ≤ gap apart share a session, larger gaps split."""
+    import datetime as dt
+    from openaleph_search_spark.streaming.windows import sessionize
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [("u1", t0), ("u1", t0 + dt.timedelta(minutes=5)),
+            ("u1", t0 + dt.timedelta(minutes=90)),   # new session
+            ("u2", t0 + dt.timedelta(minutes=1))]
+    src_df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    src = str(tmp_path / "sess_src")
+    src_df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(src_df.schema).parquet(src)
+    out = sessionize(stream, gap="30 minutes", idle_timeout="1 hour")
+    q = (out.writeStream.format("memory").queryName("sess")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from sess").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append(
+            (r["session_start"], r["session_end"], r["n_events"],
+             r["closed"]))
+    # u1: first session (2 events) closed by the 90-min gap; second
+    # session (1 event) still open; u2: one open session
+    u1 = sorted(by_key["u1"])
+    assert any(n == 2 and closed for _, _, n, closed in u1)
+    assert any(n == 1 and not closed for _, _, n, closed in u1)
+    assert len(by_key["u2"]) == 1 and by_key["u2"][0][2] == 1
