@@ -225,6 +225,18 @@ class SearchArgs:
 _RANGE_OPS = ("gte", "lte", "gt", "lt")
 
 
+def parse_args_url(url: str) -> "SearchArgs":
+    """Parse a reference-style search URL (``/search?q=…&filter:x=…``)
+    into SearchArgs — the exact multidict the reference's HTTP layer
+    hands to SearchQueryParser (tests/test_search.py:224-250)."""
+    from urllib.parse import parse_qsl, urlparse
+    pairs = parse_qsl(urlparse(url).query, keep_blank_values=True)
+    multi: dict[str, list[str]] = {}
+    for k, v in pairs:
+        multi.setdefault(k, []).append(v)
+    return parse_args(multi)
+
+
 def parse_args(args: dict[str, list[str] | str]) -> SearchArgs:
     """Parse a reference-dialect arg multidict
     (/root/reference/openaleph_search/parse/parser.py:145-341)."""
@@ -309,9 +321,18 @@ def parse_args(args: dict[str, list[str] | str]) -> SearchArgs:
 def partial_date_bounds(value: str) -> tuple[str, str] | None:
     """ES partial-date range semantics: a truncated date names a whole
     period. → (start_iso, end_iso_exclusive), or None if the value
-    isn't date-like. Full date-times are exact (end == start)."""
+    isn't date-like. Full date-times are exact (end == start).
+
+    Also accepts ES date-math rounding (``1970||/y``, ``2020-08||/M``,
+    reference tests/test_search.py:122-133): the suffix truncates the
+    date to that calendar unit before the period expansion."""
     import datetime as _dt
     v = value.strip()
+    dm = re.fullmatch(r"(.+)\|\|/([yMd])", v)
+    if dm:
+        base, unit = dm.group(1).strip(), dm.group(2)
+        cut = {"y": 4, "M": 7, "d": 10}[unit]
+        return partial_date_bounds(base[:cut])
     m = re.fullmatch(r"(\d{4})", v)
     if m:
         y = int(m.group(1))

@@ -150,3 +150,37 @@ def test_engine_facet_significant(spark, fixture_engine):
     # 'go' is maximally over-represented: 1/2 fg vs 1/10 bg
     assert rows[0]["value"] == "go"
     assert rows[0]["fg_count"] == 1 and rows[0]["bg_count"] == 1
+
+
+def test_date_math_rounding_and_url_args(spark, fixture_docs_df,
+                                         tmp_path):
+    """Reference date-math suffix (1970||/y names the year; tests/
+    test_search.py:122-133) + URL-dialect arg parsing end-to-end."""
+    from pyspark.sql import functions as F
+    from openaleph_search_spark.index.build import build_index
+    from openaleph_search_spark.query.engine import Engine
+    from openaleph_search_spark.query.parser import (parse_args_url,
+                                                     partial_date_bounds)
+    assert partial_date_bounds("1970||/y") == partial_date_bounds("1970")
+    assert partial_date_bounds("2020-08-09||/M") == \
+        partial_date_bounds("2020-08")
+    assert partial_date_bounds("2020-08-09T10:11:12||/d") == \
+        partial_date_bounds("2020-08-09")
+    docs = fixture_docs_df.withColumn(
+        "created",
+        F.expr("timestamp'2021-01-01 00:00:00' + make_interval(0, 0, 0, "
+               "cast(crc32(path) % 400 as int), 0, 0, 0)"))
+    out = str(tmp_path / "idx_dm")
+    build_index(spark, docs, out, num_partitions=4, num_shards=2,
+                meta_cols=["created"])
+    eng = Engine(spark, out)
+    sa = parse_args_url(
+        "/search?filter:gte:created=2021||/y&filter:lte:created=2021||/y"
+        "&limit=100")
+    got = eng.search(sa, with_total=True).total
+    want = docs.filter("created >= '2021-01-01' AND "
+                       "created < '2022-01-01'").count()
+    assert got == want
+    # URL multidict: repeated facet args accumulate
+    sa2 = parse_args_url("/search?q=banana&facet=lang&facet=repo")
+    assert sa2.facets == ["lang", "repo"] and sa2.q == "banana"
