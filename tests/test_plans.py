@@ -96,3 +96,29 @@ def test_ann_bucket_filter_pushed_to_scan(spark, tmp_path):
                             seed=5)
     want = {(r["vec_id"], r["cosine"]) for r in brute.collect()}
     assert got == want
+
+
+def test_facet_fast_path_single_cogroup(spark, fixture_engine):
+    """Facet-only queries must plan as ONE cogrouped pass + tiny agg:
+    no doc_id join, no second wide shuffle of the match set."""
+    from openaleph_search_spark.query.parser import parse_query_string
+    tree = parse_query_string("banana")
+    fixture_engine.executor._expand_prefixes(tree)
+    df = fixture_engine.executor.facet_counts(
+        tree, ["lang"], fixture_engine.doc_meta)
+    plan = _plan(df)
+    assert plan.count("FlatMapCoGroupsInPandas") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # postings scan still term-filtered
+    assert "banana" in plan
+
+
+def test_run_multi_single_pass(spark, fixture_engine):
+    """N query trees → ONE grouped-map operator, not N unioned plans."""
+    from openaleph_search_spark.query.parser import parse_query_string
+    trees = {f"q{i}": parse_query_string(t)
+             for i, t in enumerate(["banana", "kwazulu", "crime wave"])}
+    df = fixture_engine.executor.run_multi(trees, k=5)
+    plan = _plan(df)
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "Union" not in plan
