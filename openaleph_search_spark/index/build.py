@@ -107,9 +107,19 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
         if row_idx.size:
             np.maximum.at(content_dl, row_idx,
                           (positions + 1).astype(np.int32))
+        # All per-token work runs on INT CODES: each part (content,
+        # fields, bigrams) factorizes locally, field prefixes attach to
+        # the (small) unique sets only, and one vocabulary argsort
+        # replaces the global per-token string factorize/concat — the
+        # string ops were the scatter pass's memory-bandwidth hot spot.
+        c_codes, c_uniq = pd.factorize(terms, sort=False)
+        c_uniq = np.asarray(c_uniq, dtype=object)
+        code_parts = [c_codes.astype(np.int64)]
+        uniq_parts = [c_uniq]
+        offset = len(c_uniq)
         # per-token dl = its own field's length (Lucene per-field norms)
         dl_tok_parts = [content_dl[row_idx]]
-        row_parts, term_parts, pos_parts = [row_idx], [terms], [positions]
+        row_parts, pos_parts = [row_idx], [positions]
         # avgdl denominator = ALL docs (our pinned convention, matching
         # the golden oracles; Lucene divides by docs-with-field)
         field_stats = {"content": (n, int(content_dl.sum()))}
@@ -120,45 +130,61 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
             f_dl = np.zeros(n, dtype=np.int32)
             if f_row.size:
                 np.maximum.at(f_dl, f_row, (f_pos + 1).astype(np.int32))
+            f_codes, f_uniq = pd.factorize(f_terms, sort=False)
             row_parts.append(f_row)
-            term_parts.append(fname + FIELD_SEP + f_terms)
+            code_parts.append(f_codes.astype(np.int64) + offset)
+            uniq_parts.append(np.array(
+                [f"{fname}{FIELD_SEP}{u}" for u in f_uniq], dtype=object))
+            offset += len(f_uniq)
             pos_parts.append(f_pos)
             dl_tok_parts.append(f_dl[f_row])
             field_stats[fname] = (n, int(f_dl.sum()))
             field_len_cols.append((fname, f_dl))
         if bigrams and row_idx.size:
             # T16 index_phrases: 2-gram shingles of content as their
-            # own field (the phrase fast path when positions are off;
-            # mapping.py:208). Adjacent same-doc tokens only.
+            # own field (the phrase fast path; mapping.py:208).
+            # Adjacent same-doc tokens only — built from content CODES
+            # (int keys), strings materialized per unique bigram only.
             adj = ((row_idx[1:] == row_idx[:-1])
                    & (positions[1:] == positions[:-1] + 1))
-            t_np = terms.to_numpy()
-            bi_terms = pd.Series(
-                np.char.add(np.char.add(
-                    t_np[:-1][adj].astype(str), " "),
-                    t_np[1:][adj].astype(str)))
+            V = np.int64(len(c_uniq))
+            bi_key = (c_codes[:-1][adj].astype(np.int64) * V
+                      + c_codes[1:][adj])
+            bi_codes, bi_uniq_key = pd.factorize(bi_key, sort=False)
+            left = (np.asarray(bi_uniq_key) // V).astype(np.int64)
+            right = (np.asarray(bi_uniq_key) % V).astype(np.int64)
+            uniq_parts.append(np.array(
+                [f"{BIGRAM_FIELD}{FIELD_SEP}{c_uniq[a]} {c_uniq[b]}"
+                 for a, b in zip(left, right)], dtype=object))
             bi_row = row_idx[:-1][adj]
             bi_pos = positions[:-1][adj]
             bi_dl = np.zeros(n, dtype=np.int32)
             if bi_row.size:
                 np.maximum.at(bi_dl, bi_row, (bi_pos + 1).astype(np.int32))
             row_parts.append(bi_row)
-            term_parts.append(BIGRAM_FIELD + FIELD_SEP + bi_terms)
+            code_parts.append(bi_codes.astype(np.int64) + offset)
+            offset += len(bi_uniq_key)
             pos_parts.append(bi_pos)
             dl_tok_parts.append(bi_dl[bi_row])
             field_stats[BIGRAM_FIELD] = (n, int(bi_dl.sum()))
             field_len_cols.append((BIGRAM_FIELD, bi_dl))
         row_idx = np.concatenate(row_parts)
-        terms = pd.concat(term_parts, ignore_index=True)
         positions = np.concatenate(pos_parts)
         dl_tok = np.concatenate(dl_tok_parts).astype(np.int64)
 
         block_rows: list[dict] = []
         dl_per_doc = content_dl
         if row_idx.size:
-            # factorize terms to int codes first: lexsort over object
-            # strings is the single hottest op in the scatter pass
-            codes, uniq = pd.factorize(terms, sort=True)
+            # one vocabulary-sized argsort gives the SAME sorted codes
+            # the old global pd.factorize(sort=True) produced (parts
+            # never share terms — field prefixes are distinct)
+            raw_codes = np.concatenate(code_parts)
+            uniq_all = np.concatenate(uniq_parts)
+            vorder = np.argsort(uniq_all)
+            rank = np.empty(vorder.size, dtype=np.int64)
+            rank[vorder] = np.arange(vorder.size, dtype=np.int64)
+            codes = rank[raw_codes]
+            uniq = uniq_all[vorder]
             # (doc, term) aggregation: sort by (row, code, pos), run-length
             order = np.lexsort((positions, codes, row_idx))
             r = row_idx[order]
