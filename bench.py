@@ -44,7 +44,7 @@ def session(cores: int):
 
 
 def build_at(cores: int, num_partitions: int, tag: str,
-             replicate: int = REPLICATE) -> dict:
+             replicate: int = REPLICATE, reps: int = 2) -> dict:
     """Build the full index at a given core count; returns metrics."""
     from openaleph_search_spark.index.build import build_index
     from openaleph_search_spark.sources.code_table import load_docs
@@ -52,7 +52,14 @@ def build_at(cores: int, num_partitions: int, tag: str,
     spark.sparkContext.setLogLevel("ERROR")
     out = f"/tmp/bench_idx_{tag}"
     shutil.rmtree(out, ignore_errors=True)
-    docs = load_docs(spark, SF_DIR, replicate=replicate)
+    # materialize the replicated corpus ONCE (shared by every level):
+    # a real build reads a stored table, not a crossJoin lineage — and
+    # the north rule wants the SAME input at both cluster sizes
+    docs_dir = f"/tmp/bench_docs_r{replicate}"
+    if not os.path.exists(os.path.join(docs_dir, "_SUCCESS")):
+        (load_docs(spark, SF_DIR, replicate=replicate)
+         .write.mode("overwrite").parquet(docs_dir))
+    docs = spark.read.parquet(docs_dir)
     n_docs = docs.count()  # warms the scan; excluded from build timing
     # warm the Python worker pool + shuffle machinery (a long-running
     # cluster has both standing; excluded like JIT warmup)
@@ -60,9 +67,9 @@ def build_at(cores: int, num_partitions: int, tag: str,
      .mapInPandas(lambda it: it, "id long").count())
     # identical job shape at both parallelism levels: same partitions,
     # same shard count — only the executor-thread count varies.
-    # best of 2 runs: single-box wall clock is noisy (±20% observed).
+    # best of N runs: single-box wall clock is noisy (±30% observed).
     dt = float("inf")
-    for _ in range(2):
+    for _ in range(reps):
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         st = build_index(spark, docs, out,
@@ -106,12 +113,15 @@ def run_queries(cores: int, index_dir: str) -> tuple[dict, dict]:
 
     timings = {}
 
-    def bench(name, fn, warm=True):
+    def bench(name, fn, warm=True, reps=3):
         if warm:
             fn()
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):  # single-shot wall clock is ±40% noisy
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         log(f"  {name}: {timings[name]}s")
 
     bench("q_match_and",
@@ -182,12 +192,12 @@ def run_queries(cores: int, index_dir: str) -> tuple[dict, dict]:
 def main():
     partitions = 2 * CPUS  # same input partitioning at every level
 
-    def pair(n, n4, replicate):
+    def pair(n, n4, replicate, reps=2):
         log(f"== scaling pair local[{n}] vs local[{n4}] "
             f"(replicate={replicate}) ==")
-        a = build_at(n, partitions, f"n{n}", replicate)
+        a = build_at(n, partitions, f"n{n}", replicate, reps)
         log(str(a))
-        b = build_at(n4, partitions, f"n{n4}", replicate)
+        b = build_at(n4, partitions, f"n{n4}", replicate, reps)
         log(str(b))
         eff = (b["docs_per_sec"] / a["docs_per_sec"]) / (n4 / n)
         # per-task UDF seconds inflate under SMP memory-bandwidth
@@ -205,8 +215,11 @@ def main():
         }
 
     # low-contention pair: isolates algorithmic scaling from the
-    # single-box memory-bandwidth ceiling
-    a1, b1, s_low = pair(1, 4, max(32, REPLICATE // 4))
+    # single-box memory-bandwidth ceiling. Corpus sized so the fixed
+    # Spark job/stage latency (~3s across the build's actions) stays a
+    # few percent of the local[1] wall — the round-2 scatter speedups
+    # (2.7x) made smaller corpora too quick to amortize it.
+    a1, b1, s_low = pair(1, 4, max(64, REPLICATE // 2), reps=3)
     # full-machine pair: the raw local[N/4] vs local[N] numbers
     a2, b2, s_big = pair(max(2, CPUS // 4), CPUS, REPLICATE)
 
