@@ -13,7 +13,6 @@ drives it, Lucene executes it).  Pipeline:
     │     write tf_runs/part=K.parquet + doc_meta/part=K.parquet
     │     commit manifest/part=K.json   ← per-partition checkpoint
     ├─ global_stats (N, avgdl) from doc_meta           ── tiny agg
-    ├─ fill block_max_tfnorm (vectorized batch decode of tf/dl payloads)
     └─ repartition(shard) → postings/ sorted by (term, first_doc);
        term_stats from a map-side-combined sum over block rows
 
@@ -49,13 +48,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..analysis.analyzer import tokenize_flat
-from .codec import (BLOCK_SIZE, K1, B, bm25_tfnorm, delta_restarting,
-                    encode_positions_grouped, varint_decode,
-                    varint_encode_sliced)
+from .codec import (BLOCK_SIZE, K1, B, delta_restarting,
+                    encode_positions_grouped, varint_encode_sliced)
 from .storage import IndexStorage
 
 DOC_ID_PART_SHIFT = 33  # doc_id = (src_part << 33) | local_row
-LAYOUT_VERSION = 4  # bump on any physical-layout / shard-map change
+LAYOUT_VERSION = 5  # bump on any physical-layout / shard-map change
 FIELD_SEP = "\x1f"  # term-dictionary field prefix: "path\x1ffoo"
 DEFAULT_FIELDS = {"path": "path", "repo": "repo", "lang": "lang"}
 BIGRAM_FIELD = "_bi"  # T16 index_phrases shingles (phrase fast path)
@@ -67,11 +65,11 @@ MANIFEST_SCHEMA = ("src_part int, status string, docs long, postings long, "
                    "tokens long, seconds double, attempt int")
 POSTINGS_SCHEMA = ("term string, shard int, first_doc long, "
                    "last_doc long, doc_count int, sum_tf long, max_tf int, "
-                   "block_max_tfnorm double, docs_payload binary, "
+                   "min_dl long, docs_payload binary, "
                    "tfs_payload binary, dls_payload binary, "
                    "pos_payload binary")
 _BLOCK_COLS = ["term", "shard", "first_doc", "last_doc", "doc_count",
-               "sum_tf", "max_tf", "block_max_tfnorm", "docs_payload",
+               "sum_tf", "max_tf", "min_dl", "docs_payload",
                "tfs_payload", "dls_payload", "pos_payload"]
 
 
@@ -238,6 +236,7 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
                                               blk_lo)
             sums = np.add.reduceat(g_tf, blk_lo)
             maxs = np.maximum.reduceat(g_tf, blk_lo)
+            mins_dl = np.minimum.reduceat(g_dl, blk_lo)
             run = pd.DataFrame({
                 "term": uniq_arr[g_code[blk_lo]],
                 "shard": np.full(tot, shard, dtype=np.int32),
@@ -246,7 +245,7 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
                 "doc_count": (blk_hi - blk_lo).astype(np.int32),
                 "sum_tf": sums.astype(np.int64),
                 "max_tf": maxs.astype(np.int32),
-                "block_max_tfnorm": np.zeros(tot),  # filled at merge
+                "min_dl": mins_dl.astype(np.int64),
                 "docs_payload": docs_chunks,
                 "tfs_payload": tfs_chunks,
                 "dls_payload": dls_chunks,
@@ -279,7 +278,7 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
             ("term", pa.string()), ("shard", pa.int32()),
             ("first_doc", pa.int64()), ("last_doc", pa.int64()),
             ("doc_count", pa.int32()), ("sum_tf", pa.int64()),
-            ("max_tf", pa.int32()), ("block_max_tfnorm", pa.float64()),
+            ("max_tf", pa.int32()), ("min_dl", pa.int64()),
             ("docs_payload", pa.binary()), ("tfs_payload", pa.binary()),
             ("dls_payload", pa.binary()), ("pos_payload", pa.binary()),
         ])
@@ -364,38 +363,6 @@ def field_of_term(term: str) -> str:
     return term[:i] if i >= 0 else "content"
 
 
-def fill_block_max(avgdl_by_field: dict[str, float] | float,
-                   k1: float = K1, b: float = B):
-    """mapInPandas fn: decode tf/dl payloads (one concatenated varint
-    pass per batch) and set the per-block BM25 impact upper bound,
-    using each term's own field avgdl (Lucene per-field norms)."""
-    if not isinstance(avgdl_by_field, dict):
-        avgdl_by_field = {"content": float(avgdl_by_field)}
-
-    def fn(it):
-        for pdf in it:
-            if not len(pdf):
-                yield pdf
-                continue
-            tf_flat = varint_decode(
-                b"".join(pdf["tfs_payload"])) + np.uint64(1)
-            dl_flat = varint_decode(b"".join(pdf["dls_payload"]))
-            counts = pdf["doc_count"].to_numpy(np.int64)
-            starts = np.cumsum(counts) - counts
-            avg_rows = pdf["term"].map(
-                lambda t: avgdl_by_field.get(field_of_term(t), 1.0)
-            ).to_numpy(np.float64)
-            avg_flat = np.repeat(avg_rows, counts)
-            tf = tf_flat.astype(np.float64)
-            norm = k1 * (1.0 - b + b * dl_flat.astype(np.float64)
-                         / avg_flat)
-            tfn = tf / (tf + norm)
-            pdf = pdf.copy()
-            pdf["block_max_tfnorm"] = np.maximum.reduceat(tfn, starts)
-            yield pdf
-    return fn
-
-
 def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
                 num_partitions: int | None = None, num_shards: int = 8,
                 with_positions: bool = True, resume: bool = True,
@@ -469,22 +436,24 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
             "block_size": BLOCK_SIZE, "k1": K1, "b": B,
             "with_positions": with_positions, "n_docs": 0, "avgdl": 0.0,
             "avgdl_by_field": {}, "fields": sorted(["content", *fields]),
-            "field_map": fields, "encode_avgdl_min_by_field": {},
+            "field_map": fields,
             "meta_cols": meta_cols,
-            "bigrams": bigrams, "encode_avgdl_min": 0.0,
+            "bigrams": bigrams,
             "analyzer": "icu-default-v1",
             "layout_version": LAYOUT_VERSION,
             "built_partitions": 0, "resumed_from": 0,
         })
         return storage
 
-    # ---- step B: fill impact bounds + shard-layout write. No shuffle:
-    # each run file is already (term, first_doc)-sorted per shard, and
-    # every output file stays sorted → term rowgroup pruning works ------
+    # ---- step B: shard-layout write (pure JVM re-layout, no Python
+    # pass). Impact bounds are computed LIVE at query time from each
+    # block's stored (max_tf, min_dl) — a true upper bound under ANY
+    # collection stats, so appends/compactions never invalidate
+    # pruning. No shuffle: each run file is already (term, first_doc)-
+    # sorted per shard, and every output file stays sorted → term
+    # rowgroup pruning works. ------------------------------------------
     runs = storage.tf_runs(spark)
-    postings = runs.mapInPandas(fill_block_max(avgdl_by_field),
-                                POSTINGS_SCHEMA)
-    (postings
+    (runs
         .sortWithinPartitions("shard", "term", "first_doc")
         .write.mode("overwrite").partitionBy("shard")
         .parquet(storage.postings_dir))
@@ -506,12 +475,6 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         "field_map": fields,
         "meta_cols": meta_cols,
         "bigrams": bigrams,
-        "encode_avgdl_min": avgdl,
-        # per-field smallest avgdl any block was encoded under — the
-        # executor's pruning-soundness guard (zero-avgdl fields have no
-        # blocks, hence no constraint)
-        "encode_avgdl_min_by_field": {
-            f: a for f, a in avgdl_by_field.items() if a > 0},
         "analyzer": "icu-default-v1",
         "layout_version": LAYOUT_VERSION,
         "built_partitions": len(done) + len(new_rows),

@@ -17,9 +17,11 @@ Block layout (one row of the ``postings`` table per block):
     doc_count       int      number of docs in the block (<= BLOCK_SIZE)
     sum_tf          long     sum of term freqs (collection-freq partial)
     max_tf          int      max term freq in the block
-    block_max_tfnorm double  max over block of tf/(tf+k1*(1-b+b*dl/avgdl))
-                             (impact upper bound; multiply by idf at query
-                             time to get the block-max score for WAND)
+    min_dl          long     smallest doc length in the block — the
+                             query-time impact upper bound is computed
+                             LIVE as max_tf/(max_tf+k1*(1-b+b*min_dl/avgdl))
+                             (true under ANY collection stats, so appends
+                             and compactions never invalidate pruning)
     docs_payload    binary   varint(delta(doc_ids))   (first absolute)
     tfs_payload     binary   varint(tf - 1)
     dls_payload     binary   varint(dl)               (doc lengths)
@@ -220,6 +222,7 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     dls_chunks = varint_encode_sliced(dls, block_starts)
     sums = np.add.reduceat(tfs.astype(np.int64), block_starts)
     maxs = np.maximum.reduceat(tfs.astype(np.int64), block_starts)
+    mins_dl = np.minimum.reduceat(dls.astype(np.int64), block_starts)
     if avgdl is not None:
         # avgdl=None → SPIMI first pass: the impact bound is filled in
         # by the merge once global stats exist (build.py step B)
@@ -236,6 +239,7 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
             "doc_count": int(hi - lo),
             "sum_tf": int(sums[ord_]),
             "max_tf": int(maxs[ord_]),
+            "min_dl": int(mins_dl[ord_]),
             "block_max_tfnorm": float(tfn_max[ord_]),
             "docs_payload": docs_chunks[ord_],
             "tfs_payload": tfs_chunks[ord_],

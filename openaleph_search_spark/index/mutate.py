@@ -8,11 +8,10 @@ index/entities.py:361-369). Columnar Spark-first equivalents:
 * **delete** = tombstones: a small doc_id table subtracted at query
   time (Lucene's own soft-delete design). ``compact()`` folds them in.
 * **append** = an incremental build of new source partitions into the
-  same layout. Appends change collection stats (N, avgdl); encoded
-  ``block_max_tfnorm`` used avgdl-at-encode-time, so if avgdl GROWS the
-  stored bounds may understate true scores → the executor disables
-  block-max pruning when ``meta.avgdl > meta.encode_avgdl_min`` (exact
-  results always; speed recovers after ``compact()``).
+  same layout. Appends change collection stats (N, avgdl) — harmless:
+  impact bounds are derived at query time from each block's stored
+  (max_tf, min_dl) against the live stats, so pruning stays provably
+  sound through any mutation.
 """
 from __future__ import annotations
 
@@ -57,9 +56,9 @@ def delete_by_ids(spark: SparkSession, storage: IndexStorage,
 
 def _drop_docs_cogrouped(with_positions: bool):
     """Cogrouped fn (per shard): decode only blocks whose doc range can
-    contain a tombstoned id, drop those docs, re-encode. The impact
-    bound is left stale (0 kept) — ``compact`` re-fills every block's
-    bound with the fresh post-delete per-field avgdl afterwards.
+    contain a tombstoned id, drop those docs, re-encode (incl. the
+    block's min_dl — impact bounds are derived from it live at query
+    time, so no bound-refill pass exists).
 
     Tombstones arrive as the cogroup's right side, so the dead-id set
     stays distributed (sharded), never collected to the driver."""
@@ -101,7 +100,7 @@ def _drop_docs_cogrouped(with_positions: bool):
             new["doc_count"] = int(d.size)
             new["sum_tf"] = int(t.sum())
             new["max_tf"] = int(t.max())
-            new["block_max_tfnorm"] = 0.0
+            new["min_dl"] = int(l.min())
             new["docs_payload"] = varint_encode(deltas)
             new["tfs_payload"] = varint_encode(t - np.uint64(1))
             new["dls_payload"] = varint_encode(l)
@@ -149,13 +148,12 @@ def compact(spark: SparkSession, storage: IndexStorage) -> None:
 
     Tombstoned docs are dropped from the packed blocks via a per-shard
     cogroup (the dead-id set stays distributed — no driver collect, no
-    closure broadcast), then EVERY block's impact bound is re-filled
-    with the fresh post-delete per-field avgdl, so block-max pruning is
-    fully restored (encode_avgdl_min_by_field == avgdl_by_field)."""
+    closure broadcast); fresh per-field avgdl is recomputed from the
+    cleaned field_lens table. Impact bounds need no refill — they are
+    derived live at query time from each block's (max_tf, min_dl)."""
     import json as _json
 
-    from .build import (DOC_ID_PART_SHIFT, POSTINGS_SCHEMA,
-                        fill_block_max)
+    from .build import DOC_ID_PART_SHIFT, POSTINGS_SCHEMA
     meta = storage.read_meta()
     tombs = read_tombstones(spark, storage)
     if tombs is None:
@@ -201,10 +199,9 @@ def compact(spark: SparkSession, storage: IndexStorage) -> None:
                       for f, t in field_totals.items()}
     avgdl = avgdl_by_field.get("content", 0.0)
 
-    # postings = cleaned runs with bounds re-filled at the new avgdl
+    # postings = cleaned runs re-laid-out by shard (bounds live)
     runs = storage.tf_runs(spark)
-    swap(lambda d: (runs.mapInPandas(fill_block_max(avgdl_by_field),
-                                     POSTINGS_SCHEMA)
+    swap(lambda d: (runs
                     .sortWithinPartitions("shard", "term", "first_doc")
                     .write.mode("overwrite").partitionBy("shard")
                     .parquet(d)),
@@ -231,9 +228,6 @@ def compact(spark: SparkSession, storage: IndexStorage) -> None:
     meta.update({
         "n_docs": n_docs, "avgdl": avgdl,
         "avgdl_by_field": avgdl_by_field,
-        "encode_avgdl_min": avgdl,
-        "encode_avgdl_min_by_field": {
-            f: a for f, a in avgdl_by_field.items() if a > 0},
     })
     storage.write_meta(meta)
     storage.io.delete_dir(tombstones_dir(storage), missing_ok=True)

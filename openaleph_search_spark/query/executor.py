@@ -564,19 +564,6 @@ class SearchExecutor:
         avgdl_by_field = dict(self.meta.get("avgdl_by_field")
                               or {"content": avgdl})
         k1, b = float(self.meta["k1"]), float(self.meta["b"])
-        # encoded block-max bounds are true upper bounds only while no
-        # field's live avgdl has grown past the smallest avgdl its
-        # blocks were encoded under (appends change stats; see
-        # streaming/incremental.py) — else fall back to exact full
-        # evaluation until compact()
-        enc_min = self.meta.get("encode_avgdl_min_by_field")
-        if enc_min is not None:
-            prune_ok = all(
-                a <= float(enc_min.get(f, 0.0)) + 1e-9
-                for f, a in avgdl_by_field.items() if a > 0)
-        else:  # legacy single-field meta
-            prune_ok = avgdl <= float(
-                self.meta.get("encode_avgdl_min", avgdl)) + 1e-9
         stats = (self.storage.term_stats(self.spark)
                  .filter(F.col("term").isin(terms)).collect())
         idf = {r["term"]: float(bm25_idf(float(r["df"]), n_docs))
@@ -594,7 +581,7 @@ class SearchExecutor:
                      and len(l.terms) == 2)
             for t in trees for l in t.leaves())
         cols = ["term", "shard", "first_doc", "last_doc", "doc_count",
-                "sum_tf", "max_tf", "block_max_tfnorm", "docs_payload",
+                "sum_tf", "max_tf", "min_dl", "docs_payload",
                 "tfs_payload", "dls_payload"]
         if need_pos:
             cols.append("pos_payload")
@@ -604,10 +591,33 @@ class SearchExecutor:
         if not need_pos:
             postings = postings.withColumn("pos_payload",
                                            F.lit(b"").cast("binary"))
-        ctx = {"idf": idf, "k_prune": (k if prune_ok else None),
+        ctx = {"idf": idf, "k_prune": k,
                "k1": k1, "b": b, "avgdl_by_field": avgdl_by_field,
                "bigrams": bigrams_on}
         return terms, ctx, postings
+
+    @staticmethod
+    def _attach_bounds(pdf: pd.DataFrame, ctx: dict) -> pd.DataFrame:
+        """Impact upper bounds computed LIVE from each block's stored
+        (max_tf, min_dl) against the CURRENT per-field avgdl: true
+        under any collection stats, so block-max pruning never needs an
+        encode-time-avgdl guard (appends/deletes can't invalidate it).
+        max_tf and min_dl may come from different docs, so the bound is
+        slightly looser than the exact per-block max — pruning skips a
+        little less, results stay exact either way."""
+        if pdf.empty:
+            return pdf
+        avg_map = ctx["avgdl_by_field"]
+        tfm = pdf["max_tf"].to_numpy(np.float64)
+        dlm = pdf["min_dl"].to_numpy(np.float64)
+        avg = pdf["term"].map(
+            lambda t: avg_map.get(field_of_term(t), 1.0)
+        ).to_numpy(np.float64)
+        norm = ctx["k1"] * (1.0 - ctx["b"] + ctx["b"] * dlm
+                            / np.maximum(avg, 1e-12))
+        pdf = pdf.copy()
+        pdf["block_max_tfnorm"] = tfm / (tfm + norm)
+        return pdf
 
     def run(self, tree: Node, k: int | None,
             filter_df: DataFrame | None = None) -> DataFrame:
@@ -628,6 +638,7 @@ class SearchExecutor:
             if blocks_pdf.empty:
                 return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
                                      "score": pd.Series(dtype=np.float64)})
+            blocks_pdf = SearchExecutor._attach_bounds(blocks_pdf, ctx)
             by_term = {
                 t: g.sort_values(["first_doc"])
                 for t, g in blocks_pdf.groupby("term", sort=False)}
@@ -686,6 +697,7 @@ class SearchExecutor:
                                   "count": pd.Series(dtype=np.int64)})
             if posting_pdf.empty or meta_pdf.empty:
                 return empty
+            posting_pdf = SearchExecutor._attach_bounds(posting_pdf, ctx)
             by_term = {
                 t: g.sort_values(["first_doc"])
                 for t, g in posting_pdf.groupby("term", sort=False)}
@@ -741,6 +753,7 @@ class SearchExecutor:
                 "entity_id": pd.Series(dtype=object)})
             if blocks_pdf.empty:
                 return empty
+            blocks_pdf = SearchExecutor._attach_bounds(blocks_pdf, ctx)
             by_term = {
                 t: g.sort_values(["first_doc"])
                 for t, g in blocks_pdf.groupby("term", sort=False)}

@@ -6,11 +6,10 @@ the batch north_rule, but the natural Spark-first extension: a
 ``foreachBatch`` sink that appends each micro-batch of new documents to
 the index as fresh source partitions (SURVEY.md §2.5 streaming note).
 
-Safety: appends change collection stats; ``meta.encode_avgdl_min``
-records the smallest avgdl any block was encoded under — the executor
-keeps block-max pruning only while current avgdl ≤ that bound (bounds
-stay true upper bounds), else it degrades to exact full evaluation
-until ``mutate.compact()`` re-encodes.
+Safety: appends change collection stats (N, avgdl) — harmless for
+pruning, because impact bounds are computed live at query time from
+each block's stored (max_tf, min_dl) against the CURRENT stats; no
+encode-time bound can go stale.
 """
 from __future__ import annotations
 
@@ -18,9 +17,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..index.build import (MANIFEST_SCHEMA, POSTINGS_SCHEMA,
-                           _read_field_stats, _spimi_writer,
-                           fill_block_max)
+from ..index.build import (MANIFEST_SCHEMA, _read_field_stats,
+                           _spimi_writer)
 from ..index.storage import IndexStorage
 
 
@@ -65,13 +63,11 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_dir: str,
 
     # append ONLY the new partitions' blocks (their doc ids sit above
     # the base namespace, so within-(term,shard) sortedness holds);
-    # bounds use the CURRENT per-field avgdl (recorded in the encode-min
-    # guard below so pruning stays provably sound)
+    # impact bounds are computed live at query time from each block's
+    # (max_tf, min_dl), so the append can never invalidate pruning
     runs = (storage.tf_runs(spark)
             .filter(F.shiftright("first_doc", 33) >= base_part))
-    postings = runs.mapInPandas(fill_block_max(avgdl_by_field),
-                                POSTINGS_SCHEMA)
-    (postings.sortWithinPartitions("shard", "term", "first_doc")
+    (runs.sortWithinPartitions("shard", "term", "first_doc")
      .write.mode("append").partitionBy("shard")
      .parquet(storage.postings_dir))
 
@@ -81,18 +77,9 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_dir: str,
      .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
      .write.mode("overwrite").parquet(storage.term_stats_dir))
 
-    enc_min = dict(meta.get("encode_avgdl_min_by_field")
-                   or ({f: a for f, a in (meta.get("avgdl_by_field")
-                                          or {}).items() if a > 0}))
-    for f, a in avgdl_by_field.items():
-        if a > 0:
-            enc_min[f] = min(enc_min.get(f, a), a)
     meta.update({
         "n_docs": n_docs, "avgdl": avgdl,
         "avgdl_by_field": avgdl_by_field,
-        "encode_avgdl_min": min(meta.get("encode_avgdl_min",
-                                         meta["avgdl"]), avgdl),
-        "encode_avgdl_min_by_field": enc_min,
         "built_partitions": meta.get("built_partitions", 0) + 1,
     })
     storage.write_meta(meta)

@@ -169,15 +169,18 @@ def test_compact_refreshes_per_field_stats(spark, fixture_docs_df,
     m_f = IndexStorage(fresh).read_meta()
     for f, a in m_f["avgdl_by_field"].items():
         assert abs(m_c["avgdl_by_field"].get(f, 0.0) - a) < 1e-9, f
-    # pruning guard satisfied again after compact
-    assert m_c["encode_avgdl_min_by_field"] == {
-        f: a for f, a in m_c["avgdl_by_field"].items() if a > 0}
+    # impact bounds are live-derived from (max_tf, min_dl): the
+    # compacted postings carry refreshed min_dl per modified block
+    import pyspark.sql.functions as _F
+    assert IndexStorage(comp).postings(spark).filter(
+        _F.col("min_dl") <= 0).count() == 0
 
 
 def test_append_grown_avgdl_disables_pruning_soundly(
         spark, fixture_docs_df, tmp_path):
-    """Appending long docs grows avgdl past encode-time bounds; results
-    must STILL be exact (pruning falls back to full evaluation)."""
+    """Appending long docs grows avgdl; results must STILL be exact —
+    impact bounds recompute live from (max_tf, min_dl) against the new
+    stats, so pruning stays on AND sound."""
     from openaleph_search_spark.streaming.incremental import append_batch
     inc = str(tmp_path / "idx_grow")
     full = str(tmp_path / "idx_grow_full")
