@@ -203,6 +203,13 @@ def q14_phrase(spark, sf_dir):
                  15)
 
 
+def q14b_phrase_slop(spark, sf_dir):
+    """Q14 sloppy variant: "vector stream"~2 through the positional
+    evaluator (anchors of slot 0 with every slot within slop)."""
+    return _hits(_engine(spark, sf_dir),
+                 {"q": '"vector stream"~2', "limit": 15}, 15)
+
+
 def q8_prefix(spark, sf_dir):
     return _hits(_engine(spark, sf_dir), {"q": "sca*", "limit": 10}, 10)
 
@@ -835,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_bool_or": q9_bool_or,
         "q9_bool_not": q9_bool_not,
         "q14_phrase": q14_phrase,
+        "q14b_phrase_slop": q14b_phrase_slop,
         "q8_prefix": q8_prefix,
         "q4_term_filter_scored": q4_term_filter_scored,
         "q12_auth_filter": q12_auth_filter,
@@ -1013,6 +1021,42 @@ FROM t
         "q9_bool_not": _bm25_sql(["vector"], 20, "or",
                                  not_terms=["window"]),
         "q14_phrase": _phrase_sql("table", "scan", 15),
+        "q14b_phrase_slop": f"""
+WITH pos AS (
+  SELECT d.doc_id, d.dl, d.toks[i.i + 1] AS term, i.i AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS dl FROM documents) d,
+       LATERAL (SELECT unnest(range(len(d.toks))) AS i) i
+),
+stats AS (
+  SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl
+  FROM documents
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM pos
+  WHERE term IN ('vector', 'stream') GROUP BY term
+),
+idf AS (
+  SELECT sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS v
+  FROM dfreq CROSS JOIN stats
+),
+matches AS (
+  SELECT a.doc_id, any_value(a.dl) AS dl,
+         count(DISTINCT a.pos) AS tf
+  FROM pos a
+  WHERE a.term = 'vector' AND EXISTS (
+    SELECT 1 FROM pos b WHERE b.doc_id = a.doc_id
+      AND b.term = 'stream' AND abs((b.pos - 1) - a.pos) <= 2)
+  GROUP BY a.doc_id
+)
+SELECT m.doc_id,
+       round(idf.v * m.tf
+             / (m.tf + {K1} * (1 - {B} + {B} * m.dl / stats.avgdl)),
+             4) AS score
+FROM matches m CROSS JOIN idf CROSS JOIN stats
+ORDER BY score DESC, m.doc_id
+LIMIT 15
+""",
         "q8_prefix": _bm25_sql(["scan"], 10, "or"),
         "q4_term_filter_scored": _bm25_sql(
             ["vector", "stream"], 20, "and", doc_filter="lang = 'de'"),
