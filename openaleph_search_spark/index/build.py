@@ -484,14 +484,11 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
 
 
 def _read_field_stats(storage: IndexStorage) -> dict[str, float]:
-    """Per-field avgdl from the per-partition field-stat jsons."""
+    """Per-field avgdl from the per-partition field-stat jsons
+    (parallel driver-side reads — see storage.read_json_files)."""
     totals: dict[str, list[int]] = {}
-    for name in storage.io.listdir(storage.manifest_dir):
-        if not (name.startswith("fields_part=")
-                and name.endswith(".json")):
-            continue
-        stats = json.loads(storage.io.read_bytes(
-            os.path.join(storage.manifest_dir, name)))
+    for stats in storage.read_json_files(storage.manifest_dir,
+                                         "fields_part="):
         for fname, (docs_f, toks_f) in stats.items():
             t = totals.setdefault(fname, [0, 0])
             t[0] += docs_f

@@ -64,20 +64,33 @@ class IndexStorage:
     def manifest_path(self, src_part: int) -> str:
         return os.path.join(self.manifest_dir, f"part={src_part}.json")
 
+    def read_json_files(self, dirname: str, prefix: str) -> list[dict]:
+        """Read every ``<prefix>*.json`` in a directory — parallel
+        driver-side reads (a 100k-partition build on an object store
+        would take minutes sequentially); unreadable files skipped."""
+        from concurrent.futures import ThreadPoolExecutor
+        names = [n for n in self.io.listdir(dirname)
+                 if n.startswith(prefix) and n.endswith(".json")]
+
+        def read_one(name):
+            try:
+                return json.loads(self.io.read_bytes(
+                    os.path.join(dirname, name)))
+            except (ValueError, OSError, json.JSONDecodeError):
+                return None
+        if len(names) <= 8:
+            rows = [read_one(n) for n in names]
+        else:
+            with ThreadPoolExecutor(max_workers=32) as pool:
+                rows = list(pool.map(read_one, names))
+        return [r for r in rows if r is not None]
+
     def completed_partitions(self) -> dict[int, dict]:
         """Map src_part → manifest row for partitions already built."""
-        out: dict[int, dict] = {}
-        for name in self.io.listdir(self.manifest_dir):
-            if not (name.startswith("part=") and name.endswith(".json")):
-                continue
-            try:
-                row = json.loads(self.io.read_bytes(
-                    os.path.join(self.manifest_dir, name)))
-                if row.get("status") == "done":
-                    out[int(row["src_part"])] = row
-            except (ValueError, OSError, json.JSONDecodeError):
-                continue
-        return out
+        return {int(row["src_part"]): row
+                for row in self.read_json_files(self.manifest_dir,
+                                                "part=")
+                if row.get("status") == "done" and "src_part" in row}
 
     # -- table readers --------------------------------------------------------
     def doc_meta(self, spark: SparkSession) -> DataFrame:
