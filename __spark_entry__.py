@@ -364,6 +364,16 @@ def s7_filtered_scan(spark, sf_dir):
             .select("doc_id", "source", "n_chars"))
 
 
+def s6_export_query(spark, sf_dir):
+    """S6: query-filtered projected export through the engine (the
+    reference's export_specific_query + excluded-fields shapes)."""
+    eng = _engine(spark, sf_dir)
+    out = eng.export({"q": "vector stream", "filter:lang": "en"},
+                     include_fields=["path", "lang", "doc_len"])
+    return _orig_id(out).select(
+        "doc_id", "lang", F.col("doc_len").cast("long").alias("doc_len"))
+
+
 def s9_ids_lookup(spark, sf_dir):
     """S9: multi-get by ids (broadcast semi-join against an id list)."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -858,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_engine_histogram": a3_engine_histogram,
         "a5_engine_significant": a5_engine_significant,
         "a7_systematic_sample": a7_systematic_sample,
+        "s6_export_query": s6_export_query,
         "s7_filtered_scan": s7_filtered_scan,
         "s9_ids_lookup": s9_ids_lookup,
         "s10_checksum_counts": s10_checksum_counts,
@@ -1208,6 +1219,19 @@ FROM j WHERE score > 0 ORDER BY score DESC, v LIMIT 10
         "a7_systematic_sample": """
 SELECT event_type, count(*) AS n FROM events
 WHERE event_id % 10 = 0 GROUP BY event_type
+""",
+        "s6_export_query": """
+WITH m AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, count(DISTINCT term) AS hit FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents) WHERE term IN ('vector', 'stream')
+    GROUP BY doc_id) WHERE hit = 2
+)
+SELECT d.doc_id, d.lang,
+       len(string_split(d.text, ' '))::BIGINT AS doc_len
+FROM documents d JOIN m USING (doc_id)
+WHERE d.lang = 'en'
 """,
         "s7_filtered_scan": """
 SELECT doc_id, source, n_chars FROM documents

@@ -269,6 +269,41 @@ class Engine:
                         F.desc("score"), F.asc("doc_id"))))
                 .filter(F.col("_rn") <= k).drop("_rn"))
 
+    def export(self, args: dict | SearchArgs | None = None, auth=None,
+               include_fields: list[str] | None = None,
+               exclude_fields: list[str] | None = None) -> DataFrame:
+        """S6 full/filtered export: every LIVE doc matching the query
+        and filters, hydrated from doc_meta, with optional column
+        include/exclude (reference export.py:15-96 exports actions for
+        reindexing with query + excluded-field support; Spark is
+        already batch — no scroll machinery)."""
+        sa = (args if isinstance(args, SearchArgs)
+              else parse_args(args or {}))
+        tree = self._plan(sa)
+        pred = self._predicate(sa.filters, sa)
+        auth_pred = self._auth_pred(auth)
+        if auth_pred is not None:
+            pred = auth_pred if pred is None else (auth_pred & pred)
+        base = self.doc_meta.filter(pred) if pred is not None \
+            else self.doc_meta
+        if isinstance(tree, MatchAll):
+            out = base
+        elif isinstance(tree, Bool) and tree.must_not and not tree.must \
+                and not tree.should:
+            banned = self.executor.run(Bool(should=tree.must_not), k=None)
+            out = base.join(banned.select("doc_id"), "doc_id",
+                            "left_anti")
+        else:
+            ids = self.executor.run(tree, k=None, filter_df=base)
+            out = base.join(ids.select("doc_id"), "doc_id")
+        cols = list(out.columns)
+        if include_fields:
+            cols = [c for c in cols if c in set(include_fields)
+                    or c == "doc_id"]
+        if exclude_fields:
+            cols = [c for c in cols if c not in set(exclude_fields)]
+        return out.select(*cols)
+
     def count(self, args: dict | SearchArgs, auth=None) -> int:
         """Q31: filtered match count without hits."""
         sa = args if isinstance(args, SearchArgs) else parse_args(args)

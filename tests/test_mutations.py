@@ -257,3 +257,38 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     assert any(n == 2 and closed for _, _, n, closed in u1)
     assert any(n == 1 and not closed for _, _, n, closed in u1)
     assert len(by_key["u2"]) == 1 and by_key["u2"][0][2] == 1
+
+
+def test_engine_export_filtered_projected(spark, fixture_docs_df,
+                                          tmp_path):
+    """S6 enrichment (reference test_export.py shapes): query-filtered
+    export, excluded fields, auth, tombstone subtraction."""
+    from pyspark.sql import functions as F
+    from openaleph_search_spark.index.build import build_index
+    from openaleph_search_spark.query.auth import SearchAuth
+    from openaleph_search_spark.query.engine import Engine
+    out = str(tmp_path / "idx_exp")
+    build_index(spark, fixture_docs_df, out, num_partitions=4,
+                num_shards=2)
+    eng = Engine(spark, out)
+    # full export = all docs
+    assert eng.export().count() == fixture_docs_df.count()
+    # query-filtered export
+    got = {r["path"] for r in eng.export({"q": "banana"}).collect()}
+    assert got == {"a/banana.txt", "b/crime.go"}
+    # filters + excluded fields
+    sub = eng.export({"filter:lang": "txt"},
+                     exclude_fields=["content_sha256", "src_part"])
+    assert "content_sha256" not in sub.columns
+    assert sub.count() == fixture_docs_df.filter("lang = 'txt'").count()
+    # include_fields keeps doc_id implicitly
+    inc = eng.export(include_fields=["path"])
+    assert set(inc.columns) == {"doc_id", "path"}
+    # auth restricts the export
+    assert eng.export(auth=SearchAuth(datasets={"r1"}, logged_in=True)
+                      ).count() == \
+        fixture_docs_df.filter("repo = 'r1'").count()
+    # tombstoned docs never export
+    st = IndexStorage(out)
+    delete_docs(spark, st, F.col("lang") == "go")
+    assert Engine(spark, out).export({"q": "banana"}).count() == 1
