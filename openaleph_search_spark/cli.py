@@ -60,6 +60,22 @@ def main(argv=None):
     d.add_argument("--index", required=True)
     d.add_argument("--filter", action="append", default=[], required=True)
 
+    c = sub.add_parser("compact",
+                       help="fold tombstones in, refresh stats")
+    c.add_argument("--index", required=True)
+
+    e = sub.add_parser("export", help="query-filtered doc export")
+    e.add_argument("--index", required=True)
+    e.add_argument("--q", default=None)
+    e.add_argument("--filter", action="append", default=[])
+    e.add_argument("--output", required=True, help="parquet output path")
+    e.add_argument("--exclude-fields", default=None,
+                   help="comma-separated columns to drop")
+
+    u = sub.add_parser("upsert", help="upsert docs from a parquet table")
+    u.add_argument("--index", required=True)
+    u.add_argument("--input", required=True)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "analyze":  # no Spark needed
@@ -76,6 +92,8 @@ def main(argv=None):
         print(json.dumps(out))
         return 0
 
+    from pyspark.sql import SparkSession
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(args.cores)
     spark.sparkContext.setLogLevel("WARN")
     try:
@@ -115,8 +133,36 @@ def main(argv=None):
                 pred = c if pred is None else (pred & c)
             n = delete_docs(spark, IndexStorage(args.index), pred)
             print(json.dumps({"tombstoned": n}))
+        elif args.cmd == "compact":
+            from openaleph_search_spark.index.mutate import compact
+            from openaleph_search_spark.index.storage import IndexStorage
+            st = IndexStorage(args.index)
+            compact(spark, st)
+            print(json.dumps(st.read_meta()))
+        elif args.cmd == "export":
+            from openaleph_search_spark.query.engine import Engine
+            eng = Engine(spark, args.index)
+            req = {}
+            if args.q:
+                req["q"] = args.q
+            for f in args.filter:
+                k, _, v = f.partition("=")
+                req[f"filter:{k}"] = v
+            excl = (args.exclude_fields.split(",")
+                    if args.exclude_fields else None)
+            out = eng.export(req, exclude_fields=excl)
+            out.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"exported": out.count(),
+                              "output": args.output}))
+        elif args.cmd == "upsert":
+            from openaleph_search_spark.index.mutate import upsert_docs
+            from openaleph_search_spark.index.storage import IndexStorage
+            docs = spark.read.parquet(args.input)
+            upsert_docs(spark, IndexStorage(args.index), docs)
+            print(json.dumps({"upserted": docs.count()}))
     finally:
-        spark.stop()
+        if owns_session:  # embedded callers keep their session
+            spark.stop()
     return 0
 
 

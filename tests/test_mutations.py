@@ -292,3 +292,38 @@ def test_engine_export_filtered_projected(spark, fixture_docs_df,
     st = IndexStorage(out)
     delete_docs(spark, st, F.col("lang") == "go")
     assert Engine(spark, out).export({"q": "banana"}).count() == 1
+
+
+def test_cli_export_compact_roundtrip(spark, fixture_docs_df, tmp_path):
+    """CLI surface: build → export → delete → compact → export, all
+    through the argparse entry (in-process; spark-submit packaging is
+    covered separately)."""
+    import json as _json
+    from openaleph_search_spark import cli
+    docs_dir = str(tmp_path / "cli_docs")
+    idx = str(tmp_path / "cli_idx")
+    exp = str(tmp_path / "cli_exp")
+    fixture_docs_df.write.mode("overwrite").parquet(docs_dir)
+
+    import io
+    from contextlib import redirect_stdout
+
+    def run(*argv):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = cli.main(list(argv))
+        assert rc == 0
+        return buf.getvalue().strip().splitlines()
+
+    run("build", "--input", docs_dir, "--output", idx,
+        "--partitions", "4", "--shards", "2")
+    out = run("export", "--index", idx, "--q", "banana",
+              "--output", exp, "--exclude-fields", "content_sha256")
+    assert _json.loads(out[-1])["exported"] == 2
+    exported = spark.read.parquet(exp)
+    assert "content_sha256" not in exported.columns
+    run("delete", "--index", idx, "--filter", "lang=go")
+    run("compact", "--index", idx)
+    out2 = run("export", "--index", idx, "--q", "banana",
+               "--output", exp + "2")
+    assert _json.loads(out2[-1])["exported"] == 1
