@@ -198,6 +198,19 @@ def q9_bool_not(spark, sf_dir):
                  {"q": "vector NOT window", "limit": 20}, 20)
 
 
+def q9_boosted_should_topk(spark, sf_dir):
+    """Q9/Q29: uneven should-boosts + must_not at SMALL k — the exact
+    shape that exposed the round-2 pruning unsoundness (boost-blind
+    max_impact / θ inflated by docs must_not later removes).  Runs the
+    NATIVE top-k path (limit=3 → per-shard θ-pruning active)."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search({"q": "merge^2 OR window OR vector NOT stream",
+                      "limit": 3})
+    out = _orig_id(res.hits).select(
+        "doc_id", F.round("score", 4).alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(3)
+
+
 def q14_phrase(spark, sf_dir):
     return _hits(_engine(spark, sf_dir), {"q": '"table scan"', "limit": 15},
                  15)
@@ -851,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_bm25_match_topk": q28_bm25_match_topk,
         "q9_bool_or": q9_bool_or,
         "q9_bool_not": q9_bool_not,
+        "q9_boosted_should_topk": q9_boosted_should_topk,
         "q14_phrase": q14_phrase,
         "q14b_phrase_slop": q14b_phrase_slop,
         "q8_prefix": q8_prefix,
@@ -1031,6 +1045,36 @@ FROM t
         "q9_bool_or": _bm25_sql(["merge", "window", "vector"], 20, "or"),
         "q9_bool_not": _bm25_sql(["vector"], 20, "or",
                                  not_terms=["window"]),
+        # merge^2 OR window OR (vector NOT stream), k=3: per-child
+        # boosted contributions; the vector leg is void on stream-docs
+        "q9_boosted_should_topk": f"""
+WITH {_TOK_CTE.format(where='')},
+bm AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * tf.dl / stats.avgdl))
+         AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  WHERE tf.term IN ('merge', 'window', 'vector', 'stream')
+),
+contrib AS (
+  SELECT doc_id,
+         sum(CASE WHEN term = 'merge' THEN 2 * sc
+                  WHEN term = 'window' THEN sc
+                  WHEN term = 'vector' AND doc_id NOT IN
+                       (SELECT doc_id FROM bm WHERE term = 'stream')
+                       THEN sc END) AS score,
+         count(CASE WHEN term IN ('merge', 'window')
+                    OR (term = 'vector' AND doc_id NOT IN
+                        (SELECT doc_id FROM bm WHERE term = 'stream'))
+                    THEN 1 END) AS nmatch
+  FROM bm GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM contrib WHERE nmatch >= 1
+ORDER BY round(score, 4) DESC, doc_id
+LIMIT 3
+""",
         "q14_phrase": _phrase_sql("table", "scan", 15),
         "q14b_phrase_slop": f"""
 WITH pos AS (

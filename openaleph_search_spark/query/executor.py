@@ -218,7 +218,8 @@ class _ShardEval:
         return out
 
     # -- node evaluation ------------------------------------------------------
-    def eval(self, node: Node, candidates: np.ndarray | None = None):
+    def eval(self, node: Node, candidates: np.ndarray | None = None,
+             root: bool = False):
         if isinstance(node, TermLeaf):
             ids, sc, _, _, _ = self._decode_term(node.term, candidates)
             return ids, sc * node.boost
@@ -231,7 +232,7 @@ class _ShardEval:
         if isinstance(node, PhraseLeaf):
             return self._eval_phrase(node, candidates)
         if isinstance(node, Bool):
-            return self._eval_bool(node, candidates)
+            return self._eval_bool(node, candidates, root=root)
         if isinstance(node, DisMax):
             acc = (np.empty(0, np.int64), np.empty(0, np.float64))
             for child in node.children:
@@ -243,7 +244,8 @@ class _ShardEval:
                              "filter-only fast path")
         raise TypeError(type(node))
 
-    def _eval_bool(self, node: Bool, candidates: np.ndarray | None):
+    def _eval_bool(self, node: Bool, candidates: np.ndarray | None,
+                   root: bool = False):
         ids = scores = None
         if node.must:
             # rarest-first: estimate df by total block doc_count in shard
@@ -262,8 +264,13 @@ class _ShardEval:
                 if ids.size == 0:
                     break
         if node.should:
+            # θ-pruning is only sound at the ROOT should-group: θ is the
+            # k-th best score of the FINAL accumulator, so any enclosing
+            # context that later removes (must_not) or rescales docs
+            # would make a nested θ an over-estimate → wrong skips.
             sh_ids, sh_sc = self._eval_should(
-                node.should, candidates, gate=not node.must,
+                node.should, candidates,
+                gate=root and not node.must and not node.must_not,
                 min_should=(node.min_should or 1) if not node.must else 0)
             if ids is None:
                 ids, scores = sh_ids, sh_sc
@@ -308,15 +315,36 @@ class _ShardEval:
         requires that many matching children per doc; pruning is
         disabled there (θ would overestimate the k-th *valid* score).
         """
+        def term_bound(t: str) -> float:
+            pdf = self.blocks.get(t)
+            if pdf is None or not len(pdf):
+                return 0.0
+            return (self.idf.get(t, 0.0)
+                    * float(pdf["block_max_tfnorm"].max()))
+
         def max_impact(n: Node) -> float:
-            tot = 0.0
-            for leaf in n.leaves():
-                for t in self._leaf_terms(leaf):
-                    pdf = self.blocks.get(t)
-                    if pdf is not None and len(pdf):
-                        tot += (self.idf.get(t, 0.0)
-                                * float(pdf["block_max_tfnorm"].max()))
-            return tot
+            # BOOST-AWARE upper bound on what eval(n) can return for any
+            # single doc — must mirror eval()'s scoring exactly:
+            if isinstance(n, TermLeaf):
+                return term_bound(n.term) * n.boost
+            if isinstance(n, PrefixLeaf):
+                return (sum(term_bound(t) for t in (n.expanded or []))
+                        * n.boost)
+            if isinstance(n, PhraseLeaf):
+                # phrase tf ≤ each unigram tf and tfnorm is monotone in
+                # tf at fixed dl, so Σ idf_t·max_tfnorm_t bounds the
+                # Lucene PhraseQuery score (unigram blocks are always
+                # fetched for phrases — see _prepare/_leaf_terms)
+                return (sum(term_bound(t) for t in set(n.terms))
+                        * n.boost)
+            if isinstance(n, Bool):
+                # must_not / min_should only REMOVE docs; the additive
+                # bound over positive children stays an upper bound
+                return sum(max_impact(c) for c in (*n.must, *n.should))
+            if isinstance(n, DisMax):
+                return max((max_impact(c) for c in n.children),
+                           default=0.0)
+            return float("inf")  # unknown node → never prune past it
 
         impacts = [(max_impact(c), i, c) for i, c in enumerate(children)]
         impacts.sort(key=lambda x: (-x[0], x[1]))
@@ -645,7 +673,7 @@ class SearchExecutor:
             ev = _ShardEval(by_term, ctx["idf"], ctx["k_prune"], allowed,
                             ctx["k1"], ctx["b"], ctx["avgdl_by_field"],
                             bigrams=ctx["bigrams"])
-            ids, scores = ev.eval(tree)
+            ids, scores = ev.eval(tree, root=True)
             if k is not None and ids.size > k:
                 # per-shard top-k: exact selection incl. doc_id tiebreak
                 order = np.lexsort((ids, -scores))[:k]
@@ -707,7 +735,7 @@ class SearchExecutor:
             ev = _ShardEval(by_term, ctx["idf"], None, allowed,
                             ctx["k1"], ctx["b"], ctx["avgdl_by_field"],
                             bigrams=ctx["bigrams"])
-            ids, _ = ev.eval(tree)
+            ids, _ = ev.eval(tree, root=True)
             if ids.size == 0:
                 return empty
             pos = np.searchsorted(allowed, ids)
@@ -762,7 +790,7 @@ class SearchExecutor:
                             bigrams=ctx["bigrams"])
             parts = []
             for eid, tree in items:
-                ids, scores = ev.eval(tree)
+                ids, scores = ev.eval(tree, root=True)
                 if k is not None and ids.size > k:
                     order = np.lexsort((ids, -scores))[:k]
                     ids, scores = ids[order], scores[order]

@@ -24,6 +24,7 @@ MAX_PAGE = 9999  # reference settings.py:7
 
 _TOKEN_SPLIT = re.compile(
     r'(?P<neg>-)?(?:(?P<pfield>\w+):)?"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?'
+    r"(?:\^(?P<pboost>\d+(?:\.\d+)?))?"
     r"|\((?P<lparen>)"
     r"|\)(?P<rparen>)"
     r"|(?P<word>[^\s()]+)"
@@ -39,6 +40,7 @@ class _Tok:
     slop: int = 0
     field: str | None = None
     neg: bool = False
+    boost: float = 1.0
 
 
 def _lex(q: str) -> list[_Tok]:
@@ -48,7 +50,8 @@ def _lex(q: str) -> list[_Tok]:
             toks.append(_Tok("phrase", m.group("phrase"),
                              int(m.group("slop") or 0),
                              m.group("pfield"),
-                             neg=m.group("neg") is not None))
+                             neg=m.group("neg") is not None,
+                             boost=float(m.group("pboost") or 1.0)))
         elif m.group("lparen") is not None:
             toks.append(_Tok("lparen"))
         elif m.group("rparen") is not None:
@@ -151,14 +154,21 @@ class QueryStringParser:
             if not terms:
                 return None
             if len(terms) == 1:
-                return TermLeaf(terms[0], field=t.field)
-            return PhraseLeaf(terms, slop=t.slop, field=t.field)
+                return TermLeaf(terms[0], field=t.field, boost=t.boost)
+            return PhraseLeaf(terms, slop=t.slop, field=t.field,
+                              boost=t.boost)
         # word — optional field: prefix (Lucene field:value syntax)
         word = t.text
         field = None
         fm = _FIELD_WORD.match(word)
         if fm and fm.group(1).upper() not in ("AND", "OR", "NOT"):
             field, word = fm.group(1), fm.group(2)
+        # Lucene term boost: word^2 / word^0.5 (applies to the whole
+        # atom, incl. prefix expansions and multi-term analyses)
+        boost = 1.0
+        bm = re.match(r"^(.+)\^(\d+(?:\.\d+)?)$", word)
+        if bm:
+            word, boost = bm.group(1), float(bm.group(2))
         if word.startswith("-") and len(word) > 1:
             inner = QueryStringParser.__new__(QueryStringParser)
             inner.toks = [_Tok("word", word[1:])]
@@ -168,16 +178,18 @@ class QueryStringParser:
         if word.endswith("*") and len(word) > 1 and "*" not in word[:-1]:
             terms = analyze_query_terms(word[:-1])
             if terms:
-                return PrefixLeaf(terms[0], field=field)
+                return PrefixLeaf(terms[0], field=field, boost=boost)
             return None
         terms = analyze_query_terms(word)
         if not terms:
             return None
         if len(terms) == 1:
-            return TermLeaf(terms[0], field=field)
+            return TermLeaf(terms[0], field=field, boost=boost)
         # one input word analyzing into several terms (e.g. ZWJ capture,
         # hyphenated, path segments): conjunction within the field
-        return Bool(must=[TermLeaf(x, field=field) for x in terms])
+        # (boosting every child == boosting the summed conjunction)
+        return Bool(must=[TermLeaf(x, field=field, boost=boost)
+                          for x in terms])
 
 
 def parse_query_string(q: str | None) -> Node:

@@ -6,7 +6,7 @@ from collections import Counter
 
 import numpy as np
 import pandas as pd
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from openaleph_search_spark.analysis.analyzer import analyze_text
 from openaleph_search_spark.index.codec import bm25_idf, encode_blocks
@@ -155,6 +155,22 @@ def test_parser_never_crashes(q):
     parse_query_string(q)  # lenient: must not raise on any input
 
 
+def test_parser_boost_goldens():
+    """Lucene ^boost syntax on terms, phrases, prefixes and
+    multi-term-analysis conjunctions."""
+    from openaleph_search_spark.query.ir import PhraseLeaf, PrefixLeaf
+    from openaleph_search_spark.query.parser import parse_query_string
+    assert parse_query_string("alpha^2") == TermLeaf("alpha", boost=2.0)
+    assert parse_query_string('"big table"^1.5') == PhraseLeaf(
+        ["big", "table"], slop=0, boost=1.5)
+    p = parse_query_string("sca*^2")
+    assert isinstance(p, PrefixLeaf) and p.boost == 2.0
+    assert parse_query_string("alpha beta^2") == Bool(
+        must=[TermLeaf("alpha"), TermLeaf("beta", boost=2.0)])
+    t = parse_query_string('"vector stream"~2^3')
+    assert t == PhraseLeaf(["vector", "stream"], slop=2, boost=3.0)
+
+
 # ---------------------------------------------------------------------------
 # arbitrary-tree fuzzing: recursive reference evaluator over dicts
 # ---------------------------------------------------------------------------
@@ -237,6 +253,27 @@ def _tree(depth: int):
 @given(docs_strategy, _tree(2),
        st.one_of(st.none(), st.integers(min_value=1, max_value=5)))
 @settings(max_examples=200, deadline=None)
+@example(
+    docs_tokens=[['alpha'], ['alpha'], ['beta', 'gamma'], ['beta', 'gamma']],
+    tree=Bool(must=[],
+     should=[TermLeaf(term='alpha', boost=1.0, field=None),
+      TermLeaf(term='beta', boost=2.0, field=None)],
+     must_not=[],
+     min_should=None),
+    k=1,
+).via('discovered failure')
+@example(
+    docs_tokens=[['alpha'], ['beta', 'gamma']],
+    tree=Bool(must=[],
+     should=[Bool(must=[],
+       should=[TermLeaf(term='alpha', boost=1.0, field=None),
+        TermLeaf(term='beta', boost=1.0, field=None)],
+       must_not=[],
+       min_should=None)],
+     must_not=[TermLeaf(term='alpha', boost=1.0, field=None)],
+     min_should=None),
+    k=1,
+).via('discovered failure')
 def test_arbitrary_trees_match_oracle(docs_tokens, tree, k):
     # skip degenerate: nothing positive to score
     if isinstance(tree, Bool) and not tree.must and not tree.should:
