@@ -192,14 +192,31 @@ def ivf_centroids(df: DataFrame, n_centroids: int = 16,
     """Deterministic IVF coarse quantizer: the centroid set is the
     ``n_centroids`` rows with the smallest md5-low64 hash of their id —
     a seedless, engine-independent sample (SQL-replicable, unlike
-    k-means iterations)."""
-    import hashlib
-    rows = df.select(id_col, vec_col).collect()
-    def h(i):
-        return int.from_bytes(
-            hashlib.md5(str(i).encode()).digest()[8:], "little")
-    rows.sort(key=lambda r: (h(r[id_col]), r[id_col]))
-    return [(r[id_col], list(r[vec_col])) for r in rows[:n_centroids]]
+    k-means iterations).
+
+    Distributed selection: the hash is computed as a Column and the
+    global ``orderBy(...).limit(n)`` runs as a per-partition top-n +
+    tiny gather (Spark TakeOrderedAndProject) — only ``n_centroids``
+    rows ever reach the driver, never the table."""
+    rows = ivf_centroid_df(df, n_centroids, id_col, vec_col).collect()
+    return [(r[id_col], list(r[vec_col])) for r in rows]
+
+
+def ivf_centroid_df(df: DataFrame, n_centroids: int = 16,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """The centroid-selection plan (collected by :func:`ivf_centroids`).
+
+    md5-low64 == little-endian bytes 8..16 of md5(str(id)): reverse
+    those hex pairs so the hex number reads b15..b8, then parse as an
+    unsigned 64-bit value (decimal(20,0) keeps the full range
+    order-correct; conv() output is the unsigned decimal string)."""
+    hx = F.md5(F.col(id_col).cast("string"))
+    rev = F.concat(*[F.substring(hx, 31 - 2 * j, 2) for j in range(8)])
+    h64 = F.conv(rev, 16, 10).cast("decimal(20,0)")
+    return (df.select(id_col, vec_col)
+            .orderBy(h64.asc(), F.col(id_col).asc())
+            .limit(n_centroids))
 
 
 def with_ivf_cells(df: DataFrame, centroids: list[tuple[int, list]],

@@ -122,3 +122,19 @@ def test_run_multi_single_pass(spark, fixture_engine):
     plan = _plan(df)
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert "Union" not in plan
+
+
+def test_ivf_centroid_selection_is_bounded_topn(spark):
+    """IVF centroid choice must plan as TakeOrderedAndProject (per-
+    partition top-n + tiny gather): only n_centroids rows reach the
+    driver, never a full-table collect (VERDICT r2 'What's wrong' #2)."""
+    import numpy as np
+    from openaleph_search_spark.ops.similarity import ivf_centroid_df
+    rng = np.random.default_rng(7)
+    rows = [(int(i), [float(x) for x in rng.normal(size=8)])
+            for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df = ivf_centroid_df(emb, n_centroids=16)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CollectLimit" not in plan
