@@ -223,6 +223,21 @@ def q14b_phrase_slop(spark, sf_dir):
                  {"q": '"vector stream"~2', "limit": 15}, 15)
 
 
+def q23_synonyms_multitoken(spark, sf_dir):
+    """Q22/Q23: search-time synonym_graph expansion with a MULTI-token
+    rule — ``vector`` expands to the group {vector, "table scan"}, so
+    score = bm25(vector) + Lucene-phrase("table scan") additively."""
+    from openaleph_search_spark.query.engine import Engine
+    from openaleph_search_spark.query.synonyms import SynonymTable
+    base = _engine(spark, sf_dir)  # ensures the index is built/cached
+    eng = Engine(spark, base.storage.root,
+                 synonyms=SynonymTable([["table scan", "vector"]]))
+    res = eng.search({"q": "vector", "synonyms": "true", "limit": 9999})
+    out = _orig_id(res.hits).select(
+        "doc_id", F.round("score", 4).alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(15)
+
+
 def q8_prefix(spark, sf_dir):
     return _hits(_engine(spark, sf_dir), {"q": "sca*", "limit": 10}, 10)
 
@@ -865,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_bool_or": q9_bool_or,
         "q9_bool_not": q9_bool_not,
         "q9_boosted_should_topk": q9_boosted_should_topk,
+        "q23_synonyms_multitoken": q23_synonyms_multitoken,
         "q14_phrase": q14_phrase,
         "q14b_phrase_slop": q14b_phrase_slop,
         "q8_prefix": q8_prefix,
@@ -1076,6 +1092,51 @@ ORDER BY round(score, 4) DESC, doc_id
 LIMIT 3
 """,
         "q14_phrase": _phrase_sql("table", "scan", 15),
+        # synonyms=true with rule {vector, "table scan"}: additive
+        # bm25(vector) + Lucene-phrase(table scan), match on either leg
+        "q23_synonyms_multitoken": f"""
+WITH {_TOK_CTE.format(where='')},
+tscore AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * tf.dl / stats.avgdl))
+         ) AS s
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  WHERE tf.term = 'vector'
+  GROUP BY tf.doc_id
+),
+pos AS (
+  SELECT d.doc_id, d.dl, d.toks[i.i + 1] AS term, i.i AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS dl FROM documents) d,
+       LATERAL (SELECT unnest(range(len(d.toks))) AS i) i
+),
+pidf AS (
+  SELECT sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS v
+  FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('table', 'scan')
+),
+pmatch AS (
+  SELECT a.doc_id, any_value(a.dl) AS dl, count(*) AS ptf
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'table' AND b.term = 'scan'
+  GROUP BY a.doc_id
+),
+pscore AS (
+  SELECT m.doc_id,
+         pidf.v * m.ptf
+         / (m.ptf + {K1} * (1 - {B} + {B} * m.dl / stats.avgdl)) AS s
+  FROM pmatch m CROSS JOIN pidf CROSS JOIN stats
+),
+hits AS (
+  SELECT doc_id FROM tscore UNION SELECT doc_id FROM pscore
+)
+SELECT h.doc_id,
+       round(coalesce(t.s, 0) + coalesce(p.s, 0), 4) AS score
+FROM hits h LEFT JOIN tscore t USING (doc_id)
+            LEFT JOIN pscore p USING (doc_id)
+ORDER BY round(coalesce(t.s, 0) + coalesce(p.s, 0), 4) DESC, h.doc_id
+LIMIT 15
+""",
         "q14b_phrase_slop": f"""
 WITH pos AS (
   SELECT d.doc_id, d.dl, d.toks[i.i + 1] AS term, i.i AS pos

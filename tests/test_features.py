@@ -313,3 +313,36 @@ def test_synonym_keyword_legs(spark, fixture_docs_df, tmp_path):
     assert {r["path"] for r in rows} == {"a/igumnov.md", "b/putin.txt"}
     # legs boost the doc carrying both signals above the symbol-only doc
     assert rows[0]["path"] == "a/igumnov.md"
+
+
+def test_synonyms_multi_token_both_directions(spark, tmp_path):
+    """Q23 synonym_graph contract: a rule like ``new york, nyc`` fires
+    in BOTH directions — a single query token expands to the phrase
+    alternative, and an adjacent-token run collapses to the group."""
+    from openaleph_search_spark.index.build import build_index
+    from openaleph_search_spark.query.engine import Engine
+    docs = spark.createDataFrame(
+        [("r1", "d1.txt", "c1", "en", "new york pizza is great"),
+         ("r1", "d2.txt", "c1", "en", "nyc pizza is great"),
+         ("r1", "d3.txt", "c1", "en", "boston pizza is great")],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+    idx = str(tmp_path / "syn_idx")
+    build_index(spark, docs, idx, num_partitions=2, num_shards=1)
+    tab = SynonymTable([["new york", "nyc"]])
+    eng = Engine(spark, idx, synonyms=tab)
+
+    def paths(args):
+        return {r["path"] for r in eng.search(args).hit_rows(0, 10)}
+
+    # off: literal only
+    assert paths({"q": "nyc pizza", "limit": 10}) == {"d2.txt"}
+    # single token -> phrase alternative
+    assert paths({"q": "nyc pizza", "synonyms": "true",
+                  "limit": 10}) == {"d1.txt", "d2.txt"}
+    # adjacent-token run -> group (multi-token LHS)
+    assert paths({"q": "new york pizza", "synonyms": "true",
+                  "limit": 10}) == {"d1.txt", "d2.txt"}
+    # AND semantics survive the rewrite: d3 has pizza but no group leg
+    assert "d3.txt" not in paths({"q": "new york pizza",
+                                  "synonyms": "true", "limit": 10})
