@@ -238,6 +238,13 @@ def q23_synonyms_multitoken(spark, sf_dir):
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(15)
 
 
+def q1_wildcard_infix(spark, sf_dir):
+    """Q1: infix/`?` wildcard — ``s?a*`` expands against the term
+    dictionary (pushed range on the literal prefix + regex, capped)
+    to {scan, small, spark} and scores as their OR-disjunction."""
+    return _hits(_engine(spark, sf_dir), {"q": "s?a*", "limit": 15}, 15)
+
+
 def q8_prefix(spark, sf_dir):
     return _hits(_engine(spark, sf_dir), {"q": "sca*", "limit": 10}, 10)
 
@@ -884,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_phrase": q14_phrase,
         "q14b_phrase_slop": q14b_phrase_slop,
         "q8_prefix": q8_prefix,
+        "q1_wildcard_infix": q1_wildcard_infix,
         "q4_term_filter_scored": q4_term_filter_scored,
         "q12_auth_filter": q12_auth_filter,
         "q11_exclude_filter": q11_exclude_filter,
@@ -1174,6 +1182,8 @@ ORDER BY score DESC, m.doc_id
 LIMIT 15
 """,
         "q8_prefix": _bm25_sql(["scan"], 10, "or"),
+        "q1_wildcard_infix": _bm25_sql(["scan", "small", "spark"], 15,
+                                       "or"),
         "q4_term_filter_scored": _bm25_sql(
             ["vector", "stream"], 20, "and", doc_filter="lang = 'de'"),
         # auth: repo = 'org' || doc_id%7 || '/project' || doc_id%23

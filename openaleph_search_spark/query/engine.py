@@ -23,7 +23,8 @@ from .executor import SearchExecutor
 from .facets import (cardinality, histogram_facet, metric_aggs,
                      significant_terms, terms_facet)
 from .parser import partial_date_bounds
-from .ir import Bool, DisMax, MatchAll, Node, PhraseLeaf, PrefixLeaf, TermLeaf
+from .ir import (Bool, DisMax, MatchAll, Node, PhraseLeaf, PrefixLeaf,
+                 TermLeaf, WildcardLeaf)
 from .parser import SearchArgs, parse_args, parse_query_string
 
 
@@ -44,7 +45,8 @@ class SearchResult:
 class Engine:
     def __init__(self, spark: SparkSession, index_dir: str,
                  synonyms=None, source_docs: DataFrame | None = None,
-                 require_auth: bool = False, auth_field: str = "repo"):
+                 require_auth: bool = False, auth_field: str = "repo",
+                 allow_leading_wildcard: bool = False):
         """``synonyms``: a SynonymTable or a path to a synonym file
         (search-time expansion, Q22/Q23). ``source_docs``: the original
         docs table — needed only for content-bearing features
@@ -53,7 +55,9 @@ class Engine:
         (reference OPENALEPH_SEARCH_AUTH=true; query/auth.py)."""
         self.spark = spark
         self.storage = IndexStorage(index_dir)
-        self.executor = SearchExecutor(spark, self.storage)
+        self.executor = SearchExecutor(
+            spark, self.storage,
+            allow_leading_wildcard=allow_leading_wildcard)
         self._doc_meta: DataFrame | None = None
         self._has_tombstones = False
         self.source_docs = source_docs
@@ -395,6 +399,11 @@ class Engine:
             if isinstance(n, PrefixLeaf):
                 if n.field:
                     return PrefixLeaf(prefix(n.prefix, n.field), n.boost)
+                return n
+            if isinstance(n, WildcardLeaf):
+                if n.field:
+                    return WildcardLeaf(prefix(n.pattern, n.field),
+                                        n.boost)
                 return n
             if isinstance(n, Bool):
                 return Bool(must=[walk(c) for c in n.must],

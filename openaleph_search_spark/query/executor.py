@@ -44,7 +44,7 @@ from ..index.codec import (bm25_idf, bm25_tfnorm, decode_positions,
                            varint_decode)
 from ..index.storage import IndexStorage
 from .ir import (Bool, DisMax, MatchAll, Node, PhraseLeaf, PrefixLeaf,
-                 TermLeaf)
+                 TermLeaf, WildcardLeaf)
 
 RESULT_SCHEMA = "doc_id long, score double"
 
@@ -223,7 +223,7 @@ class _ShardEval:
         if isinstance(node, TermLeaf):
             ids, sc, _, _, _ = self._decode_term(node.term, candidates)
             return ids, sc * node.boost
-        if isinstance(node, PrefixLeaf):
+        if isinstance(node, (PrefixLeaf, WildcardLeaf)):
             acc = (np.empty(0, np.int64), np.empty(0, np.float64))
             for t in (node.expanded or []):
                 ids, sc, _, _, _ = self._decode_term(t, candidates)
@@ -297,7 +297,7 @@ class _ShardEval:
             return [leaf.term]
         if isinstance(leaf, PhraseLeaf):
             return leaf.terms
-        if isinstance(leaf, PrefixLeaf):
+        if isinstance(leaf, (PrefixLeaf, WildcardLeaf)):
             return leaf.expanded or []
         return []
 
@@ -327,7 +327,7 @@ class _ShardEval:
             # single doc — must mirror eval()'s scoring exactly:
             if isinstance(n, TermLeaf):
                 return term_bound(n.term) * n.boost
-            if isinstance(n, PrefixLeaf):
+            if isinstance(n, (PrefixLeaf, WildcardLeaf)):
                 return (sum(term_bound(t) for t in (n.expanded or []))
                         * n.boost)
             if isinstance(n, PhraseLeaf):
@@ -508,10 +508,14 @@ class _ShardEval:
 # ---------------------------------------------------------------------------
 
 class SearchExecutor:
-    def __init__(self, spark: SparkSession, storage: IndexStorage):
+    def __init__(self, spark: SparkSession, storage: IndexStorage,
+                 allow_leading_wildcard: bool = False):
         self.spark = spark
         self.storage = storage
         self.meta = storage.read_meta()
+        # reference settings.py:139 — leading wildcards scan the whole
+        # term dictionary, off unless the deployment opts in
+        self.allow_leading_wildcard = allow_leading_wildcard
 
     def _expand_prefixes(self, tree: Node) -> None:
         """Plan-time prefix rewrite against the term dictionary
@@ -533,13 +537,19 @@ class SearchExecutor:
                  & (F.col("term") < leaf.prefix + "￿"))
             cond = c if cond is None else (cond | c)
         pf = self.spark.createDataFrame(
-            [(i, l.prefix) for i, l in enumerate(prefixes)],
-            "pid int, prefix string")
+            [(i, l.prefix, FIELD_SEP in l.prefix)
+             for i, l in enumerate(prefixes)],
+            "pid int, prefix string, fielded boolean")
         w = Window.partitionBy("pid").orderBy(F.desc("df"), "term")
         cap = max(l.max_expansions for l in prefixes)
         rows = (ts.filter(cond)
                 .join(F.broadcast(pf),
-                      F.col("term").startswith(F.col("prefix")))
+                      F.col("term").startswith(F.col("prefix"))
+                      # an unfielded prefix only expands CONTENT terms,
+                      # never field-prefixed/bigram dictionary entries
+                      # ("pa*" must not match "path\x1f...")
+                      & (F.col("fielded")
+                         | ~F.col("term").contains(FIELD_SEP)))
                 .withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") <= cap)
                 .select("pid", "term", "_rn").collect())
@@ -547,6 +557,62 @@ class SearchExecutor:
         for r in rows:
             by_pid.setdefault(r["pid"], []).append((r["_rn"], r["term"]))
         for i, leaf in enumerate(prefixes):
+            got = sorted(by_pid.get(i, []))[:leaf.max_expansions]
+            leaf.expanded = [t for _, t in got]
+
+    def _expand_wildcards(self, tree: Node) -> None:
+        """Plan-time infix/leading wildcard rewrite (Q1): each pattern
+        becomes a capped term-dictionary scan — the literal prefix
+        before the first metacharacter pushes down as a range filter
+        (same pruning as prefix rewrite), the full pattern applies as a
+        regex, and a per-pattern window keeps the top ``max_expansions``
+        by df. Leading wildcards (no literal prefix) would scan the
+        whole dictionary and are gated behind ``allow_leading_wildcard``
+        (reference query/base.py:62, settings.py:139)."""
+        wilds = [l for l in tree.leaves()
+                 if isinstance(l, WildcardLeaf) and l.expanded is None]
+        if not wilds:
+            return
+        import re as _re
+        from pyspark.sql import Window
+        specs = []
+        for leaf in wilds:
+            pre = _re.split(r"[*?]", leaf.pattern, maxsplit=1)[0]
+            if not pre and not self.allow_leading_wildcard:
+                raise ValueError(
+                    f"leading wildcard {leaf.pattern!r} requires "
+                    "allow_leading_wildcard=true")
+            rex = "^" + "".join(
+                ".*" if s == "*" else "." if s == "?" else _re.escape(s)
+                for s in _re.split(r"([*?])", leaf.pattern) if s) + "$"
+            specs.append((pre, rex))
+        ts = self.storage.term_stats(self.spark)
+        cond = None
+        for pre, rex in specs:
+            c = F.col("term").rlike(rex)
+            if pre:  # pushable dictionary range
+                c = ((F.col("term") >= pre)
+                     & (F.col("term") < pre + "￿") & c)
+            cond = c if cond is None else (cond | c)
+        pf = self.spark.createDataFrame(
+            [(i, rex, FIELD_SEP in leaf.pattern)
+             for i, (leaf, (_, rex)) in enumerate(zip(wilds, specs))],
+            "pid int, rex string, fielded boolean")
+        w = Window.partitionBy("pid").orderBy(F.desc("df"), "term")
+        cap = max(l.max_expansions for l in wilds)
+        rows = (ts.filter(cond)
+                .join(F.broadcast(pf),
+                      F.expr("term rlike rex")
+                      # unfielded patterns match content terms only
+                      & (F.col("fielded")
+                         | ~F.col("term").contains(FIELD_SEP)))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= cap)
+                .select("pid", "term", "_rn").collect())
+        by_pid: dict[int, list[tuple[int, str]]] = {}
+        for r in rows:
+            by_pid.setdefault(r["pid"], []).append((r["_rn"], r["term"]))
+        for i, leaf in enumerate(wilds):
             got = sorted(by_pid.get(i, []))[:leaf.max_expansions]
             leaf.expanded = [t for _, t in got]
 
@@ -562,7 +628,7 @@ class SearchExecutor:
                     terms.update(
                         f"{BIGRAM_FIELD}{FIELD_SEP}{a} {b}"
                         for a, b in zip(leaf.terms, leaf.terms[1:]))
-            elif isinstance(leaf, PrefixLeaf):
+            elif isinstance(leaf, (PrefixLeaf, WildcardLeaf)):
                 terms.update(leaf.expanded or [])
         return sorted(terms)
 
@@ -582,6 +648,7 @@ class SearchExecutor:
         positions-column pruning. → (terms, ctx dict, postings)."""
         for t in trees:
             self._expand_prefixes(t)
+            self._expand_wildcards(t)
         terms = sorted(set().union(
             *(self._collect_terms(t) for t in trees)))
         if not terms:

@@ -61,6 +61,23 @@ class PrefixLeaf(Node):
 
 
 @dataclass
+class WildcardLeaf(Node):
+    """Infix/leading wildcard term (``te*m``, ``t?m``, ``*erm``):
+    expands against the term dictionary at plan time, capped like
+    prefix rewrite. Leading wildcards are gated behind the engine's
+    ``allow_leading_wildcard`` (reference query/base.py:62,
+    settings.py:139 — default off)."""
+    pattern: str  # analyzed literals with * / ? metacharacters kept
+    boost: float = 1.0
+    field: str | None = None
+    expanded: list[str] | None = None  # filled by the planner
+    max_expansions: int = 50
+
+    def leaves(self):
+        return [self]
+
+
+@dataclass
 class Bool(Node):
     """should/must/must_not composition; additive BM25 scoring
     (reference Q9, query/util.py:20-26). ``min_should`` defaults to 1

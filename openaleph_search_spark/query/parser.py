@@ -18,7 +18,8 @@ import re
 from dataclasses import dataclass, field
 
 from ..analysis.analyzer import analyze_query_terms
-from .ir import Bool, MatchAll, Node, PhraseLeaf, PrefixLeaf, TermLeaf
+from .ir import (Bool, MatchAll, Node, PhraseLeaf, PrefixLeaf, TermLeaf,
+                 WildcardLeaf)
 
 MAX_PAGE = 9999  # reference settings.py:7
 
@@ -175,10 +176,21 @@ class QueryStringParser:
             inner.i = 0
             node = inner._atom()
             return Bool(must_not=[node]) if node else None
-        if word.endswith("*") and len(word) > 1 and "*" not in word[:-1]:
+        if (word.endswith("*") and len(word) > 1
+                and "*" not in word[:-1] and "?" not in word):
             terms = analyze_query_terms(word[:-1])
             if terms:
                 return PrefixLeaf(terms[0], field=field, boost=boost)
+            return None
+        if ("*" in word or "?" in word) and word.strip("*?"):
+            # infix/leading wildcard (Lucene te*m / t?m / *erm):
+            # analyze the literal segments, keep the metacharacters
+            segs = re.split(r"([*?])", word)
+            pat = "".join(s if s in ("*", "?")
+                          else "".join(analyze_query_terms(s))
+                          for s in segs if s)
+            if pat.strip("*?"):
+                return WildcardLeaf(pat, field=field, boost=boost)
             return None
         terms = analyze_query_terms(word)
         if not terms:

@@ -347,3 +347,42 @@ def test_msearch_respects_auth(spark, fixture_index):
                       auth=SearchAuth(datasets={"r1"}, logged_in=True))
     rows = out.collect()
     assert rows and all(r["repo"] == "r1" for r in rows)
+
+
+def test_wildcard_infix_and_gating(spark, fixture_index):
+    """Q1 wildcards: infix/? patterns expand against the dictionary;
+    leading wildcards are gated (reference settings.py:139)."""
+    from openaleph_search_spark.query.engine import Engine
+    import pytest as _pytest
+    eng = Engine(spark, fixture_index)
+    # b?nana -> banana (2 docs)
+    rows = eng.search({"q": "b?nana", "limit": 10}).hit_rows(0, 10)
+    assert {r["path"] for r in rows} == {"a/banana.txt", "b/crime.go"}
+    # infix c*me -> crime
+    rows = eng.search({"q": "c*me", "limit": 10}).hit_rows(0, 10)
+    assert {r["path"] for r in rows} == {"a/jane.py", "b/crime.go"}
+    # scores identical to the plain-term query (same expansion set)
+    plain = eng.search({"q": "crime", "limit": 10}).hit_rows(0, 10)
+    assert {(r["doc_id"], round(r["score"], 9)) for r in rows} \
+        == {(r["doc_id"], round(r["score"], 9)) for r in plain}
+    with _pytest.raises(ValueError, match="leading wildcard"):
+        eng.search({"q": "*rime", "limit": 10})
+    eng2 = Engine(spark, fixture_index, allow_leading_wildcard=True)
+    rows = eng2.search({"q": "*rime", "limit": 10}).hit_rows(0, 10)
+    assert {r["path"] for r in rows} == {"a/jane.py", "b/crime.go"}
+
+
+def test_unfielded_expansion_skips_fielded_terms(spark, fixture_index):
+    """'pa*' / 'pa*h' must expand CONTENT terms only — never the
+    'path\\x1f...' field-prefixed or '_bi\\x1f...' bigram dictionary
+    entries."""
+    from openaleph_search_spark.query.engine import Engine
+    from openaleph_search_spark.query.parser import parse_query_string
+    eng = Engine(spark, fixture_index)
+    for q in ("pa*", "pa*l", "_b*", "_*i*"):
+        tree = parse_query_string(q)
+        eng.executor._expand_prefixes(tree)
+        eng.executor._expand_wildcards(tree)
+        for leaf in tree.leaves():
+            exp = getattr(leaf, "expanded", None) or []
+            assert all("\x1f" not in t for t in exp), (q, exp)
