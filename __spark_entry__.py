@@ -62,6 +62,29 @@ def _engine(spark: SparkSession, sf_dir: str):
     return _ENGINES[key]
 
 
+_MUT_ENGINES: dict[tuple, object] = {}
+
+
+def _mut_engine(spark: SparkSession, sf_dir: str, tag: str, apply_fn):
+    """Mutation-lifecycle entries (S3/S4/S5): copy the cached base
+    index, apply ``apply_fn(spark, storage)`` once per process, return
+    an Engine over the mutated copy (the shared base stays pristine)."""
+    import shutil
+    from openaleph_search_spark.index.storage import IndexStorage
+    from openaleph_search_spark.query.engine import Engine
+    key = (os.path.abspath(sf_dir), tag)
+    if key not in _MUT_ENGINES:
+        base = _engine(spark, sf_dir)
+        dst = (f"/tmp/oa_idx_mut_{tag}_"
+               + os.path.basename(os.path.abspath(sf_dir).rstrip("/")))
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(base.storage.root, dst)
+        st = IndexStorage(dst)
+        apply_fn(spark, st)
+        _MUT_ENGINES[key] = Engine(spark, dst)
+    return _MUT_ENGINES[key]
+
+
 def _orig_id(df: DataFrame) -> DataFrame:
     """Engine doc ids → the source documents.doc_id (encoded in path)."""
     return df.withColumn(
@@ -236,6 +259,91 @@ def q23_synonyms_multitoken(spark, sf_dir):
     out = _orig_id(res.hits).select(
         "doc_id", F.round("score", 4).alias("score"))
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(15)
+
+
+def s4_delete_by_query_search(spark, sf_dir):
+    """S4 lifecycle: delete-by-query (lang='de' → tombstones) then a
+    scored search — tombstoned docs must be invisible; global BM25
+    stats stay the BUILD stats until compact() (Lucene soft deletes)."""
+    from openaleph_search_spark.index.mutate import delete_docs
+
+    def apply(sp, st):
+        delete_docs(sp, st, F.col("lang") == "de")
+
+    eng = _mut_engine(spark, sf_dir, "s4", apply)
+    res = eng.search({"q": "vector merge", "limit": 9999})
+    out = _orig_id(res.hits).select(
+        "doc_id", F.round("score", 4).alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+def s5_delete_by_ids_search(spark, sf_dir):
+    """S5 lifecycle: delete-by-id (source ids < 50) then search."""
+    from openaleph_search_spark.index.mutate import delete_by_ids
+
+    def apply(sp, st):
+        ids = [r["doc_id"] for r in st.doc_meta(sp).filter(
+            F.regexp_extract("path", r"mod_(\d+)\.", 1)
+            .cast("long") < 50).select("doc_id").collect()]
+        delete_by_ids(sp, st, ids)
+
+    eng = _mut_engine(spark, sf_dir, "s5", apply)
+    res = eng.search({"q": "stream OR table", "limit": 9999})
+    out = _orig_id(res.hits).select(
+        "doc_id", F.round("score", 4).alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+UPSERT_TEXT = "vector vector vector merge table scan"
+
+
+def s3_upsert_compact_search(spark, sf_dir):
+    """S3 lifecycle: upsert (same (repo,path,commit) identity, new
+    content) + compact() → the new version is visible, the old one
+    gone, and collection stats are recomputed exactly over live docs
+    (so the DuckDB oracle recomputes from the modified text)."""
+    from openaleph_search_spark.index.mutate import compact, upsert_docs
+    from openaleph_search_spark.sources.code_table import load_docs
+
+    def apply(sp, st):
+        one = (load_docs(sp, sf_dir)
+               .filter(F.regexp_extract("path", r"mod_(\d+)\.", 1)
+                       .cast("long") == 7)
+               .withColumn("content", F.lit(UPSERT_TEXT))
+               .withColumn("created",
+                           F.expr("timestamp'2020-01-01 00:00:00' + "
+                                  "make_interval(0,0,0,7,0,0,0)")))
+        upsert_docs(sp, st, one)
+        compact(sp, st)
+
+    eng = _mut_engine(spark, sf_dir, "s3", apply)
+    res = eng.search({"q": "vector merge", "limit": 9999})
+    out = _orig_id(res.hits).select(
+        "doc_id", F.round("score", 4).alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+def q21_function_score(spark, sf_dir):
+    """Q21 function_score: additive length-prior boost (boost_mode
+    sum) — score = BM25 + sqrt(0.5·doc_len)."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search({"q": "vector merge", "function_score": "true",
+                      "limit": 9999})
+    out = _orig_id(res.hits).select(
+        "doc_id", F.round("score", 4).alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+def q5_range_filter(spark, sf_dir):
+    """Q5 range filter on the typed ``created`` timestamp with ES
+    partial-date period semantics: gte:2020-03 + lt:2020-06 →
+    [2020-03-01, 2020-06-01)."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search({"q": "vector", "filter:gte:created": "2020-03",
+                      "filter:lt:created": "2020-06", "limit": 9999})
+    out = _orig_id(res.hits).select(
+        "doc_id", F.round("score", 4).alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
 
 def q1_wildcard_infix(spark, sf_dir):
@@ -892,6 +1000,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14b_phrase_slop": q14b_phrase_slop,
         "q8_prefix": q8_prefix,
         "q1_wildcard_infix": q1_wildcard_infix,
+        "s4_delete_by_query_search": s4_delete_by_query_search,
+        "s5_delete_by_ids_search": s5_delete_by_ids_search,
+        "s3_upsert_compact_search": s3_upsert_compact_search,
+        "q21_function_score": q21_function_score,
+        "q5_range_filter": q5_range_filter,
         "q4_term_filter_scored": q4_term_filter_scored,
         "q12_auth_filter": q12_auth_filter,
         "q11_exclude_filter": q11_exclude_filter,
@@ -1184,6 +1297,45 @@ LIMIT 15
         "q8_prefix": _bm25_sql(["scan"], 10, "or"),
         "q1_wildcard_infix": _bm25_sql(["scan", "small", "spark"], 15,
                                        "or"),
+        # S4: tombstoned (lang='de') docs invisible; stats = build stats
+        "s4_delete_by_query_search": _bm25_sql(
+            ["vector", "merge"], 20, "and", doc_filter="lang != 'de'"),
+        # S5: source ids < 50 tombstoned
+        "s5_delete_by_ids_search": _bm25_sql(
+            ["stream", "table"], 20, "or", doc_filter="doc_id >= 50"),
+        # Q21: BM25 + sqrt(0.5·dl), boost_mode sum
+        "q21_function_score": f"""
+WITH {_TOK_CTE.format(where='')},
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * tf.dl / stats.avgdl))
+         ) + sqrt(0.5 * any_value(tf.dl)) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  WHERE tf.term IN ('merge', 'vector')
+  GROUP BY tf.doc_id
+  HAVING count(*) = 2
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scores
+ORDER BY round(score, 4) DESC, doc_id
+LIMIT 20
+""",
+        # Q5: created = 2020-01-01 + (doc_id % 360) days; period
+        # [2020-03, 2020-06) → day offsets [60, 152)
+        "q5_range_filter": _bm25_sql(
+            ["vector"], 20, "or",
+            doc_filter="(doc_id % 360) >= 60 AND (doc_id % 360) < 152"),
+        # S3: doc 7's text replaced; compact() re-derives stats from
+        # live docs, so the oracle recomputes everything over docs2
+        "s3_upsert_compact_search": _bm25_sql(
+            ["vector", "merge"], 20, "and")
+        .replace("FROM documents", "FROM docs2")
+        .replace("WITH ", f"""WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = 7 THEN '{UPSERT_TEXT}' ELSE text END AS text
+  FROM documents
+), """, 1),
         "q4_term_filter_scored": _bm25_sql(
             ["vector", "stream"], 20, "and", doc_filter="lang = 'de'"),
         # auth: repo = 'org' || doc_id%7 || '/project' || doc_id%23
