@@ -323,6 +323,51 @@ def s3_upsert_compact_search(spark, sf_dir):
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
 
+_OWNERS = ["vladimir", "wladimir", "sergei", "sergej", "ivan", "anna",
+           "maria", "peter", "olga", "dmitri", "nina", "boris"]
+
+
+def t8_symbol_legs(spark, sf_dir):
+    """T8 end-to-end with the BUNDLED symbol dictionary
+    (analysis/data/test_name_symbols.tsv): every doc gets a synthetic
+    owner name (doc_id % 12), owners resolve to shared symbol ids at
+    index time (name_symbols field), and a ``vladimir`` query with
+    synonyms=true matches BOTH vladimir- and wladimir-owned docs via
+    the 0.5-boosted symbol leg (no content token matches)."""
+    import shutil
+    from openaleph_search_spark.index.build import (DEFAULT_FIELDS,
+                                                    build_index)
+    from openaleph_search_spark.query.engine import Engine
+    from openaleph_search_spark.query.synonyms import SynonymTable
+    from openaleph_search_spark.sources.code_table import load_docs
+    key = (os.path.abspath(sf_dir), "t8")
+    if key not in _MUT_ENGINES:
+        symbols = SynonymTable.symbols_from_file()
+        idx = ("/tmp/oa_idx_t8_"
+               + os.path.basename(os.path.abspath(sf_dir).rstrip("/")))
+        shutil.rmtree(idx, ignore_errors=True)
+        owner = F.element_at(
+            F.array(*[F.lit(o) for o in _OWNERS]),
+            (F.regexp_extract("path", r"mod_(\d+)\.", 1).cast("int")
+             % 12 + 1))
+        sym_map = F.create_map(
+            *[F.lit(x) for kv in symbols.items() for x in kv])
+        docs = (load_docs(spark, sf_dir)
+                .withColumn("owner", owner)
+                .withColumn("sym", F.coalesce(sym_map[F.col("owner")],
+                                              F.lit(""))))
+        build_index(spark, docs, idx, num_partitions=8, num_shards=4,
+                    fields={**DEFAULT_FIELDS, "name_symbols": "sym"})
+        _MUT_ENGINES[key] = Engine(
+            spark, idx, synonyms=SynonymTable([], symbols=symbols))
+    eng = _MUT_ENGINES[key]
+    res = eng.search({"q": "vladimir", "synonyms": "true",
+                      "limit": 9999})
+    out = _orig_id(res.hits).select(
+        "doc_id", F.round("score", 4).alias("score"))
+    return out.orderBy(F.asc("doc_id"))
+
+
 def q21_function_score(spark, sf_dir):
     """Q21 function_score: additive length-prior boost (boost_mode
     sum) — score = BM25 + sqrt(0.5·doc_len)."""
@@ -1005,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_upsert_compact_search": s3_upsert_compact_search,
         "q21_function_score": q21_function_score,
         "q5_range_filter": q5_range_filter,
+        "t8_symbol_legs": t8_symbol_legs,
         "q4_term_filter_scored": q4_term_filter_scored,
         "q12_auth_filter": q12_auth_filter,
         "q11_exclude_filter": q11_exclude_filter,
@@ -1320,6 +1366,24 @@ SELECT doc_id, round(score, 4) AS score
 FROM scores
 ORDER BY round(score, 4) DESC, doc_id
 LIMIT 20
+""",
+        # T8: symbol leg only (vladimir isn't a content token) —
+        # owners doc_id%12 ∈ {0,1} share symbol sym_vladimir; docs with
+        # ANY symbol: %12 ∈ {0,1,2,3,9}. Engine's pinned per-field
+        # avgdl convention divides by ALL docs: avgdl = d/n, dl = 1 →
+        # score = 0.5·idf · 1/(1 + K1·(1-B+B·n/d))
+        "t8_symbol_legs": f"""
+WITH stats AS (SELECT count(*) AS n FROM documents),
+symall AS (SELECT count(*) AS d FROM documents
+           WHERE doc_id % 12 IN (0, 1, 2, 3, 9)),
+sym AS (SELECT doc_id FROM documents WHERE doc_id % 12 IN (0, 1)),
+sdf AS (SELECT count(*) AS df FROM sym)
+SELECT s.doc_id,
+       round(0.5 * ln(1 + (stats.n - sdf.df + 0.5) / (sdf.df + 0.5))
+             / (1.0 + {K1} * (1 - {B} + {B} * stats.n / symall.d)),
+             4) AS score
+FROM sym s CROSS JOIN stats CROSS JOIN sdf CROSS JOIN symall
+ORDER BY s.doc_id
 """,
         # Q5: created = 2020-01-01 + (doc_id % 360) days; period
         # [2020-03, 2020-06) → day offsets [60, 152)

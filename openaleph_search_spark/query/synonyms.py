@@ -55,6 +55,28 @@ class SynonymTable:
         self.symbol_field = symbol_field
         self.key_field = key_field
 
+    @staticmethod
+    def symbols_from_file(path: str | None = None) -> dict[str, str]:
+        """Load a name→symbol dictionary (T8). ``path`` None → the
+        bundled test fixture (analysis/data/test_name_symbols.tsv),
+        which mirrors the SHAPE of the reference's rigour/wikidata
+        symbol tables (transform/entity.py:49-58) with synthetic ids."""
+        import os
+        if path is None:
+            path = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "analysis", "data",
+                "test_name_symbols.tsv")
+        out: dict[str, str] = {}
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                name, _, sym = line.partition("\t")
+                if name and sym:
+                    out[name.strip()] = sym.strip()
+        return out
+
     @classmethod
     def from_file(cls, path: str) -> "SynonymTable":
         groups = []
