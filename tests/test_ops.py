@@ -274,3 +274,18 @@ def test_ivf_ann_recall_and_pruning(spark):
     # exact top-10 over the whole set: clustered data → IVF recalls most
     brute = {r["vec_id"] for r in cosine_topk(emb, probe, k=10).collect()}
     assert len({r["vec_id"] for r in got} & brute) >= 8
+
+
+def test_exact_duplicates_group_cap_null_skip(spark):
+    """Pins the rank-cap contract: collect_list SKIPS the NULLs the
+    `when(_rn <= cap)` produces (Spark guarantee the agg relies on) —
+    n_docs stays the TRUE group size while doc_ids is bounded."""
+    from openaleph_search_spark.ops.dedup import exact_duplicates
+    rows = [(i, "same text") for i in range(10)] + [(99, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_duplicates(df, max_group_ids=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 10
+    assert r["doc_ids"] == [0, 1, 2]          # capped, no NULL holes
+    assert all(x is not None for x in r["doc_ids"])
