@@ -10,11 +10,12 @@ drives it, Lucene executes it).  Pipeline:
     ├─ groupBy(src_part).applyInPandas(SPIMI)          ── scatter
     │     tokenize (vectorized analyzer) → per-partition PACKED posting
     │     blocks (≤128 docs, delta+varint docs/tfs/dls/positions)
-    │     write tf_runs/part=K.parquet + doc_meta/part=K.parquet
-    │     commit manifest/part=K.json   ← per-partition checkpoint
+    │     write postings/shard=K/part=N.parquet (term-sorted, the
+    │     final layout — shard = src_part mod S is constant per task)
+    │     + doc_meta/part=N.parquet
+    │     commit manifest/part=N.json   ← per-partition checkpoint
     ├─ global_stats (N, avgdl) from doc_meta           ── tiny agg
-    └─ repartition(shard) → postings/ sorted by (term, first_doc);
-       term_stats from a map-side-combined sum over block rows
+    └─ term_stats from a map-side-combined sum over block rows
 
 Scale properties (designed for 1000-executor / 100 TB):
 
@@ -53,7 +54,7 @@ from .codec import (BLOCK_SIZE, K1, B, delta_restarting,
 from .storage import IndexStorage
 
 DOC_ID_PART_SHIFT = 33  # doc_id = (src_part << 33) | local_row
-LAYOUT_VERSION = 5  # bump on any physical-layout / shard-map change
+LAYOUT_VERSION = 6  # bump on any physical-layout / shard-map change
 FIELD_SEP = "\x1f"  # term-dictionary field prefix: "path\x1ffoo"
 DEFAULT_FIELDS = {"path": "path", "repo": "repo", "lang": "lang"}
 BIGRAM_FIELD = "_bi"  # T16 index_phrases shingles (phrase fast path)
@@ -270,12 +271,19 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
 
         # all direct writes go through storage.io (pyarrow.fs): works on
         # object stores / HDFS, atomic under speculative task attempts
-        for d in (storage.tf_runs_dir, storage.doc_meta_dir,
+        shard_dir = os.path.join(storage.postings_dir, f"shard={shard}")
+        for d in (shard_dir, storage.doc_meta_dir,
                   storage.manifest_dir, storage.term_stats_parts_dir,
                   storage.field_lens_dir):
             storage.io.mkdirs(d)
+        # the task writes its single-shard run STRAIGHT into the final
+        # hive layout (shard = src_part mod S is constant per task):
+        # term-sorted for rowgroup pruning, shard encoded in the dir
+        # (LAYOUT v6 — no separate tf_runs spool + JVM re-layout job)
+        run = run.sort_values(["term", "first_doc"], kind="mergesort",
+                              ignore_index=True)
         run_schema = pa.schema([
-            ("term", pa.string()), ("shard", pa.int32()),
+            ("term", pa.string()),
             ("first_doc", pa.int64()), ("last_doc", pa.int64()),
             ("doc_count", pa.int32()), ("sum_tf", pa.int64()),
             ("max_tf", pa.int32()), ("min_dl", pa.int64()),
@@ -283,9 +291,10 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
             ("dls_payload", pa.binary()), ("pos_payload", pa.binary()),
         ])
         storage.io.write_parquet_atomic(
-            pa.Table.from_pandas(run, schema=run_schema,
+            pa.Table.from_pandas(run.drop(columns=["shard"]),
+                                 schema=run_schema,
                                  preserve_index=False),
-            os.path.join(storage.tf_runs_dir, f"part={src_part}.parquet"))
+            os.path.join(shard_dir, f"part={src_part}.parquet"))
         meta_tbl = pa.Table.from_pandas(meta, preserve_index=False)
         for i, fld in enumerate(meta_tbl.schema):
             # Spark cannot read nanosecond parquet timestamps — coerce
@@ -420,9 +429,8 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
     avgdl_by_field = _read_field_stats(storage)
 
-    if not storage.io.isdir(storage.tf_runs_dir):
+    if n_docs == 0:
         # empty corpus: materialize empty tables so readers work
-        storage.io.mkdirs(storage.tf_runs_dir)
         # no partitionBy: an empty partitioned write leaves no schema
         (spark.createDataFrame([], POSTINGS_SCHEMA).write
          .mode("overwrite").parquet(storage.postings_dir))
@@ -445,26 +453,19 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         })
         return storage
 
-    # ---- step B: shard-layout write (pure JVM re-layout, no Python
-    # pass). Impact bounds are computed LIVE at query time from each
-    # block's stored (max_tf, min_dl) — a true upper bound under ANY
-    # collection stats, so appends/compactions never invalidate
-    # pruning. No shuffle: each run file is already (term, first_doc)-
-    # sorted per shard, and every output file stays sorted → term
-    # rowgroup pruning works. ------------------------------------------
-    runs = storage.tf_runs(spark)
-    (runs
-        .sortWithinPartitions("shard", "term", "first_doc")
-        .write.mode("overwrite").partitionBy("shard")
-        .parquet(storage.postings_dir))
+    # ---- no step B: each SPIMI task wrote its (term, first_doc)-sorted
+    # single-shard run STRAIGHT into postings/shard=K/ (LAYOUT v6) —
+    # the former full read+rewrite re-layout job is gone from the build
+    # critical path. Impact bounds are computed LIVE at query time from
+    # each block's stored (max_tf, min_dl) — a true upper bound under
+    # ANY collection stats, so appends/compactions never invalidate
+    # pruning. Blocks of one (term, shard) stay doc-range disjoint
+    # across part files (partition-prefixed doc ids), so the executor's
+    # sort-by-first_doc merge needs no re-encode.
 
     # ---- term stats (global df/cf — unlike ES's per-shard idf) over the
     # per-partition partials written in step A ---------------------------
-    (spark.read.parquet(
-        os.path.join(storage.term_stats_parts_dir, "*.parquet"))
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-        .write.mode("overwrite").parquet(storage.term_stats_dir))
+    aggregate_term_stats(spark, storage)
 
     storage.write_meta({
         "num_partitions": P, "num_shards": num_shards,
@@ -481,6 +482,49 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         "resumed_from": len(done),
     })
     return storage
+
+
+# below this, the partials fit trivially in driver memory and a whole
+# Spark job (schedule + shuffle + commit) is pure fixed overhead
+_TERM_STATS_DRIVER_BYTES = 256 * 1024 * 1024
+
+
+def aggregate_term_stats(spark: SparkSession,
+                         storage: IndexStorage) -> None:
+    """Global term dictionary (df/cf) from the per-partition partials.
+
+    Adaptive execution: the partials are pre-combined per source
+    partition (≤ |vocab| rows each), so at small-to-medium scale the
+    whole aggregation is a driver-side pyarrow group_by — no Spark job,
+    no shuffle, no per-job fixed latency. Past a size threshold (100-TB
+    builds: vocab × partitions rows) it stays a distributed groupBy."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    names = [n for n in storage.io.listdir(storage.term_stats_parts_dir)
+             if n.endswith(".parquet")]
+    paths = [os.path.join(storage.term_stats_parts_dir, n)
+             for n in names]
+    total = sum(storage.io.file_size(p) for p in paths)
+    if total <= _TERM_STATS_DRIVER_BYTES:
+        tables = [storage.io.read_parquet(p) for p in paths]
+        merged = (pa.concat_tables(tables)
+                  .group_by("term")
+                  .aggregate([("df", "sum"), ("cf", "sum")])
+                  .rename_columns(["term", "df", "cf"]))
+        storage.io.mkdirs(storage.term_stats_dir)
+        for n in [x for x in storage.io.listdir(storage.term_stats_dir)
+                  if x.endswith(".parquet")]:
+            storage.io.delete_file(
+                os.path.join(storage.term_stats_dir, n))
+        storage.io.write_parquet_atomic(
+            merged, os.path.join(storage.term_stats_dir,
+                                 "part=all.parquet"))
+        return
+    (spark.read.parquet(
+        os.path.join(storage.term_stats_parts_dir, "*.parquet"))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .write.mode("overwrite").parquet(storage.term_stats_dir))
 
 
 def _read_field_stats(storage: IndexStorage) -> dict[str, float]:

@@ -81,6 +81,13 @@ class FsIO:
     def delete_file(self, uri: str) -> None:
         self.fs.delete_file(self.path(uri))
 
+    def file_size(self, uri: str) -> int:
+        return self.fs.get_file_info(self.path(uri)).size or 0
+
+    def read_parquet(self, uri: str):
+        import pyarrow.parquet as pq
+        return pq.read_table(self.path(uri), filesystem=self.fs)
+
     def write_parquet_atomic(self, table, uri: str) -> None:
         import pyarrow.parquet as pq
         p = self.path(uri)

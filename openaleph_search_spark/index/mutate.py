@@ -181,11 +181,14 @@ def compact(spark: SparkSession, storage: IndexStorage) -> None:
         storage.io.delete_dir(target)
         storage.io.move(tmp, target)
 
-    # order matters: materialize everything reading OLD paths first
+    # order matters: materialize everything reading OLD paths first.
+    # LAYOUT v6: runs ARE the postings — one cleaned shard-partitioned
+    # write replaces the old tf_runs spool + re-layout pair
     swap(lambda d: (runs_clean
                     .sortWithinPartitions("shard", "term", "first_doc")
-                    .write.mode("overwrite").parquet(d)),
-         storage.tf_runs_dir)
+                    .write.mode("overwrite").partitionBy("shard")
+                    .parquet(d)),
+         storage.postings_dir)
     swap(lambda d: doc_meta.write.mode("overwrite").parquet(d),
          storage.doc_meta_dir)
     swap(lambda d: field_lens.write.mode("overwrite").parquet(d),
@@ -198,14 +201,6 @@ def compact(spark: SparkSession, storage: IndexStorage) -> None:
     avgdl_by_field = {f: (t / n_docs if n_docs else 0.0)
                       for f, t in field_totals.items()}
     avgdl = avgdl_by_field.get("content", 0.0)
-
-    # postings = cleaned runs re-laid-out by shard (bounds live)
-    runs = storage.tf_runs(spark)
-    swap(lambda d: (runs
-                    .sortWithinPartitions("shard", "term", "first_doc")
-                    .write.mode("overwrite").partitionBy("shard")
-                    .parquet(d)),
-         storage.postings_dir)
     (spark.read.parquet(storage.postings_dir)
      .groupBy("term")
      .agg(F.sum("doc_count").alias("df"), F.sum("sum_tf").alias("cf"))

@@ -15,8 +15,8 @@ Layout::
       manifest/part=K.json per-source-partition checkpoint + lineage
                            (north_rule resumability)
       doc_meta/part=K.parquet
-      tf_runs/part=K.parquet   SPIMI runs (intermediate, resumable)
-      postings/shard=S/*.parquet
+      postings/shard=S/part=K.parquet  SPIMI runs written straight
+                           into the final shard layout (LAYOUT v6)
       term_stats/*.parquet
 """
 from __future__ import annotations
@@ -97,7 +97,10 @@ class IndexStorage:
         return spark.read.parquet(os.path.join(self.doc_meta_dir, "*.parquet"))
 
     def tf_runs(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.tf_runs_dir, "*.parquet"))
+        """LAYOUT v6: SPIMI tasks write the final shard layout
+        directly — the runs ARE the postings (shard from the hive
+        dir). Kept as an alias for the mutation/append paths."""
+        return self.postings(spark)
 
     def postings(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.postings_dir)

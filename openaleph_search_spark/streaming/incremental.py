@@ -61,21 +61,15 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_dir: str,
     avgdl_by_field = _read_field_stats(storage)
     avgdl = avgdl_by_field.get("content", 0.0)
 
-    # append ONLY the new partitions' blocks (their doc ids sit above
-    # the base namespace, so within-(term,shard) sortedness holds);
-    # impact bounds are computed live at query time from each block's
-    # (max_tf, min_dl), so the append can never invalidate pruning
-    runs = (storage.tf_runs(spark)
-            .filter(F.shiftright("first_doc", 33) >= base_part))
-    (runs.sortWithinPartitions("shard", "term", "first_doc")
-     .write.mode("append").partitionBy("shard")
-     .parquet(storage.postings_dir))
+    # LAYOUT v6: the SPIMI tasks above already wrote the new epoch's
+    # blocks straight into postings/shard=K/part=<new_part>.parquet
+    # (their doc ids sit above the base namespace, so within-
+    # (term,shard) doc-range disjointness holds); impact bounds are
+    # computed live at query time from each block's (max_tf, min_dl),
+    # so an append can never invalidate pruning — no extra write here.
 
-    (spark.read.parquet(
-        os.path.join(storage.term_stats_parts_dir, "*.parquet"))
-     .groupBy("term")
-     .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-     .write.mode("overwrite").parquet(storage.term_stats_dir))
+    from ..index.build import aggregate_term_stats
+    aggregate_term_stats(spark, storage)
 
     meta.update({
         "n_docs": n_docs, "avgdl": avgdl,

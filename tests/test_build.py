@@ -48,8 +48,11 @@ def test_resume_from_checkpoint(spark, fixture_docs_df, fixture_index,
     victims = [0, 2]
     removed = 0
     for k in victims:
-        for d in ("manifest", "tf_runs", "doc_meta"):
-            for p in glob.glob(os.path.join(out, d, f"part={k}*")):
+        for pat in (os.path.join(out, "manifest", f"part={k}*"),
+                    os.path.join(out, "doc_meta", f"part={k}*"),
+                    os.path.join(out, "postings", "shard=*",
+                                 f"part={k}.parquet")):
+            for p in glob.glob(pat):
                 os.remove(p)
                 removed += 1
     assert removed > 0
@@ -121,7 +124,10 @@ def test_build_and_search_over_file_uri(spark, fixture_docs_df, tmp_path):
     import os as _os
     k = sorted(st.completed_partitions())[0]
     st.io.delete_file(st.manifest_path(k))
-    for d in (st.tf_runs_dir, st.doc_meta_dir, st.field_lens_dir):
+    meta_shards = st.read_meta()["num_shards"]
+    st.io.delete_file(_os.path.join(
+        st.postings_dir, f"shard={k % meta_shards}", f"part={k}.parquet"))
+    for d in (st.doc_meta_dir, st.field_lens_dir):
         st.io.delete_file(_os.path.join(d, f"part={k}.parquet"))
     build_index(spark, fixture_docs_df, uri, num_partitions=4,
                 num_shards=2, bigrams=True)
