@@ -368,6 +368,21 @@ def t8_symbol_legs(spark, sf_dir):
     return out.orderBy(F.asc("doc_id"))
 
 
+def q13_terms_set(spark, sf_dir):
+    """Q13 terms_set / minimum_should_match: ≥2 of {merge, window,
+    vector} must match; additive BM25 over the matching legs (the
+    executor's track_counts path — pruning disabled there by design)."""
+    from openaleph_search_spark.query.ir import Bool, TermLeaf
+    eng = _engine(spark, sf_dir)
+    tree = Bool(should=[TermLeaf("merge"), TermLeaf("window"),
+                        TermLeaf("vector")], min_should=2)
+    hits = eng.executor.run(tree, k=None).join(
+        eng.doc_meta.select("doc_id", "path"), "doc_id")
+    out = _orig_id(hits).select(
+        "doc_id", F.round("score", 4).alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
 def q21_function_score(spark, sf_dir):
     """Q21 function_score: additive length-prior boost (boost_mode
     sum) — score = BM25 + sqrt(0.5·doc_len)."""
@@ -1051,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_function_score": q21_function_score,
         "q5_range_filter": q5_range_filter,
         "t8_symbol_legs": t8_symbol_legs,
+        "q13_terms_set": q13_terms_set,
         "q4_term_filter_scored": q4_term_filter_scored,
         "q12_auth_filter": q12_auth_filter,
         "q11_exclude_filter": q11_exclude_filter,
@@ -1349,6 +1365,10 @@ LIMIT 15
         # S5: source ids < 50 tombstoned
         "s5_delete_by_ids_search": _bm25_sql(
             ["stream", "table"], 20, "or", doc_filter="doc_id >= 50"),
+        # Q13: ≥2 of the 3 legs must match
+        "q13_terms_set": _bm25_sql(
+            ["merge", "window", "vector"], 20, "and")
+        .replace("HAVING count(*) = 3", "HAVING count(*) >= 2"),
         # Q21: BM25 + sqrt(0.5·dl), boost_mode sum
         "q21_function_score": f"""
 WITH {_TOK_CTE.format(where='')},

@@ -337,57 +337,97 @@ def percolate_docs(docs: DataFrame, stored: list[StoredQuery],
 # watchlist lives under <index>/percolator/ and is registered once)
 # ---------------------------------------------------------------------------
 
+_REG_SCHEMA = None  # built lazily (pyarrow import)
+
+
+def _registry_schema():
+    global _REG_SCHEMA
+    if _REG_SCHEMA is None:
+        import pyarrow as pa
+        _REG_SCHEMA = pa.schema([
+            ("entity_id", pa.string()),
+            ("deleted", pa.bool_()),
+            ("clauses", pa.list_(pa.struct([
+                ("tokens", pa.list_(pa.string())),
+                ("boost", pa.float64())]))),
+        ])
+    return _REG_SCHEMA
+
+
+def _registry_batches(storage) -> list[str]:
+    import os
+    reg_dir = _registry_dir(storage)
+    return sorted(n for n in storage.io.listdir(reg_dir)
+                  if n.startswith("batch-") and n.endswith(".parquet"))
+
+
+def _write_registry_batch(storage, rows: list[dict]) -> None:
+    """Append one immutable, monotonically-numbered parquet batch —
+    register/unregister are O(batch), never O(registry): the reference
+    persists 156k percolator queries per index (indexes.py:119-124);
+    a rewrite-the-world JSON blob would make every registration a full
+    registry read+write and an unbounded driver allocation."""
+    import os
+    import pyarrow as pa
+    reg_dir = _registry_dir(storage)
+    storage.io.mkdirs(reg_dir)
+    existing = _registry_batches(storage)
+    seq = (int(existing[-1].split("-")[1].split(".")[0]) + 1
+           if existing else 0)
+    tbl = pa.Table.from_pylist(rows, schema=_registry_schema())
+    storage.io.write_parquet_atomic(
+        tbl, os.path.join(reg_dir, f"batch-{seq:08d}.parquet"))
+
+
 def register_watchlist(storage, rows: list[dict],
                        single_token_min_length: int =
                        SINGLE_TOKEN_MIN_LENGTH) -> int:
     """Compile and PERSIST watchlist entities into the index directory
     (register once, percolate many times). Re-registering an entity_id
-    replaces its stored query. → number of stored queries written."""
-    import json
+    replaces its stored query (later batch wins at load time).
+    → number of stored queries written."""
     compiled = compile_watchlist(rows, single_token_min_length)
-    reg_dir = _registry_dir(storage)
-    storage.io.mkdirs(reg_dir)
-    existing = load_watchlist(storage)
-    by_id = {sq.entity_id: sq for sq in existing}
-    for sq in compiled:
-        by_id[sq.entity_id] = sq
-    payload = [{"entity_id": sq.entity_id,
-                "clauses": [[toks, boost] for toks, boost in sq.clauses]}
-               for sq in sorted(by_id.values(),
-                                key=lambda s: s.entity_id)]
-    import os
-    storage.io.write_bytes_atomic(
-        os.path.join(reg_dir, "queries.json"),
-        json.dumps(payload).encode())
+    if compiled:
+        _write_registry_batch(storage, [
+            {"entity_id": sq.entity_id, "deleted": False,
+             "clauses": [{"tokens": list(toks), "boost": float(boost)}
+                         for toks, boost in sq.clauses]}
+            for sq in compiled])
     return len(compiled)
 
 
 def unregister_watchlist(storage, entity_ids: list[str]) -> int:
-    import json
-    import os
-    drop = set(map(str, entity_ids))
-    kept = [sq for sq in load_watchlist(storage)
-            if sq.entity_id not in drop]
-    payload = [{"entity_id": sq.entity_id,
-                "clauses": [[toks, boost] for toks, boost in sq.clauses]}
-               for sq in kept]
-    storage.io.write_bytes_atomic(
-        os.path.join(_registry_dir(storage), "queries.json"),
-        json.dumps(payload).encode())
-    return len(kept)
+    """Tombstone batch: the ids disappear at load time."""
+    if entity_ids:
+        _write_registry_batch(storage, [
+            {"entity_id": str(e), "deleted": True, "clauses": []}
+            for e in entity_ids])
+    return len(load_watchlist(storage))
 
 
 def load_watchlist(storage) -> list[StoredQuery]:
     import json
     import os
-    path = os.path.join(_registry_dir(storage), "queries.json")
-    if not storage.io.exists(path):
-        return []
-    rows = json.loads(storage.io.read_bytes(path))
-    return [StoredQuery(r["entity_id"],
-                        [(list(toks), float(boost))
-                         for toks, boost in r["clauses"]])
-            for r in rows]
+    reg_dir = _registry_dir(storage)
+    by_id: dict[str, StoredQuery | None] = {}
+    # legacy single-JSON registry (pre-parquet layout) seeds the state
+    legacy = os.path.join(reg_dir, "queries.json")
+    if storage.io.exists(legacy):
+        for r in json.loads(storage.io.read_bytes(legacy)):
+            by_id[r["entity_id"]] = StoredQuery(
+                r["entity_id"], [(list(t), float(b))
+                                 for t, b in r["clauses"]])
+    for name in _registry_batches(storage):  # ascending seq: later wins
+        tbl = storage.io.read_parquet(os.path.join(reg_dir, name))
+        for r in tbl.to_pylist():
+            if r["deleted"]:
+                by_id[r["entity_id"]] = None
+            else:
+                by_id[r["entity_id"]] = StoredQuery(
+                    r["entity_id"],
+                    [(list(c["tokens"]), float(c["boost"]))
+                     for c in r["clauses"]])
+    return [sq for _, sq in sorted(by_id.items()) if sq is not None]
 
 
 def percolate_index(storage, docs: DataFrame,
