@@ -486,7 +486,7 @@ class Engine:
                 terms.add(leaf.term)
             elif isinstance(leaf, PhraseLeaf):
                 terms.update(leaf.terms)
-            elif isinstance(leaf, PrefixLeaf):
+            elif isinstance(leaf, (PrefixLeaf, WildcardLeaf)):
                 terms.update(leaf.expanded or [])
         # filter-value highlighting (human-readable groups only)
         from ..analysis.analyzer import analyze_query_terms

@@ -225,3 +225,14 @@ def test_highlight_query_override_and_filter_values(
     assert len(rows2) == 1
     assert any("<em>banana</em>" in f for f in rows2[0]["highlights"])
     assert not any("<em>go</em>" in f for f in rows2[0]["highlights"])
+
+
+def test_highlight_wildcard_expansions(spark, fixture_index,
+                                       fixture_docs_df):
+    """Q24 + Q1: wildcard/prefix EXPANSIONS highlight (the expanded
+    dictionary terms feed the fragmenter, not the raw pattern)."""
+    from openaleph_search_spark.query.engine import Engine
+    eng = Engine(spark, fixture_index, source_docs=fixture_docs_df)
+    res = eng.search({"q": "cr?me", "highlight": "true", "limit": 10})
+    frags = {r["path"]: r["highlights"] for r in res.hit_rows(0, 10)}
+    assert any("<em>crime</em>" in f for f in frags["b/crime.go"])
