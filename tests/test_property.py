@@ -12,7 +12,8 @@ from openaleph_search_spark.analysis.analyzer import analyze_text
 from openaleph_search_spark.index.codec import bm25_idf, encode_blocks
 from openaleph_search_spark.index.codec import encode_positions
 from openaleph_search_spark.query.executor import _ShardEval
-from openaleph_search_spark.query.ir import Bool, PhraseLeaf, TermLeaf
+from openaleph_search_spark.query.ir import (Bool, PhraseLeaf, PrefixLeaf,
+                                             TermLeaf, WildcardLeaf)
 from tests.oracle import OracleIndex
 
 VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
@@ -183,6 +184,12 @@ def oracle_eval(node, oracle: OracleIndex) -> dict:
     if isinstance(node, TermLeaf):
         return {d: s * node.boost
                 for d, s in oracle.term_scores(node.term).items()}
+    if isinstance(node, (PrefixLeaf, WildcardLeaf)):
+        out: dict = {}
+        for t in (node.expanded or []):
+            for d, s in oracle.term_scores(t).items():
+                out[d] = out.get(d, 0.0) + s
+        return {d: s * node.boost for d, s in out.items()}
     if isinstance(node, PhraseLeaf):
         return {d: s * node.boost
                 for d, s in oracle.phrase_query(node.terms,
@@ -231,7 +238,20 @@ def _leaf():
         st.builds(PhraseLeaf,
                   st.lists(st.sampled_from(VOCAB), min_size=2,
                            max_size=3, unique=True),
-                  st.integers(min_value=0, max_value=2)))
+                  st.integers(min_value=0, max_value=2)),
+        # expanded prefix/wildcard leaves: eval sums the expansion set
+        # (pre-filled, as the planner would); boost-aware bounds must
+        # stay sound over them too
+        st.builds(
+            lambda kind, exp, b: kind(
+                "pre", boost=b, expanded=sorted(exp)),
+            st.sampled_from([PrefixLeaf,
+                             lambda p, boost, expanded: WildcardLeaf(
+                                 p + "*x", boost=boost,
+                                 expanded=expanded)]),
+            st.lists(st.sampled_from(VOCAB), min_size=0, max_size=3,
+                     unique=True),
+            st.sampled_from([1.0, 2.0, 0.5])))
 
 
 def _tree(depth: int):
