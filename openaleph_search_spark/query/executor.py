@@ -507,6 +507,14 @@ class _ShardEval:
 # driver-side planning + Spark wiring
 # ---------------------------------------------------------------------------
 
+# term dictionaries below this total parquet size are cached on the
+# driver once per executor: idf lookups and prefix/wildcard expansion
+# then cost zero Spark jobs per query (ES keeps the terms dict in the
+# node's heap/FS cache the same way). Larger dictionaries keep the
+# distributed filtered-collect path.
+_DICT_CACHE_BYTES = 64 * 1024 * 1024
+
+
 class SearchExecutor:
     def __init__(self, spark: SparkSession, storage: IndexStorage,
                  allow_leading_wildcard: bool = False):
@@ -516,6 +524,32 @@ class SearchExecutor:
         # reference settings.py:139 — leading wildcards scan the whole
         # term dictionary, off unless the deployment opts in
         self.allow_leading_wildcard = allow_leading_wildcard
+        self._dict_cache: tuple | None | bool = False  # False=unprobed
+
+    def _term_dict(self) -> tuple | None:
+        """(sorted term ndarray, df ndarray) driver cache, or None when
+        the dictionary is too large (stays distributed). Loaded once
+        per executor lifetime — mutations construct fresh Engines."""
+        if self._dict_cache is False:
+            import os as _os
+            d = self.storage.term_stats_dir
+            names = [n for n in self.storage.io.listdir(d)
+                     if n.endswith(".parquet")]
+            paths = [_os.path.join(d, n) for n in names]
+            if sum(self.storage.io.file_size(p) for p in paths) \
+                    > _DICT_CACHE_BYTES:
+                self._dict_cache = None
+            else:
+                import pyarrow as pa
+                tbl = pa.concat_tables(
+                    [self.storage.io.read_parquet(p) for p in paths])
+                terms = np.asarray(tbl.column("term").to_pylist(),
+                                   dtype=object)
+                dfs = tbl.column("df").to_numpy(zero_copy_only=False)
+                order = np.argsort(terms, kind="mergesort")
+                self._dict_cache = (terms[order],
+                                    dfs[order].astype(np.int64))
+        return self._dict_cache
 
     def _expand_prefixes(self, tree: Node) -> None:
         """Plan-time prefix rewrite against the term dictionary
@@ -528,6 +562,20 @@ class SearchExecutor:
         prefixes = [l for l in tree.leaves()
                     if isinstance(l, PrefixLeaf) and l.expanded is None]
         if not prefixes:
+            return
+        cache = self._term_dict()
+        if cache is not None:  # zero-job path: binary-search the dict
+            tarr, dfarr = cache
+            for leaf in prefixes:
+                lo = np.searchsorted(tarr, leaf.prefix)
+                hi = np.searchsorted(tarr, leaf.prefix + "￿")
+                cand, cdf = tarr[lo:hi], dfarr[lo:hi]
+                if FIELD_SEP not in leaf.prefix and cand.size:
+                    m = np.array([FIELD_SEP not in t for t in cand])
+                    cand, cdf = cand[m], cdf[m]
+                # same ranking as the Spark path: df desc, term asc
+                order = np.lexsort((cand, -cdf))[:leaf.max_expansions]
+                leaf.expanded = [str(t) for t in cand[order]]
             return
         from pyspark.sql import Window
         ts = self.storage.term_stats(self.spark)
@@ -586,6 +634,24 @@ class SearchExecutor:
                 ".*" if s == "*" else "." if s == "?" else _re.escape(s)
                 for s in _re.split(r"([*?])", leaf.pattern) if s) + "$"
             specs.append((pre, rex))
+        cache = self._term_dict()
+        if cache is not None:  # zero-job path over the cached dict
+            tarr, dfarr = cache
+            for leaf, (pre, rex) in zip(wilds, specs):
+                lo = np.searchsorted(tarr, pre) if pre else 0
+                hi = (np.searchsorted(tarr, pre + "￿") if pre
+                      else tarr.size)
+                cand, cdf = tarr[lo:hi], dfarr[lo:hi]
+                if cand.size:
+                    crex = _re.compile(rex)
+                    m = np.array([bool(crex.match(t))
+                                  and (FIELD_SEP in leaf.pattern
+                                       or FIELD_SEP not in t)
+                                  for t in cand])
+                    cand, cdf = cand[m], cdf[m]
+                order = np.lexsort((cand, -cdf))[:leaf.max_expansions]
+                leaf.expanded = [str(t) for t in cand[order]]
+            return
         ts = self.storage.term_stats(self.spark)
         cond = None
         for pre, rex in specs:
@@ -659,10 +725,21 @@ class SearchExecutor:
         avgdl_by_field = dict(self.meta.get("avgdl_by_field")
                               or {"content": avgdl})
         k1, b = float(self.meta["k1"]), float(self.meta["b"])
-        stats = (self.storage.term_stats(self.spark)
-                 .filter(F.col("term").isin(terms)).collect())
-        idf = {r["term"]: float(bm25_idf(float(r["df"]), n_docs))
-               for r in stats}
+        cache = self._term_dict()
+        if cache is not None:
+            tarr, dfarr = cache
+            qt = np.asarray(terms, dtype=object)
+            pos = np.searchsorted(tarr, qt)
+            np.minimum(pos, max(tarr.size - 1, 0), out=pos)
+            hit = tarr.size > 0 and (tarr[pos] == qt)
+            idf = {t: float(bm25_idf(float(dfarr[p]), n_docs))
+                   for t, p, h in zip(terms, pos, np.atleast_1d(hit))
+                   if h}
+        else:
+            stats = (self.storage.term_stats(self.spark)
+                     .filter(F.col("term").isin(terms)).collect())
+            idf = {r["term"]: float(bm25_idf(float(r["df"]), n_docs))
+                   for r in stats}
 
         # column pruning: positions are the fattest payload — only
         # phrase queries read them (the parquet scan skips the column
