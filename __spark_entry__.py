@@ -368,6 +368,18 @@ def t8_symbol_legs(spark, sf_dir):
     return out.orderBy(F.asc("doc_id"))
 
 
+ANALYZE_PROBE = "Hello, Félix! big_data WORLD-42"
+
+
+def q30_analyze(spark, sf_dir):
+    """Q30 analyze API: tokenizer chain (html_strip → UAX#29 →
+    lowercase → ICU fold) exposed as (term, position) rows."""
+    eng = _engine(spark, sf_dir)
+    rows = eng.analyze(ANALYZE_PROBE)
+    return spark.createDataFrame(
+        [(t, int(p)) for t, p in rows], "term string, position long")
+
+
 def q13_terms_set(spark, sf_dir):
     """Q13 terms_set / minimum_should_match: ≥2 of {merge, window,
     vector} must match; additive BM25 over the matching legs (the
@@ -1067,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_range_filter": q5_range_filter,
         "t8_symbol_legs": t8_symbol_legs,
         "q13_terms_set": q13_terms_set,
+        "q30_analyze": q30_analyze,
         "q4_term_filter_scored": q4_term_filter_scored,
         "q12_auth_filter": q12_auth_filter,
         "q11_exclude_filter": q11_exclude_filter,
@@ -1365,6 +1378,14 @@ LIMIT 15
         # S5: source ids < 50 tombstoned
         "s5_delete_by_ids_search": _bm25_sql(
             ["stream", "table"], 20, "or", doc_filter="doc_id >= 50"),
+        # Q30: same chain in DuckDB — strip_accents/lower/token regex
+        "q30_analyze": f"""
+WITH t AS (SELECT regexp_extract_all(
+    strip_accents(lower('{ANALYZE_PROBE}')), '[a-z0-9_]+') AS toks)
+SELECT t.toks[i.i + 1] AS term, i.i AS position
+FROM t, LATERAL (SELECT unnest(range(len(t.toks))) AS i) i
+ORDER BY position
+""",
         # Q13: ≥2 of the 3 legs must match
         "q13_terms_set": _bm25_sql(
             ["merge", "window", "vector"], 20, "and")
