@@ -395,15 +395,30 @@ class Engine:
                     return PhraseLeaf(
                         [prefix(t, n.field) for t in n.terms],
                         slop=n.slop, boost=n.boost)
+                if qfields:
+                    # ES query_string fans EVERY clause type across the
+                    # fields list, not just bare terms
+                    return DisMax([
+                        PhraseLeaf([prefix(t, f) for t in n.terms],
+                                   slop=n.slop, boost=n.boost * b)
+                        for f, b in qfields])
                 return n
             if isinstance(n, PrefixLeaf):
                 if n.field:
                     return PrefixLeaf(prefix(n.prefix, n.field), n.boost)
+                if qfields:
+                    return DisMax([
+                        PrefixLeaf(prefix(n.prefix, f), n.boost * b)
+                        for f, b in qfields])
                 return n
             if isinstance(n, WildcardLeaf):
                 if n.field:
                     return WildcardLeaf(prefix(n.pattern, n.field),
                                         n.boost)
+                if qfields:
+                    return DisMax([
+                        WildcardLeaf(prefix(n.pattern, f), n.boost * b)
+                        for f, b in qfields])
                 return n
             if isinstance(n, Bool):
                 return Bool(must=[walk(c) for c in n.must],

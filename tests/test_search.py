@@ -386,3 +386,23 @@ def test_unfielded_expansion_skips_fielded_terms(spark, fixture_index):
         for leaf in tree.leaves():
             exp = getattr(leaf, "expanded", None) or []
             assert all("\x1f" not in t for t in exp), (q, exp)
+
+
+def test_qfields_fan_out_all_clause_types(spark, fixture_index):
+    """Q2: multi-field query_string fans phrases/prefixes/wildcards
+    across qfields too (ES semantics), not just bare terms."""
+    from openaleph_search_spark.query.engine import Engine
+    eng = Engine(spark, fixture_index)
+    # prefix matching in the PATH field only (content has no 'js' token)
+    rows = eng.search({"q": "js*", "qfields": "content,path^2",
+                       "limit": 10}).hit_rows(0, 10)
+    assert {r["path"] for r in rows} == {"b/manafort.js"}
+    # phrase across fields still matches via content
+    rows = eng.search({"q": '"banana crime"',
+                       "qfields": "content,path^2",
+                       "limit": 10}).hit_rows(0, 10)
+    assert {r["path"] for r in rows} == {"b/crime.go"}
+    # wildcard via path only
+    rows = eng.search({"q": "kwa?ulu", "qfields": "content,path^2",
+                       "limit": 10}).hit_rows(0, 10)
+    assert "a/kwazulu.txt" in {r["path"] for r in rows}
