@@ -168,10 +168,12 @@ def run_queries(cores: int, index_dir: str) -> tuple[dict, dict]:
           "other_names": [vocab[(i + 3) % len(vocab)]]}
          for i in range(200)])
     n_docs_p = docs.count()
-    t0 = time.time()
-    percolate_docs(docs, watch, id_cols=["doc_id"], text_col="text",
-                   slop=2).count()
-    dt = time.time() - t0
+    dt = float("inf")
+    for _ in range(2):  # same best-of discipline as the other ops
+        t0 = time.time()
+        percolate_docs(docs, watch, id_cols=["doc_id"], text_col="text",
+                       slop=2).count()
+        dt = min(dt, time.time() - t0)
     timings["op_percolate_200q"] = round(dt, 3)
     timings["op_percolate_docs_per_sec"] = round(n_docs_p / dt, 1)
     log(f"  percolate 200q x {n_docs_p} docs: {dt:.2f}s")
