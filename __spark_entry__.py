@@ -706,6 +706,18 @@ def sim_ivf_ann(spark, sf_dir):
     return ivf_cosine_topk(emb_c, probe, cents, k=10, n_probe=4)
 
 
+def sim_knn_join(spark, sf_dir):
+    """Exact k-NN join for a broadcast probe set (ops/similarity.py
+    knn_join): 3 probe vectors, each partition does ONE matmul for all
+    probes, per-partition top-k, global window cut. The 100 TB shape
+    for 'tag a small query set against a huge corpus'."""
+    from openaleph_search_spark.ops.similarity import knn_join
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = (emb.filter(F.col("vec_id").isin([0, 1, 2]))
+              .select(F.col("vec_id").alias("probe_id"), "embedding"))
+    return knn_join(emb, probes, k=5)
+
+
 def text_language_id(spark, sf_dir):
     from openaleph_search_spark.ops.textstats import with_language_id
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1107,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": sim_cosine_topk,
         "sim_lsh_ann": sim_lsh_ann,
         "sim_ivf_ann": sim_ivf_ann,
+        "sim_knn_join": sim_knn_join,
         "text_language_id": text_language_id,
         "text_token_quality": text_token_quality,
         "text_fingerprint": text_fingerprint,
@@ -1835,6 +1848,30 @@ FROM documents d LEFT JOIN sim USING (doc_id)
         "sim_lsh_ann": _lsh_ann_sql(n_planes=8, radius=3, k=10, seed=42,
                                     dim=64),
         "sim_ivf_ann": _ivf_ann_sql(n_centroids=16, n_probe=4, k=10),
+        "sim_knn_join": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id IN (0, 1, 2)
+),
+scored AS (
+  SELECT p.probe_id, e.vec_id,
+         list_dot_product(e.v, p.pv)
+         / (sqrt(list_dot_product(e.v, e.v))
+            * sqrt(list_dot_product(p.pv, p.pv))) AS c
+  FROM e CROSS JOIN p
+),
+ranked AS (
+  SELECT probe_id, vec_id, c,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY c DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT probe_id, vec_id, round(c, 6) AS cosine
+FROM ranked WHERE rn <= 5
+""",
         "dedup_embedding": _embedding_dedup_sql(threshold=0.4,
                                                 n_planes=8, radius=2),
         "q24_highlight": f"""
