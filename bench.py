@@ -175,8 +175,8 @@ def run_queries(cores: int, index_dir: str) -> tuple[dict, dict]:
                        slop=2).count()
         dt = min(dt, time.time() - t0)
     timings["op_percolate_200q"] = round(dt, 3)
-    timings["op_percolate_docs_per_sec"] = round(n_docs_p / dt, 1)
     log(f"  percolate 200q x {n_docs_p} docs: {dt:.2f}s")
+    rates = {"op_percolate_docs_per_sec": round(n_docs_p / dt, 1)}
 
     # p95 of the headline match query over 20 runs
     lat = []
@@ -186,7 +186,8 @@ def run_queries(cores: int, index_dir: str) -> tuple[dict, dict]:
         lat.append(time.time() - t0)
     lat.sort()
     p95 = {"q_match_p50_sec": round(lat[len(lat) // 2], 3),
-           "q_match_p95_sec": round(lat[int(len(lat) * 0.95) - 1], 3)}
+           "q_match_p95_sec": round(lat[int(len(lat) * 0.95) - 1], 3),
+           **rates}
     spark.stop()
     return timings, p95
 
