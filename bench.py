@@ -192,6 +192,48 @@ def run_queries(cores: int, index_dir: str) -> tuple[dict, dict]:
     return timings, p95
 
 
+def _hw_spin(kind, q):
+    """One single-threaded numpy worker (no Spark/JVM/IPC)."""
+    import numpy as np
+    rs = np.random.RandomState(0)
+    if kind == "cached":  # cache-resident: reuse one hot array
+        a = rs.randint(0, 1 << 40, 2_000_000)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 2.5:
+        if kind == "stream":  # streaming: fresh 16 MB alloc per iter
+            a = rs.randint(0, 1 << 40, 2_000_000)
+        np.sort(a)
+        n += 1
+    q.put(n)
+
+
+def hw_ceiling(n: int, n4: int) -> dict:
+    """Pure-CPU scaling ceiling of THIS box at the same process pair:
+    independent single-threaded numpy workers, no Spark, no shared
+    state — an upper bound on what ANY software could achieve going
+    n→n4 local workers. Two regimes: cache-resident sort (compute
+    ceiling) and fresh-allocation sort (DRAM/page-fault ceiling — the
+    regime a tokenize+sort+encode indexing task actually lives in).
+    Separate 4x-cluster NODES multiply memory subsystems instead of
+    sharing one, so these ceilings are single-box artifacts by
+    construction."""
+    import multiprocessing as mp
+    out = {}
+    for kind in ("cached", "stream"):
+        tput = {}
+        for procs in (n, n4):
+            q = mp.Queue()
+            ps = [mp.Process(target=_hw_spin, args=(kind, q))
+                  for _ in range(procs)]
+            [p.start() for p in ps]
+            [p.join() for p in ps]
+            tput[procs] = sum(q.get() for _ in ps)
+        out[f"hw_{kind}_efficiency"] = round(
+            (tput[n4] / max(tput[n], 1)) / (n4 / n), 3)
+    return out
+
+
 def main():
     partitions = 2 * CPUS  # same input partitioning at every level
 
@@ -215,6 +257,7 @@ def main():
             "docs_per_sec_4n": b["docs_per_sec"],
             "efficiency": round(eff, 3),
             "udf_task_inflation_4n_vs_n": round(inflation, 2),
+            **hw_ceiling(n, n4),
         }
 
     # low-contention pair: isolates algorithmic scaling from the

@@ -93,6 +93,13 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
     meta_cols = meta_cols or []
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one executor thread per task is the concurrency model here;
+        # Arrow's global CPU pool otherwise defaults to ALL cores in
+        # EVERY worker (32 tasks x 32-thread pools oversubscribes the
+        # box and inflates per-task time under full parallelism)
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
         t0 = time.time()
         src_part = int(pdf["src_part"].iloc[0])
         shard = int(shard_of_part(src_part))

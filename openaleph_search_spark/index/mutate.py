@@ -201,10 +201,12 @@ def compact(spark: SparkSession, storage: IndexStorage) -> None:
     avgdl_by_field = {f: (t / n_docs if n_docs else 0.0)
                       for f, t in field_totals.items()}
     avgdl = avgdl_by_field.get("content", 0.0)
-    (spark.read.parquet(storage.postings_dir)
-     .groupBy("term")
-     .agg(F.sum("doc_count").alias("df"), F.sum("sum_tf").alias("cf"))
-     .write.mode("overwrite").parquet(storage.term_stats_dir))
+    swap(lambda d: (spark.read.parquet(storage.postings_dir)
+                    .groupBy("term")
+                    .agg(F.sum("doc_count").alias("df"),
+                         F.sum("sum_tf").alias("cf"))
+                    .write.mode("overwrite").parquet(d)),
+         storage.term_stats_dir)
     # refresh the per-partition partials too (future appends re-agg them)
     swap(lambda d: spark.read.parquet(storage.term_stats_dir)
          .write.mode("overwrite").parquet(d),
