@@ -240,9 +240,20 @@ def main():
     def pair(n, n4, replicate, reps=2):
         log(f"== scaling pair local[{n}] vs local[{n4}] "
             f"(replicate={replicate}) ==")
-        a = build_at(n, partitions, f"n{n}", replicate, reps)
+        # INTERLEAVE the levels (n, 4n, n, 4n, …) so ambient host load
+        # hits both sides of the ratio in the same windows — a noise
+        # spike during one level's block would otherwise skew the
+        # recorded efficiency in either direction; best-of per level
+        best = {n: None, n4: None}
+        for _ in range(reps):
+            for lvl in (n, n4):
+                m = build_at(lvl, partitions, f"n{lvl}", replicate,
+                             reps=1)
+                if (best[lvl] is None
+                        or m["docs_per_sec"] > best[lvl]["docs_per_sec"]):
+                    best[lvl] = m
+        a, b = best[n], best[n4]
         log(str(a))
-        b = build_at(n4, partitions, f"n{n4}", replicate, reps)
         log(str(b))
         eff = (b["docs_per_sec"] / a["docs_per_sec"]) / (n4 / n)
         # per-task UDF seconds inflate under SMP memory-bandwidth
