@@ -486,6 +486,17 @@ def q26_sort_q27_paging(spark, sf_dir):
     return out.orderBy(F.desc("doc_len"), F.asc("doc_id")).limit(25)
 
 
+def q27_search_after(spark, sf_dir):
+    """Q27 search_after: keyset continuation of a sorted match (path
+    asc + doc_id tiebreak) — ES-style deep paging as an indexable
+    range predicate instead of an offset scan (reference
+    index/entities.py:112-140 PIT+search_after export)."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search({"q": "vector", "sort": "path", "limit": 15,
+                      "search_after": ["src/src5", "0"]})
+    return _orig_id(res.hits).select("doc_id", "path")
+
+
 def q10_post_filter_facet(spark, sf_dir):
     """Q10/A8: facet on lang with filter:lang applied post-facet."""
     eng = _engine(spark, sf_dir)
@@ -1097,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_exclude_filter": q11_exclude_filter,
         "q31_count": q31_count,
         "q26_sort_q27_paging": q26_sort_q27_paging,
+        "q27_search_after": q27_search_after,
         "q10_post_filter_facet": q10_post_filter_facet,
         "a1_terms_facet": a1_terms_facet,
         "a2_cardinality": a2_cardinality,
@@ -1482,6 +1494,21 @@ SELECT doc_id, len(string_split(text, ' ')) AS doc_len
 FROM documents
 WHERE text LIKE '%vector%'
 ORDER BY doc_len DESC, doc_id LIMIT 25
+""",
+        "q27_search_after": """
+WITH d AS (
+  SELECT doc_id,
+         'src/' || source || '/mod_' || doc_id || '.' ||
+         CASE lang WHEN 'en' THEN 'py' WHEN 'fr' THEN 'js'
+                   WHEN 'es' THEN 'go' WHEN 'de' THEN 'java'
+                   WHEN 'zh' THEN 'rs' ELSE 'txt' END AS path,
+         text
+  FROM documents
+)
+SELECT doc_id, path FROM d
+WHERE text LIKE '%vector%'
+  AND (path > 'src/src5' OR (path = 'src/src5' AND doc_id > 0))
+ORDER BY path, doc_id LIMIT 15
 """,
         "q10_post_filter_facet": """
 WITH m AS (

@@ -120,7 +120,7 @@ class Engine:
         need_full_match = bool(sa.facets or sa.facet_total or sa.metrics
                                or sa.facet_significant
                                or sa.sort or with_total
-                               or sa.function_score)
+                               or sa.function_score or sa.search_after)
         pure_negative = (isinstance(tree, Bool) and tree.must_not
                          and not tree.must and not tree.should)
 
@@ -133,7 +133,8 @@ class Engine:
                 and not sa.facet_total and not sa.metrics
                 and not sa.facet_significant and not sa.sort
                 and not with_total and not sa.function_score
-                and not sa.highlight and not isinstance(tree, MatchAll)
+                and not sa.highlight and not sa.search_after
+                and not isinstance(tree, MatchAll)
                 and not pure_negative
                 and all(f not in sa.facet_interval
                         and dtypes.get(f) == "string"
@@ -221,10 +222,23 @@ class Engine:
         if sa.sort:
             order = [F.col(f).asc_nulls_last() if asc
                      else F.col(f).desc_nulls_last() for f, asc in sa.sort]
+            if sa.search_after:
+                fully = fully.filter(
+                    self._keyset_after(sa.sort, sa.search_after))
             hits = fully.orderBy(*order, F.asc("doc_id"))
         elif isinstance(tree, MatchAll):
+            if sa.search_after:
+                # _doc-order scan cursor: the single value is the last
+                # doc_id seen (reference id-sorted export continuation)
+                fully = fully.filter(
+                    F.col("doc_id") > int(sa.search_after[-1]))
             hits = fully.orderBy(F.asc("doc_id"))  # _doc order, no scoring
         else:
+            if sa.search_after:
+                raise ValueError(
+                    "search_after requires an explicit sort (or a "
+                    "match-all _doc scan); score cursors are not "
+                    "stable floats")
             hits = fully.orderBy(F.desc("score"), F.asc("doc_id"))
         hits = hits.limit(sa.k) if sa.k else hits.limit(0)
         if sa.highlight and not isinstance(tree, MatchAll):
@@ -325,6 +339,34 @@ class Engine:
             return base.join(banned.select("doc_id"), "doc_id",
                              "left_anti").count()
         return self.executor.run(tree, k=None, filter_df=base).count()
+
+    def _keyset_after(self, sort: list[tuple[str, bool]],
+                      cursor: list[str]):
+        """ES ``search_after`` keyset predicate: rows strictly AFTER
+        the cursor in (sort…, doc_id asc) order — deep paging as an
+        indexable range filter instead of an offset scan (the
+        reference's PIT+search_after export continuation,
+        /root/reference/openaleph_search/index/entities.py:112-140).
+        ``cursor`` carries one value per sort field plus the final
+        doc_id tiebreak. Sort keys must be non-null on cursored pages
+        (nulls sort last and are unreachable by cursor, as in ES)."""
+        keys = [*sort, ("doc_id", True)]
+        if len(cursor) != len(keys):
+            raise ValueError(
+                f"search_after needs {len(keys)} values (one per sort "
+                f"field + the doc_id tiebreak), got {len(cursor)}")
+        dtypes = dict(self.doc_meta.dtypes)
+        pred = None
+        eq = None
+        for (f, asc), cv in zip(keys, cursor):
+            col = F.col(f)
+            lit = F.lit(cv).cast(dtypes.get(f, "string"))
+            cmp = (col > lit) if asc else (col < lit)
+            term = cmp if eq is None else (eq & cmp)
+            pred = term if pred is None else (pred | term)
+            e = col == lit
+            eq = e if eq is None else (eq & e)
+        return pred
 
     # -- planning helpers -----------------------------------------------------
     def _plan(self, sa: SearchArgs) -> Node:

@@ -231,6 +231,10 @@ class SearchArgs:
     facet_significant: list[str] = field(default_factory=list)
     metrics: dict[str, list[str]] = field(default_factory=dict)  # op→props
     sort: list[tuple[str, bool]] = field(default_factory=list)  # (field, asc)
+    # ES search_after keyset cursor: one value per sort field plus the
+    # doc_id tiebreak (deep paging without offset scans — the reference
+    # export path's PIT+search_after role, index/entities.py:117)
+    search_after: list[str] = field(default_factory=list)
     synonyms: bool = False
     dehydrate: bool = False
     include_fields: list[str] = field(default_factory=list)
@@ -284,6 +288,10 @@ def parse_args(args: dict[str, list[str] | str]) -> SearchArgs:
             for v in vals:
                 fieldname, _, direction = v.partition(":")
                 out.sort.append((fieldname, direction != "desc"))
+        elif key == "search_after":
+            # one cursor element per occurrence (dict callers pass the
+            # list directly, mirroring the ES array parameter)
+            out.search_after = list(vals)
         elif key.startswith("filter:"):
             rest = key[len("filter:"):]
             op, _, fieldname = rest.partition(":")

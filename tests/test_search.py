@@ -186,6 +186,37 @@ def test_pagination(fixture_engine):
     assert [r["doc_id"] for r in page.hit_rows(2, 3)] == all_ids[2:5]
 
 
+def test_search_after_sorted(fixture_engine):
+    """Keyset pagination: a cursored page equals the matching slice of
+    the unpaged sorted result (sort field + doc_id tiebreak)."""
+    base = {"sort": "path"}
+    rows = fixture_engine.search({**base, "limit": 100}).hit_rows(0, 100)
+    assert len(rows) >= 4
+    cur = rows[1]  # cursor = second row → page starts at the third
+    page = fixture_engine.search(
+        {**base, "limit": 2,
+         "search_after": [cur["path"], str(cur["doc_id"])]})
+    got = [r["doc_id"] for r in page.hit_rows(0, 2)]
+    assert got == [r["doc_id"] for r in rows[2:4]]
+
+
+def test_search_after_doc_order(fixture_engine):
+    """_doc-order scan continuation: single doc_id cursor."""
+    rows = fixture_engine.search({"limit": 100}).hit_rows(0, 100)
+    cur = rows[2]["doc_id"]
+    page = fixture_engine.search(
+        {"limit": 3, "search_after": [str(cur)]})
+    got = [r["doc_id"] for r in page.hit_rows(0, 3)]
+    assert got == [r["doc_id"] for r in rows[3:6]]
+
+
+def test_search_after_requires_sort(fixture_engine):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="search_after"):
+        fixture_engine.search(
+            {"q": "merge", "limit": 3, "search_after": ["5"]}).hits.count()
+
+
 def test_limit_zero(fixture_engine):
     res = fixture_engine.search({"q": "banana", "limit": 0},
                                 with_total=True)
