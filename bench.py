@@ -228,7 +228,13 @@ def hw_ceiling(n: int, n4: int) -> dict:
                   for _ in range(procs)]
             [p.start() for p in ps]
             [p.join() for p in ps]
-            tput[procs] = sum(q.get() for _ in ps)
+            got = []
+            for _ in ps:  # a crashed worker must not hang the bench
+                try:
+                    got.append(q.get(timeout=30))
+                except Exception:
+                    break
+            tput[procs] = sum(got)
         out[f"hw_{kind}_efficiency"] = round(
             (tput[n4] / max(tput[n], 1)) / (n4 / n), 3)
     return out

@@ -102,6 +102,34 @@ class Engine:
         sa = args if isinstance(args, SearchArgs) else parse_args(args)
         tree = self._plan(sa)
 
+        # search_after validates BEFORE any distributed work (a
+        # statically-invalid cursor must not cost a cluster scan)
+        keyset = None
+        if sa.search_after:
+            if sa.sort:
+                keyset = self._keyset_after(sa.sort, sa.search_after)
+            elif isinstance(tree, MatchAll):
+                # _doc-order scan cursor: the single last doc_id seen
+                # (reference id-sorted export continuation)
+                if len(sa.search_after) != 1:
+                    raise ValueError(
+                        "a _doc-order search_after cursor is the "
+                        "single last doc_id; pass sort= for field "
+                        "cursors")
+                try:
+                    keyset = (F.col("doc_id")
+                              > int(sa.search_after[0]))
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        "search_after doc_id cursor "
+                        f"{sa.search_after[0]!r} is not an integer"
+                    ) from None
+            else:
+                raise ValueError(
+                    "search_after requires an explicit sort (or a "
+                    "match-all _doc scan); score cursors are not "
+                    "stable floats")
+
         # split filters: filters on faceted fields become post-filters
         # (reference base.py:99-123) so each facet excludes its own.
         post_fields = [f for f in sa.facets if f in sa.filters]
@@ -219,26 +247,15 @@ class Engine:
         metrics_df = metric_aggs(fully, sa.metrics) if sa.metrics else None
         total = fully.count() if with_total else None
 
+        if keyset is not None:
+            fully = fully.filter(keyset)
         if sa.sort:
             order = [F.col(f).asc_nulls_last() if asc
                      else F.col(f).desc_nulls_last() for f, asc in sa.sort]
-            if sa.search_after:
-                fully = fully.filter(
-                    self._keyset_after(sa.sort, sa.search_after))
             hits = fully.orderBy(*order, F.asc("doc_id"))
         elif isinstance(tree, MatchAll):
-            if sa.search_after:
-                # _doc-order scan cursor: the single value is the last
-                # doc_id seen (reference id-sorted export continuation)
-                fully = fully.filter(
-                    F.col("doc_id") > int(sa.search_after[-1]))
             hits = fully.orderBy(F.asc("doc_id"))  # _doc order, no scoring
         else:
-            if sa.search_after:
-                raise ValueError(
-                    "search_after requires an explicit sort (or a "
-                    "match-all _doc scan); score cursors are not "
-                    "stable floats")
             hits = fully.orderBy(F.desc("score"), F.asc("doc_id"))
         hits = hits.limit(sa.k) if sa.k else hits.limit(0)
         if sa.highlight and not isinstance(tree, MatchAll):
@@ -340,31 +357,68 @@ class Engine:
                              "left_anti").count()
         return self.executor.run(tree, k=None, filter_df=base).count()
 
+    @staticmethod
+    def _cursor_literal(cv, dtype: str):
+        """Validate a cursor value against the column dtype DRIVER-SIDE
+        (Spark's non-ANSI cast would turn an unparsable value into a
+        NULL literal → a silently-empty page instead of an error)."""
+        import datetime as _dt
+        try:
+            if dtype in ("tinyint", "smallint", "int", "bigint"):
+                int(cv)
+            elif dtype in ("float", "double") or dtype.startswith(
+                    "decimal"):
+                float(cv)
+            elif dtype in ("timestamp", "timestamp_ntz", "date"):
+                _dt.datetime.fromisoformat(str(cv).replace("T", " "))
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"search_after cursor value {cv!r} is not valid for a "
+                f"{dtype} sort column") from None
+        return F.lit(cv).cast(dtype)
+
     def _keyset_after(self, sort: list[tuple[str, bool]],
-                      cursor: list[str]):
+                      cursor: list):
         """ES ``search_after`` keyset predicate: rows strictly AFTER
         the cursor in (sort…, doc_id asc) order — deep paging as an
         indexable range filter instead of an offset scan (the
         reference's PIT+search_after export continuation,
         /root/reference/openaleph_search/index/entities.py:112-140).
         ``cursor`` carries one value per sort field plus the final
-        doc_id tiebreak. Sort keys must be non-null on cursored pages
-        (nulls sort last and are unreachable by cursor, as in ES)."""
+        doc_id tiebreak. NULL sort keys order nulls_last (matching the
+        sort itself): a null-keyed row sorts after every non-null
+        cursor, and ``None`` as a cursor element resumes WITHIN the
+        null region of that key."""
         keys = [*sort, ("doc_id", True)]
         if len(cursor) != len(keys):
             raise ValueError(
                 f"search_after needs {len(keys)} values (one per sort "
                 f"field + the doc_id tiebreak), got {len(cursor)}")
         dtypes = dict(self.doc_meta.dtypes)
+        for f, _ in keys:
+            if f not in dtypes:
+                raise ValueError(
+                    f"search_after sort field {f!r} is not a stored "
+                    "doc_meta column (score cursors are not stable "
+                    "floats)")
         pred = None
         eq = None
         for (f, asc), cv in zip(keys, cursor):
             col = F.col(f)
-            lit = F.lit(cv).cast(dtypes.get(f, "string"))
-            cmp = (col > lit) if asc else (col < lit)
+            if cv is None:
+                # cursor sits in this key's null region: nothing sorts
+                # after null at this level; deeper keys break the tie
+                cmp = F.lit(False)
+                e = col.isNull()
+            else:
+                lit = self._cursor_literal(cv, dtypes.get(f, "string"))
+                # nulls_last: null-keyed rows sort AFTER any non-null
+                # cursor value, so they stay reachable on later pages
+                cmp = ((col > lit) if asc else (col < lit)) \
+                    | col.isNull()
+                e = col == lit
             term = cmp if eq is None else (eq & cmp)
             pred = term if pred is None else (pred | term)
-            e = col == lit
             eq = e if eq is None else (eq & e)
         return pred
 

@@ -290,8 +290,14 @@ def parse_args(args: dict[str, list[str] | str]) -> SearchArgs:
                 out.sort.append((fieldname, direction != "desc"))
         elif key == "search_after":
             # one cursor element per occurrence (dict callers pass the
-            # list directly, mirroring the ES array parameter)
-            out.search_after = list(vals)
+            # list directly, mirroring the ES array parameter); None
+            # elements survive stringification — they cursor into a
+            # sort key's null region
+            raw = args[key]
+            if not isinstance(raw, (list, tuple)):
+                raw = [raw]
+            out.search_after = [None if v is None else str(v)
+                                for v in raw]
         elif key.startswith("filter:"):
             rest = key[len("filter:"):]
             op, _, fieldname = rest.partition(":")

@@ -214,7 +214,55 @@ def test_search_after_requires_sort(fixture_engine):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="search_after"):
         fixture_engine.search(
-            {"q": "merge", "limit": 3, "search_after": ["5"]}).hits.count()
+            {"q": "banana", "limit": 3, "search_after": ["5"]})
+
+
+def test_search_after_validation(fixture_engine):
+    """Bad cursors raise at plan time — never a silent empty page."""
+    import pytest as _pytest
+    # arity mismatch on the _doc-order scan
+    with _pytest.raises(ValueError, match="single last doc_id"):
+        fixture_engine.search({"limit": 3, "search_after": ["a", "1"]})
+    # uncastable value for a typed sort column
+    with _pytest.raises(ValueError, match="not valid"):
+        fixture_engine.search({"sort": "doc_len", "limit": 3,
+                               "search_after": ["abc", "5"]})
+    # score is not a stored column → no float cursors through sort=
+    with _pytest.raises(ValueError, match="stored doc_meta column"):
+        fixture_engine.search({"q": "banana", "sort": "score:desc",
+                               "limit": 3, "search_after": ["1.5", "2"]})
+
+
+def test_search_after_null_sort_keys(fixture_engine, spark):
+    """nulls_last keyset: null-keyed rows stay reachable after a
+    non-null cursor, and a None cursor element resumes among them."""
+    import pyspark.sql.functions as SF
+    dm = fixture_engine.doc_meta.withColumn(
+        "nullable_ext",
+        SF.when(SF.col("path").endswith(".txt"), None)
+        .otherwise(SF.element_at(SF.split("path", r"\."), -1)))
+    fixture_engine._doc_meta = dm  # session-local sortable column
+    try:
+        base = {"sort": "nullable_ext"}
+        rows = fixture_engine.search(
+            {**base, "limit": 100}).hit_rows(0, 100)
+        nn = [r for r in rows if r["nullable_ext"] is not None]
+        cur = nn[-1]  # last non-null row: next page = the null region
+        page = fixture_engine.search(
+            {**base, "limit": 100,
+             "search_after": [cur["nullable_ext"],
+                              str(cur["doc_id"])]}).hit_rows(0, 100)
+        want = [r["doc_id"] for r in rows
+                if r["nullable_ext"] is None]
+        assert sorted(r["doc_id"] for r in page) == sorted(want)
+        assert len(want) > 0
+        # resume WITHIN the null region via a None cursor element
+        page2 = fixture_engine.search(
+            {**base, "limit": 100,
+             "search_after": [None, str(want[0])]}).hit_rows(0, 100)
+        assert [r["doc_id"] for r in page2] == want[1:]
+    finally:
+        fixture_engine._doc_meta = None
 
 
 def test_limit_zero(fixture_engine):
