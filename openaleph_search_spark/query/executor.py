@@ -525,6 +525,16 @@ class SearchExecutor:
         # term dictionary, off unless the deployment opts in
         self.allow_leading_wildcard = allow_leading_wildcard
         self._dict_cache: tuple | None | bool = False  # False=unprobed
+        # the postings DataFrame handle is immutable lineage — re-doing
+        # spark.read.parquet per query re-lists the dataset (~0.4 s of
+        # driver time on a 16-shard index). Same lifetime contract as
+        # the dict cache: mutations construct fresh Engines.
+        self._postings_df: DataFrame | None = None
+
+    def _postings(self) -> DataFrame:
+        if self._postings_df is None:
+            self._postings_df = self.storage.postings(self.spark)
+        return self._postings_df
 
     def _term_dict(self) -> tuple | None:
         """(sorted term ndarray, df ndarray) driver cache, or None when
@@ -757,7 +767,7 @@ class SearchExecutor:
                 "tfs_payload", "dls_payload"]
         if need_pos:
             cols.append("pos_payload")
-        postings = (self.storage.postings(self.spark)
+        postings = (self._postings()
                     .select(*cols)
                     .filter(F.col("term").isin(terms)))
         if not need_pos:
