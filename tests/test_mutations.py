@@ -99,6 +99,43 @@ def test_streaming_query_e2e(spark, fixture_docs_df, tmp_path):
     assert [r["path"] for r in res.hit_rows(0, 10)] == ["b/manafort.js"]
 
 
+def test_streaming_percolation_e2e(spark, fixture_docs_df, tmp_path):
+    """readStream → registered-watchlist percolation → parquet alert
+    sink; alert rows equal the batch operator's on the same docs."""
+    from openaleph_search_spark.query.percolate import (
+        percolate_docs, load_watchlist, register_watchlist)
+    from openaleph_search_spark.streaming.percolate import alert_stream
+    out = str(tmp_path / "idx_perc")
+    build_index(spark, fixture_docs_df.limit(2), out,
+                num_partitions=2, num_shards=2)
+    storage = IndexStorage(out)
+    register_watchlist(storage, [
+        {"entity_id": "e-banana", "names": ["banana crime"],
+         "other_names": ["banana"]},
+        {"entity_id": "e-kwazulu", "names": ["KwaZulu Natal"]},
+    ])
+    src_dir = str(tmp_path / "perc_src")
+    fixture_docs_df.write.mode("overwrite").parquet(src_dir)
+    stream = (spark.readStream
+              .schema(fixture_docs_df.schema).parquet(src_dir))
+    q = alert_stream(spark, stream, out,
+                     checkpoint_dir=str(tmp_path / "perc_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    alerts = spark.read.parquet(os.path.join(out, "alerts"))
+    want = percolate_docs(fixture_docs_df, load_watchlist(storage))
+    key = ["repo", "path", "commit", "entity_id"]
+    got_rows = {tuple(r[k] for k in key): round(r["score"], 9)
+                for r in alerts.collect()}
+    want_rows = {tuple(r[k] for k in key): round(r["score"], 9)
+                 for r in want.collect()}
+    assert got_rows == want_rows
+    assert any(e == "e-banana" for *_, e in got_rows)
+    assert any(e == "e-kwazulu" for *_, e in got_rows)
+
+
 def test_spark_submit_packaging(tmp_path):
     """north_rule: runs via spark-submit --py-files <zip>."""
     sys.path.insert(0, "/root/repo/scripts")
