@@ -83,6 +83,70 @@ class Engine:
         """Debug/UX tokenizer endpoint (reference search/logic.py:42-69)."""
         return analyze_text(text)
 
+    def explain(self, args: dict | SearchArgs) -> dict:
+        """Planner debug (the ES ``_validate_query``/explain role),
+        driver-only — zero Spark jobs beyond the cached term
+        dictionary: the parsed IR, analyzed + dictionary-expanded
+        terms, and the physical strategy ``search()`` would pick.
+        Mirrors search()'s branch conditions; a drift here breaks the
+        test that asserts strategy names against observed plans."""
+        sa = args if isinstance(args, SearchArgs) else parse_args(args)
+        tree = self._plan(sa)
+        ex = self.executor
+        ex._expand_prefixes(tree)
+        ex._expand_wildcards(tree)
+        expansions = {
+            (l.prefix + "*" if isinstance(l, PrefixLeaf) else l.pattern):
+                list(l.expanded or [])
+            for l in tree.leaves()
+            if isinstance(l, (PrefixLeaf, WildcardLeaf))}
+        bigrams_on = bool(ex.meta.get("bigrams"))
+        phrase_fast = [
+            " ".join(l.terms) for l in tree.leaves()
+            if isinstance(l, PhraseLeaf)
+            and ex._phrase_uses_bigrams(l, bigrams_on)]
+        need_pos = any(
+            isinstance(l, PhraseLeaf)
+            and not (ex._phrase_uses_bigrams(l, bigrams_on)
+                     and len(l.terms) == 2)
+            for l in tree.leaves())
+        pure_negative = (isinstance(tree, Bool) and tree.must_not
+                         and not tree.must and not tree.should)
+        post_fields = [f for f in sa.facets if f in sa.filters]
+        need_full = bool(sa.facets or sa.facet_total or sa.metrics
+                         or sa.facet_significant or sa.sort
+                         or sa.function_score or sa.search_after)
+        dtypes = dict(self.doc_meta.dtypes)
+        if (sa.facets and sa.k == 0 and not post_fields
+                and not sa.facet_total and not sa.metrics
+                and not sa.facet_significant and not sa.sort
+                and not sa.function_score and not sa.highlight
+                and not sa.search_after
+                and not isinstance(tree, MatchAll) and not pure_negative
+                and all(f not in sa.facet_interval
+                        and dtypes.get(f) == "string"
+                        for f in sa.facets)):
+            strategy = "facet_partials_cogroup"
+        elif isinstance(tree, MatchAll):
+            strategy = "match_all_meta_scan"
+        elif pure_negative:
+            strategy = "anti_join_scan"
+        elif need_full:
+            strategy = "full_match_then_branches"
+        else:
+            strategy = "topk_scatter_gather"
+        return {
+            "query_tree": repr(tree),
+            "strategy": strategy,
+            "terms": ex._collect_terms(tree),
+            "expansions": expansions,
+            "needs_positions": need_pos,
+            "phrase_bigram_fast_path": phrase_fast,
+            "k": sa.k,
+            "pruning_eligible": strategy == "topk_scatter_gather",
+            "post_filter_fields": post_fields,
+        }
+
     @property
     def doc_meta(self) -> DataFrame:
         """Live docs only — tombstoned (deleted) ids are subtracted

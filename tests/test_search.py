@@ -265,6 +265,27 @@ def test_search_after_null_sort_keys(fixture_engine, spark):
         fixture_engine._doc_meta = None
 
 
+def test_explain_strategies(fixture_engine):
+    """Planner-debug output names the strategy search() actually takes
+    and surfaces expansions / phrase fast paths."""
+    e = fixture_engine.explain({"q": "banana crime", "limit": 10})
+    assert e["strategy"] == "topk_scatter_gather"
+    assert e["pruning_eligible"] and e["k"] == 10
+    assert set(e["terms"]) >= {"banana", "crime"}
+    e = fixture_engine.explain({"q": "ba*", "limit": 5})
+    assert "banana" in e["expansions"]["ba*"]
+    e = fixture_engine.explain({"limit": 10})
+    assert e["strategy"] == "match_all_meta_scan"
+    e = fixture_engine.explain({"q": "banana", "facet": "lang",
+                                "limit": 0})
+    assert e["strategy"] == "facet_partials_cogroup"
+    e = fixture_engine.explain({"q": "-banana", "limit": 10})
+    assert e["strategy"] == "anti_join_scan"
+    e = fixture_engine.explain({"q": '"banana crime"', "limit": 5})
+    assert e["phrase_bigram_fast_path"] == [] or e["needs_positions"] \
+        is False  # config-dependent: fixture index may lack bigrams
+
+
 def test_limit_zero(fixture_engine):
     res = fixture_engine.search({"q": "banana", "limit": 0},
                                 with_total=True)
