@@ -405,6 +405,32 @@ def unregister_watchlist(storage, entity_ids: list[str]) -> int:
     return len(load_watchlist(storage))
 
 
+def compact_registry(storage) -> int:
+    """Fold the append-only registry (every register/unregister batch
+    plus any legacy JSON) into ONE batch holding the last-wins
+    survivors — keeps load time O(live queries) after heavy
+    registration churn (the reference holds 156k percolator queries;
+    unbounded batch accumulation would make every load a history
+    replay). Readers racing the compaction see old+new batches whose
+    last-wins result is identical; the old files delete after the new
+    batch is in place. → number of live stored queries kept."""
+    import os
+    stored = load_watchlist(storage)
+    reg_dir = _registry_dir(storage)
+    old = _registry_batches(storage)
+    _write_registry_batch(storage, [
+        {"entity_id": sq.entity_id, "deleted": False,
+         "clauses": [{"tokens": list(toks), "boost": float(boost)}
+                     for toks, boost in sq.clauses]}
+        for sq in stored])
+    for name in old:
+        storage.io.delete_file(os.path.join(reg_dir, name))
+    legacy = os.path.join(reg_dir, "queries.json")
+    if storage.io.exists(legacy):
+        storage.io.delete_file(legacy)
+    return len(stored)
+
+
 def load_watchlist(storage) -> list[StoredQuery]:
     import json
     import os

@@ -262,6 +262,16 @@ def test_stored_percolator_registry(spark, fixture_index,
     assert len(load_watchlist(st2)) == 2
     unregister_watchlist(st2, ["w2"])
     assert {q.entity_id for q in load_watchlist(st2)} == {"w1"}
+    # compaction folds the batch history into one last-wins batch
+    from openaleph_search_spark.query.percolate import (_registry_batches,
+                                                        compact_registry)
+    before = [(q.entity_id, q.clauses) for q in load_watchlist(st2)]
+    assert len(_registry_batches(st2)) >= 3
+    kept = compact_registry(st2)
+    assert kept == 1
+    assert len(_registry_batches(st2)) == 1
+    assert [(q.entity_id, q.clauses)
+            for q in load_watchlist(st2)] == before
 
 
 def test_dehydrate_include_fields(fixture_engine):
