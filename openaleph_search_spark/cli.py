@@ -76,6 +76,21 @@ def main(argv=None):
     u.add_argument("--index", required=True)
     u.add_argument("--input", required=True)
 
+    rw = sub.add_parser("register-watchlist",
+                        help="persist watchlist queries in the index "
+                             "(register once, percolate many times)")
+    rw.add_argument("--index", required=True)
+    rw.add_argument("--watchlist", required=True,
+                    help="jsonl of {entity_id, names, other_names}")
+
+    pc = sub.add_parser("percolate",
+                        help="batch-percolate a parquet doc table "
+                             "against the index's registered watchlist")
+    pc.add_argument("--index", required=True)
+    pc.add_argument("--input", required=True)
+    pc.add_argument("--output", required=True,
+                    help="parquet alert output path")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "analyze":  # no Spark needed
@@ -160,6 +175,23 @@ def main(argv=None):
             docs = spark.read.parquet(args.input)
             upsert_docs(spark, IndexStorage(args.index), docs)
             print(json.dumps({"upserted": docs.count()}))
+        elif args.cmd == "register-watchlist":
+            from openaleph_search_spark.index.storage import IndexStorage
+            from openaleph_search_spark.query.percolate import (
+                register_watchlist)
+            rows = [json.loads(line) for line in open(args.watchlist)
+                    if line.strip()]
+            n = register_watchlist(IndexStorage(args.index), rows)
+            print(json.dumps({"registered": n}))
+        elif args.cmd == "percolate":
+            from openaleph_search_spark.index.storage import IndexStorage
+            from openaleph_search_spark.query.percolate import (
+                percolate_index)
+            docs = spark.read.parquet(args.input)
+            alerts = percolate_index(IndexStorage(args.index), docs)
+            alerts.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"alerts": alerts.count(),
+                              "output": args.output}))
     finally:
         if owns_session:  # embedded callers keep their session
             spark.stop()

@@ -364,3 +364,19 @@ def test_cli_export_compact_roundtrip(spark, fixture_docs_df, tmp_path):
     out2 = run("export", "--index", idx, "--q", "banana",
                "--output", exp + "2")
     assert _json.loads(out2[-1])["exported"] == 1
+
+    # register-once / percolate-many through the CLI
+    wl = str(tmp_path / "wl.jsonl")
+    with open(wl, "w") as f:
+        f.write(_json.dumps({"entity_id": "w1",
+                             "names": ["Banana Crime"]}) + "\n")
+    out3 = run("register-watchlist", "--index", idx,
+               "--watchlist", wl)
+    assert _json.loads(out3[-1])["registered"] == 1
+    alerts_dir = str(tmp_path / "cli_alerts")
+    out4 = run("percolate", "--index", idx, "--input", docs_dir,
+               "--output", alerts_dir)
+    assert _json.loads(out4[-1])["alerts"] >= 1
+    alerts = spark.read.parquet(alerts_dir)
+    assert ("w1", "b/crime.go") in {
+        (r["entity_id"], r["path"]) for r in alerts.collect()}
