@@ -645,6 +645,19 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(df, n=3, threshold=0.5)
 
 
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components → canonical min-id
+    cluster label per doc (the 'keep one per cluster' step of a
+    training-data dedup pipeline; ops/dedup.duplicate_clusters
+    pointer-jumping label propagation). Oracle: the same jaccard
+    edges + a recursive-CTE transitive closure."""
+    from openaleph_search_spark.ops.dedup import (duplicate_clusters,
+                                                  ngram_jaccard_pairs)
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(df, n=3, threshold=0.5)
+    return duplicate_clusters(pairs)
+
+
 def dedup_simhash(spark, sf_dir):
     """SimHash fingerprints with the portable md5-low64 token hash
     (== DuckDB md5_number_lower), so the full 64-bit fingerprint is
@@ -1126,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_clusters": dedup_clusters,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
         "sim_cosine_topk": sim_cosine_topk,
@@ -1669,6 +1683,40 @@ FROM all_docs GROUP BY 1 HAVING count(*) > 1
 """,
         "dedup_minhash_lsh": jacc,
         "dedup_ngram_jaccard": ngram,
+        "dedup_clusters": """
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, len(t) - 1),
+             i -> array_to_string(t[i:i+2], ' '))) AS shingles
+  FROM d
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+e0 AS (
+  SELECT c.id_a AS a, c.id_b AS b FROM common c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE c.inter::DOUBLE / (sa.n_sh + sb.n_sh - c.inter) >= 0.5
+),
+edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+walk(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id
+)
+SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id
+""",
         "sim_cosine_topk": cosine,
         "text_language_id": langid,
         "text_token_quality": tokq,

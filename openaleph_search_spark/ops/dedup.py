@@ -339,3 +339,58 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                                   - F.col("inter")), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b",
+                       max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id),
+    cluster_id = the MIN doc id of the component (the canonical
+    representative a training-data dedup keeps).
+
+    The last step of every dedup pipeline: pair generators (MinHash /
+    SimHash / Jaccard / embedding) emit edges; transitive closure
+    groups them so "keep one per cluster" is a groupBy. Min-label
+    propagation with POINTER JUMPING (label ← label-of-label each
+    round) converges in O(log diameter) join rounds — near-dup
+    components are short chains in practice, and each round is two
+    shuffles on (id, lbl) pairs only, never on document payloads.
+    Each round's labels are LINEAGE-TRUNCATED (``localCheckpoint``) —
+    the self-referencing joins would otherwise grow the logical plan
+    ~3× per round and exhaust the driver during analysis long before
+    any data-size limit (for failure-resilient truncation on a long
+    cluster job, set a ``spark.sparkContext.setCheckpointDir`` and
+    swap in ``checkpoint``). Deterministic for any input."""
+    from pyspark import StorageLevel
+    edges = pairs.select(F.col(id_a).cast("long").alias("a"),
+                         F.col(id_b).cast("long").alias("b"))
+    edges = (edges.union(edges.select(F.col("b").alias("a"),
+                                      F.col("a").alias("b")))
+             .distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    labels = (edges.select(F.col("a").alias("id"))
+              .distinct()
+              .withColumn("lbl", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges["b"] == labels["id"])
+                   .groupBy(F.col("a").alias("id"))
+                   .agg(F.min("lbl").alias("nlbl")))
+        new = (labels.join(nbr_min, "id", "left")
+               .select("id", F.least("lbl", F.coalesce("nlbl", "lbl"))
+                       .alias("lbl")))
+        # pointer jumping: adopt the label's own (possibly smaller) label
+        lbl_of_lbl = new.select(F.col("id").alias("lbl"),
+                                F.col("lbl").alias("lbl2"))
+        new = (new.join(lbl_of_lbl, "lbl", "left")
+               .select("id", F.least("lbl", F.coalesce("lbl2", "lbl"))
+                       .alias("lbl"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(labels.withColumnRenamed("lbl", "old"), "id")
+                   .filter(F.col("lbl") != F.col("old")).count())
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("lbl").alias("cluster_id"))

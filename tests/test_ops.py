@@ -289,3 +289,23 @@ def test_exact_duplicates_group_cap_null_skip(spark):
     assert r["n_docs"] == 10
     assert r["doc_ids"] == [0, 1, 2]          # capped, no NULL holes
     assert all(x is not None for x in r["doc_ids"])
+
+def test_duplicate_clusters(spark):
+    """Connected components: chains, diamonds and singleton pairs all
+    collapse to min-id cluster labels; long chains exercise pointer
+    jumping (diameter >> 1 round)."""
+    from openaleph_search_spark.ops.dedup import duplicate_clusters
+    # chain 1-2-3-4-5, diamond 10-11-12 (+cross edge), pair 20-21,
+    # long chain 30..45
+    edges = ([(i, i + 1) for i in range(1, 5)]
+             + [(10, 11), (11, 12), (10, 12)]
+             + [(20, 21)]
+             + [(i, i + 1) for i in range(30, 45)])
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert {got[i] for i in range(1, 6)} == {1}
+    assert {got[i] for i in (10, 11, 12)} == {10}
+    assert {got[i] for i in (20, 21)} == {20}
+    assert {got[i] for i in range(30, 46)} == {30}
+    assert len(got) == 5 + 3 + 2 + 16
