@@ -764,6 +764,20 @@ def text_token_quality(spark, sf_dir):
         F.round("mean_word_len", 6).alias("mean_word_len"))
 
 
+def text_pack_sequences(spark, sf_dir):
+    """LLM sequence packing: docs fill 512-token packs in doc_id order
+    within each source group (ops/textstats.with_pack_ids — the window
+    shuffles per group, never a global order)."""
+    from openaleph_search_spark.ops.textstats import (with_pack_ids,
+                                                      with_token_counts)
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = with_pack_ids(with_token_counts(df), budget=512)
+    return out.select("doc_id", "pack_id",
+                      F.col("pack_offset").cast("long").alias(
+                          "pack_offset"),
+                      F.col("ws_tokens").cast("long").alias("ws_tokens"))
+
+
 def text_fingerprint(spark, sf_dir):
     from openaleph_search_spark.ops.textstats import with_fingerprint
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1149,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": text_language_id,
         "text_token_quality": text_token_quality,
         "text_fingerprint": text_fingerprint,
+        "text_pack_sequences": text_pack_sequences,
         "q1_fielded_search": q1_fielded_search,
         "q2_multifield_dismax": q2_multifield_dismax,
         "q20_geo_distance": q20_geo_distance,
@@ -1721,6 +1736,23 @@ SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id
         "text_language_id": langid,
         "text_token_quality": tokq,
         "text_fingerprint": fingerprint,
+        "text_pack_sequences": """
+WITH t AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS ws_tokens
+  FROM documents
+),
+w AS (
+  SELECT doc_id, source, ws_tokens,
+         (sum(ws_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - ws_tokens)::BIGINT AS pack_offset
+  FROM t
+)
+SELECT doc_id,
+       source || '-' || (pack_offset // 512)::VARCHAR AS pack_id,
+       pack_offset, ws_tokens::BIGINT AS ws_tokens
+FROM w
+""",
         "q1_fielded_search": f"""
 WITH {_TOK_CTE.format(where='')},
 lstat AS (

@@ -103,3 +103,28 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("fingerprint_md5", F.md5(F.col("_norm")))
             .withColumn("fingerprint_min8", F.array_min(shingles))
             .drop("_norm"))
+
+
+def with_pack_ids(df: DataFrame, budget: int,
+                  token_col: str = "ws_tokens",
+                  group_col: str = "source",
+                  id_col: str = "doc_id") -> DataFrame:
+    """LLM training sequence packing: assign each doc to a fixed
+    token-budget pack. Docs fill packs greedily in deterministic
+    ``id_col`` order WITHIN each ``group_col`` partition —
+    ``pack_id = <group>-<running_tokens_before // budget>`` — so the
+    window shuffles one group at a time (groups are the scale unit;
+    a single global order would serialize the whole table through one
+    task). A doc whose tokens straddle a boundary stays in the pack it
+    started in (training pipelines chunk long docs downstream; exact
+    first-fit bin packing is order-sensitive and gains <2% fill).
+    Also emits ``pack_offset``: the doc's token start within its
+    group's running stream."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    before = (F.sum(token_col).over(w) - F.col(token_col)).cast("long")
+    return (df
+            .withColumn("pack_offset", before)
+            .withColumn("pack_id", F.concat_ws(
+                "-", F.col(group_col),
+                F.floor(before / F.lit(budget)).cast("string"))))
