@@ -764,6 +764,18 @@ def text_token_quality(spark, sf_dir):
         F.round("mean_word_len", 6).alias("mean_word_len"))
 
 
+def dedup_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: flag training docs sharing any
+    3-token shingle with a held-out 'benchmark' slice (doc_id < 5),
+    ops/dedup.contamination_flags — eval shingles broadcast into a
+    semi-join, training text never shuffles."""
+    from openaleph_search_spark.ops.dedup import contamination_flags
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = df.filter(F.col("doc_id") < 5)
+    out = contamination_flags(df, ev, n=3)
+    return out.select("doc_id", "contaminated", "eval_hits")
+
+
 def text_pack_sequences(spark, sf_dir):
     """LLM sequence packing: docs fill 512-token packs in doc_id order
     within each source group (ops/textstats.with_pack_ids — the window
@@ -1154,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
+        "dedup_decontaminate": dedup_decontaminate,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
         "sim_cosine_topk": sim_cosine_topk,
@@ -1736,6 +1749,32 @@ SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id
         "text_language_id": langid,
         "text_token_quality": tokq,
         "text_fingerprint": fingerprint,
+        "dedup_decontaminate": """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, len(t) - 1),
+             i -> array_to_string(t[i:i+2], ' '))) AS shingles
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text),
+                           '[^a-z0-9_]+'), x -> x != '') AS t
+        FROM documents)
+  WHERE len(t) >= 3
+),
+ev AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 5
+),
+hits AS (
+  SELECT i.doc_id, count(*) AS eval_hits
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) i
+  JOIN ev USING (s)
+  GROUP BY i.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.eval_hits, 0) > 0 AS contaminated,
+       coalesce(h.eval_hits, 0)::BIGINT AS eval_hits
+FROM documents d LEFT JOIN hits h USING (doc_id)
+""",
         "text_pack_sequences": """
 WITH t AS (
   SELECT doc_id, source,

@@ -394,3 +394,32 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("lbl").alias("cluster_id"))
+
+
+def contamination_flags(df: DataFrame, eval_df: DataFrame, n: int = 8,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        eval_text_col: str | None = None) -> DataFrame:
+    """Eval-set decontamination: flag every doc sharing ≥1 n-token
+    shingle with the eval/benchmark set (the n-gram-overlap rule LLM
+    training pipelines use before training). → df + ``contaminated``
+    boolean + ``eval_hits`` (matching shingle count).
+
+    Scale shape: the eval side is the SMALL side — its distinct
+    shingles broadcast into a hash semi-join against the exploded
+    training shingles; training text never shuffles, and the join key
+    is the shingle string (Catalyst broadcasts automatically under the
+    10 MB default; eval sets are KBs of shingles)."""
+    ev_col = eval_text_col or text_col
+    ev = (eval_df.select(_shingle_set(ev_col, n).alias("_sh"))
+          .select(F.explode("_sh").alias("sh")).distinct())
+    tr = (df.select(F.col(id_col).alias("_id"),
+                    _shingle_set(text_col, n).alias("_sh"))
+          .select("_id", F.explode("_sh").alias("sh")))
+    hits = (tr.join(F.broadcast(ev), "sh")
+            .groupBy("_id").agg(F.count("*").alias("eval_hits")))
+    return (df.join(hits, df[id_col] == hits["_id"], "left")
+            .drop("_id")
+            .withColumn("eval_hits",
+                        F.coalesce("eval_hits", F.lit(0)).cast("long"))
+            .withColumn("contaminated", F.col("eval_hits") > 0))

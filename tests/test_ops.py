@@ -309,3 +309,20 @@ def test_duplicate_clusters(spark):
     assert {got[i] for i in (20, 21)} == {20}
     assert {got[i] for i in range(30, 46)} == {30}
     assert len(got) == 5 + 3 + 2 + 16
+
+def test_contamination_flags(spark):
+    """Decontamination: docs sharing an n-gram with the eval set are
+    flagged; disjoint docs are not."""
+    from openaleph_search_spark.ops.dedup import contamination_flags
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a quick brown fox appeared in the benchmark"),
+         (3, "completely unrelated text about spark windows")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "quick brown fox")], "doc_id long, text string")
+    out = {r["doc_id"]: (r["contaminated"], r["eval_hits"])
+           for r in contamination_flags(docs, ev, n=3).collect()}
+    assert out[1] == (True, 1)   # shares "quick brown fox"
+    assert out[2] == (True, 1)
+    assert out[3] == (False, 0)
