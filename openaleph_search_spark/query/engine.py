@@ -147,6 +147,43 @@ class Engine:
             "post_filter_fields": post_fields,
         }
 
+    def stats(self) -> dict:
+        """Index statistics (the ES ``_stats``/``_cat/indices`` role):
+        collection stats from meta, live/tombstoned doc counts, term
+        dictionary size, and per-shard posting-block balance — the
+        numbers an operator checks before blaming a slow query on
+        skew. One tiny Spark agg over block metadata columns."""
+        meta = dict(self.executor.meta)
+        tombs = 0
+        from ..index.mutate import read_tombstones
+        t = read_tombstones(self.spark, self.storage)
+        if t is not None:
+            tombs = t.count()
+        shard_rows = (self.executor._postings()
+                      .groupBy("shard")
+                      .agg(F.count("*").alias("blocks"),
+                           F.sum("doc_count").alias("postings"))
+                      .collect())
+        shards = {int(r["shard"]): {"blocks": int(r["blocks"]),
+                                    "postings": int(r["postings"])}
+                  for r in shard_rows}
+        post_counts = [s["postings"] for s in shards.values()] or [0]
+        cache = self.executor._term_dict()
+        n_terms = (int(cache[0].size) if cache is not None
+                   else self.storage.term_stats(self.spark).count())
+        return {
+            "n_docs": meta.get("n_docs"),
+            "tombstoned_docs": tombs,
+            "avgdl": meta.get("avgdl"),
+            "num_shards": meta.get("num_shards"),
+            "num_partitions": meta.get("num_partitions"),
+            "layout_version": meta.get("layout_version"),
+            "bigrams": bool(meta.get("bigrams")),
+            "n_terms": n_terms,
+            "shards": shards,
+            "postings_balance": (min(post_counts) / max(max(post_counts), 1)),
+        }
+
     @property
     def doc_meta(self) -> DataFrame:
         """Live docs only — tombstoned (deleted) ids are subtracted

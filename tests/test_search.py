@@ -506,3 +506,10 @@ def test_qfields_fan_out_all_clause_types(spark, fixture_index):
     rows = eng.search({"q": "kwa?ulu", "qfields": "content,path^2",
                        "limit": 10}).hit_rows(0, 10)
     assert "a/kwazulu.txt" in {r["path"] for r in rows}
+
+def test_engine_stats(fixture_engine):
+    s = fixture_engine.stats()
+    assert s["n_docs"] == 10 and s["tombstoned_docs"] == 0
+    assert s["num_shards"] == 2 and len(s["shards"]) <= 2
+    assert s["n_terms"] > 50
+    assert 0 < s["postings_balance"] <= 1.0
