@@ -293,7 +293,11 @@ def main():
     # Spark job/stage latency (~3s across the build's actions) stays a
     # few percent of the local[1] wall — the round-2 scatter speedups
     # (2.7x) made smaller corpora too quick to amortize it.
-    a1, b1, s_low = pair(1, 4, max(64, REPLICATE // 2), reps=5)
+    # full-size corpus on the clean pair too: fixed per-build cost
+    # (job scheduling, stats, meta commits — ~2.5 s) must be small
+    # against the 4-core wall for the ratio to measure the ALGORITHM;
+    # same materialized table as the big pair (one copy on disk)
+    a1, b1, s_low = pair(1, 4, REPLICATE, reps=5)
     # full-machine pair: the raw local[N/4] vs local[N] numbers
     a2, b2, s_big = pair(max(2, CPUS // 4), CPUS, REPLICATE)
 
