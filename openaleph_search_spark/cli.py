@@ -76,6 +76,15 @@ def main(argv=None):
     u.add_argument("--index", required=True)
     u.add_argument("--input", required=True)
 
+    st_ = sub.add_parser("stats", help="index statistics (ES _stats role)")
+    st_.add_argument("--index", required=True)
+
+    ex_ = sub.add_parser("explain",
+                         help="planner debug for a query string")
+    ex_.add_argument("--index", required=True)
+    ex_.add_argument("--q", required=True)
+    ex_.add_argument("--limit", type=int, default=10)
+
     rw = sub.add_parser("register-watchlist",
                         help="persist watchlist queries in the index "
                              "(register once, percolate many times)")
@@ -175,6 +184,14 @@ def main(argv=None):
             docs = spark.read.parquet(args.input)
             upsert_docs(spark, IndexStorage(args.index), docs)
             print(json.dumps({"upserted": docs.count()}))
+        elif args.cmd == "stats":
+            from openaleph_search_spark.query.engine import Engine
+            print(json.dumps(Engine(spark, args.index).stats()))
+        elif args.cmd == "explain":
+            from openaleph_search_spark.query.engine import Engine
+            eng = Engine(spark, args.index)
+            print(json.dumps(eng.explain(
+                {"q": args.q, "limit": args.limit})))
         elif args.cmd == "register-watchlist":
             from openaleph_search_spark.index.storage import IndexStorage
             from openaleph_search_spark.query.percolate import (

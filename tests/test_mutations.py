@@ -365,6 +365,12 @@ def test_cli_export_compact_roundtrip(spark, fixture_docs_df, tmp_path):
                "--output", exp + "2")
     assert _json.loads(out2[-1])["exported"] == 1
 
+    out_s = run("stats", "--index", idx)
+    st = _json.loads(out_s[-1])
+    assert st["n_docs"] == 10 - 1 and st["n_terms"] > 50  # post-compact
+    out_e = run("explain", "--index", idx, "--q", "banana AND crime")
+    assert _json.loads(out_e[-1])["strategy"] == "topk_scatter_gather"
+
     # register-once / percolate-many through the CLI
     wl = str(tmp_path / "wl.jsonl")
     with open(wl, "w") as f:
