@@ -326,3 +326,36 @@ def test_contamination_flags(spark):
     assert out[1] == (True, 1)   # shares "quick brown fox"
     assert out[2] == (True, 1)
     assert out[3] == (False, 0)
+
+def test_duplicate_clusters_random_vs_union_find(spark):
+    """Randomized graphs vs a pure-Python union-find oracle: the
+    distributed label propagation must agree on every component."""
+    import random
+
+    def uf_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    from openaleph_search_spark.ops.dedup import duplicate_clusters
+    rng = random.Random(42)
+    for trial in range(3):
+        n_nodes = 60
+        edges = sorted({(min(a, b), max(a, b)) for a, b in
+                        ((rng.randrange(n_nodes), rng.randrange(n_nodes))
+                         for _ in range(50)) if a != b})
+        nodes = sorted({x for e in edges for x in e})
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in duplicate_clusters(pairs).collect()}
+        assert got == uf_components(edges, nodes), f"trial {trial}"
