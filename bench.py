@@ -241,7 +241,14 @@ def hw_ceiling(n: int, n4: int) -> dict:
 
 
 def main():
-    partitions = 2 * CPUS  # same input partitioning at every level
+    # Same input partitioning at every level (identical job shape), and
+    # MANY more partitions than cores: per-task working set (strings +
+    # token arrays) must stay cache-/allocator-friendly — measured on
+    # this box at local[32]: 64 partitions (10k docs/task) 32.5k docs/s,
+    # 128 parts 87k, 256 parts 100k (fresh-allocation memory pressure
+    # collapses wide SMP boxes; small tasks dodge it and balance load).
+    # The same rule at 100 TB: bound docs/task, not tasks/core.
+    partitions = 8 * CPUS
 
     def pair(n, n4, replicate, reps=2):
         log(f"== scaling pair local[{n}] vs local[{n4}] "
