@@ -58,6 +58,7 @@ LAYOUT_VERSION = 6  # bump on any physical-layout / shard-map change
 FIELD_SEP = "\x1f"  # term-dictionary field prefix: "path\x1ffoo"
 DEFAULT_FIELDS = {"path": "path", "repo": "repo", "lang": "lang"}
 BIGRAM_FIELD = "_bi"  # T16 index_phrases shingles (phrase fast path)
+TARGET_DOCS_PER_PARTITION = 2500  # auto-sizing cap (see build_index)
 
 DOC_META_SCHEMA = ("doc_id long, repo string, path string, commit string, "
                    "lang string, content_sha256 string, doc_len int, "
@@ -400,7 +401,16 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     meta_cols = meta_cols or []
     storage = IndexStorage(index_dir)
     sc_parallelism = spark.sparkContext.defaultParallelism
-    P = num_partitions or max(sc_parallelism, 4)
+    if num_partitions is None:
+        # bound docs per TASK, not tasks per core: oversized partitions
+        # put every worker in the fresh-allocation memory regime and
+        # collapse wide-SMP scaling (measured 3× build throughput at 32
+        # threads going from 10k-doc to 2.5k-doc tasks); small tasks
+        # also balance load and shrink the resume/checkpoint unit
+        n = docs.count()
+        num_partitions = max(sc_parallelism, 4,
+                             -(-n // TARGET_DOCS_PER_PARTITION))
+    P = num_partitions
 
     base_cols = ["repo", "path", "commit", "lang", "content"]
     extra = [c for c in {*fields.values(), *meta_cols}

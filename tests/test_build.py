@@ -138,3 +138,14 @@ def test_build_and_search_over_file_uri(spark, fixture_docs_df, tmp_path):
     compact(spark, st)
     eng2 = Engine(spark, uri)
     assert eng2.count({"q": "banana"}) == 1
+
+def test_auto_partition_sizing(spark, fixture_docs_df, tmp_path):
+    """num_partitions=None bounds docs per task (TARGET_DOCS_PER
+    _PARTITION), floored at the cluster parallelism."""
+    from openaleph_search_spark.index.build import build_index
+    out = str(tmp_path / "idx_auto")
+    st = build_index(spark, fixture_docs_df, out, num_shards=2)
+    meta = st.read_meta()
+    # 10 docs → parallelism floor (local[4] → 4)
+    assert meta["num_partitions"] == max(
+        spark.sparkContext.defaultParallelism, 4)
