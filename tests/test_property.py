@@ -348,3 +348,34 @@ def test_percolate_batch_matches_per_doc_reference(docs, clauses, slop):
             want.add((i, hit["entity_id"], round(hit["score"], 9),
                       tuple(hit["matched_names"])))
     assert got == want
+
+
+_arg_keys = st.sampled_from([
+    "q", "prefix", "offset", "limit", "facet", "sort", "filter:lang",
+    "filter:gte:doc_len", "filter:lte:created", "exclude:repo",
+    "empty:lang", "facet_size:lang", "facet_total:lang",
+    "facet_interval:created", "facet_significant:lang", "metric:avg",
+    "qfields", "synonyms", "dehydrate", "include_fields",
+    "function_score", "highlight", "highlight_count",
+    "highlight_length", "highlight_query", "search_after"])
+_arg_vals = st.one_of(
+    st.text(max_size=12),
+    st.integers(min_value=-5, max_value=10_500).map(str),
+    st.sampled_from(["true", "false", "lang:desc", "content,path^2",
+                     "2020-08", "month"]))
+
+
+@given(st.dictionaries(_arg_keys, st.lists(_arg_vals, min_size=1,
+                                           max_size=3), max_size=8))
+@settings(max_examples=300, deadline=None)
+def test_parse_args_never_crashes(args):
+    """The URL-arg dialect is lenient like the reference's HTTP layer:
+    numeric fields may raise ValueError on junk (a 400 upstream), but
+    nothing else may escape, and the paging ceiling always holds."""
+    from openaleph_search_spark.query.parser import parse_args
+    try:
+        sa = parse_args(args)
+    except ValueError:
+        return  # non-numeric offset/limit/count: a 400, not a crash
+    assert sa.offset + sa.limit <= 9999
+    assert sa.limit >= 0 and sa.offset >= 0
