@@ -148,6 +148,20 @@ def run_queries(cores: int, index_dir: str) -> tuple[dict, dict]:
           lambda: eng.search({"q": "go", "qfields": "content,path^2",
                               "limit": 10}).hits.collect())
 
+    # p50/p95 of the headline match query over 20 runs — measured HERE,
+    # before the dedup/percolate ops put sustained load on the box (the
+    # r3 driver run sampled latency last and recorded a host-noise tail)
+    lat = []
+    for _ in range(20):
+        t0 = time.time()
+        eng.search({"q": "spark query join", "limit": 10}).hits.collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    p95 = {"q_match_p50_sec": round(lat[len(lat) // 2], 3),
+           "q_match_p95_sec": round(lat[int(len(lat) * 0.95) - 1], 3)}
+    log(f"  q_match p50={p95['q_match_p50_sec']}s "
+        f"p95={p95['q_match_p95_sec']}s")
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     bench("op_minhash_dedup",
@@ -168,26 +182,19 @@ def run_queries(cores: int, index_dir: str) -> tuple[dict, dict]:
           "other_names": [vocab[(i + 3) % len(vocab)]]}
          for i in range(200)])
     n_docs_p = docs.count()
-    dt = float("inf")
-    for _ in range(2):  # same best-of discipline as the other ops
-        t0 = time.time()
+
+    def _perc():
         percolate_docs(docs, watch, id_cols=["doc_id"], text_col="text",
                        slop=2).count()
+    _perc()  # warm (first run pays Arrow/py-worker spin-up)
+    dt = float("inf")
+    for _ in range(3):  # same best-of discipline as the other ops
+        t0 = time.time()
+        _perc()
         dt = min(dt, time.time() - t0)
     timings["op_percolate_200q"] = round(dt, 3)
     log(f"  percolate 200q x {n_docs_p} docs: {dt:.2f}s")
-    rates = {"op_percolate_docs_per_sec": round(n_docs_p / dt, 1)}
-
-    # p95 of the headline match query over 20 runs
-    lat = []
-    for _ in range(20):
-        t0 = time.time()
-        eng.search({"q": "spark query join", "limit": 10}).hits.collect()
-        lat.append(time.time() - t0)
-    lat.sort()
-    p95 = {"q_match_p50_sec": round(lat[len(lat) // 2], 3),
-           "q_match_p95_sec": round(lat[int(len(lat) * 0.95) - 1], 3),
-           **rates}
+    p95["op_percolate_docs_per_sec"] = round(n_docs_p / dt, 1)
     spark.stop()
     return timings, p95
 
@@ -308,14 +315,14 @@ def main():
     # (job scheduling, stats, meta commits — ~2.5 s) must be small
     # against the 4-core wall for the ratio to measure the ALGORITHM;
     # same materialized table as the big pair (one copy on disk)
-    a1, b1, s_low = pair(1, 4, REPLICATE, reps=5)
+    a1, b1, s_low = pair(1, 4, REPLICATE, reps=7)
     # full-machine pair: the raw local[N/4] vs local[N] numbers
     a2, b2, s_big = pair(max(2, CPUS // 4), CPUS, REPLICATE)
 
     log(f"== queries @ local[{CPUS}] ==")
     timings, p95 = run_queries(CPUS, b2["index_dir"])
 
-    result = {
+    detail = {
         "metric": "index-build docs/sec + query sec (BM25 engine, sf "
                   "documents-derived code table)",
         "value": round(sum(timings.values()), 3),
@@ -343,7 +350,38 @@ def main():
         },
         "latency": p95,
     }
-    print(json.dumps(result))
+    # Full detail goes to a sidecar file; the LAST stdout line is a
+    # compact (<1.5 KB) headline the driver's tail capture can always
+    # parse (the r3 line grew past the capture window and recorded
+    # "parsed": null).
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_detail.json")
+    with open(sidecar, "w") as f:
+        json.dump(detail, f, indent=1)
+    log(f"full detail -> {sidecar}")
+    compact = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": detail["sf"],
+        "build_docs_per_sec": {
+            f"local[{a2['cores']}]": a2["docs_per_sec"],
+            f"local[{b2['cores']}]": b2["docs_per_sec"],
+        },
+        "build_docs": a2["docs"],
+        "scaling": {
+            "n_cores": s_low["n_cores"], "4n_cores": s_low["4n_cores"],
+            "efficiency": s_low["efficiency"],
+            "efficiency_median": s_low["efficiency_median"],
+            "hw_stream_efficiency": s_low["hw_stream_efficiency"],
+            "target": 0.8,
+            "pair_8_32_efficiency": s_big["efficiency"],
+        },
+        "latency": p95,
+        "detail": "BENCH_detail.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

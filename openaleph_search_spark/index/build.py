@@ -97,10 +97,21 @@ def _spimi_writer(storage: IndexStorage, with_positions: bool, attempt: int,
         # one executor thread per task is the concurrency model here;
         # Arrow's global CPU pool otherwise defaults to ALL cores in
         # EVERY worker (32 tasks x 32-thread pools oversubscribes the
-        # box and inflates per-task time under full parallelism)
-        if pa.cpu_count() != 1:
-            pa.set_cpu_count(1)
-            pa.set_io_thread_count(2)
+        # box and inflates per-task time under full parallelism).
+        # Scoped to this build task: Python workers are REUSED across
+        # jobs, so a sticky global cap would throttle any later Arrow
+        # compute (query-path UDFs) sharing the worker — restore on
+        # the way out.
+        prev_cpu, prev_io = pa.cpu_count(), pa.io_thread_count()
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        try:
+            return _fn(pdf)
+        finally:
+            pa.set_cpu_count(prev_cpu)
+            pa.set_io_thread_count(prev_io)
+
+    def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.time()
         src_part = int(pdf["src_part"].iloc[0])
         shard = int(shard_of_part(src_part))
@@ -386,7 +397,9 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
                 attempt: int = 1,
                 fields: dict[str, str] | None = None,
                 bigrams: bool = False,
-                meta_cols: list[str] | None = None) -> IndexStorage:
+                meta_cols: list[str] | None = None,
+                b_by_field: dict[str, float] | None = None
+                ) -> IndexStorage:
     """Build (or resume) the inverted index for a docs table.
 
     ``docs`` must have columns (repo, path, commit, lang, content) —
@@ -395,10 +408,20 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     (the reference's multi-field model, queries.py:112-118).
     ``meta_cols`` are unanalyzed typed columns (dates, numbers) stored
     in doc_meta for filter/range/sort/facet use (ES doc_values role).
+    ``b_by_field`` overrides the BM25 length-normalization ``b`` per
+    field (the reference pins ``weak_length_norm`` b=0.25 on the name
+    field — openaleph_search/index/util.py:83-90, mapping.py:227);
+    fields not listed use the global ``B``. Pure query-time scoring
+    config: stored in meta.json only, so no LAYOUT_VERSION bump and
+    appends/compaction are unaffected (impact bounds are live).
     """
     if fields is None:
         fields = DEFAULT_FIELDS
     meta_cols = meta_cols or []
+    b_by_field = {k: float(v) for k, v in (b_by_field or {}).items()}
+    for fname, bv in b_by_field.items():
+        if not 0.0 <= bv <= 1.0:
+            raise ValueError(f"b_by_field[{fname!r}]={bv} outside [0,1]")
     storage = IndexStorage(index_dir)
     sc_parallelism = spark.sparkContext.defaultParallelism
     if num_partitions is None:
@@ -459,6 +482,7 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         storage.write_meta({
             "num_partitions": P, "num_shards": num_shards,
             "block_size": BLOCK_SIZE, "k1": K1, "b": B,
+        "b_by_field": b_by_field,
             "with_positions": with_positions, "n_docs": 0, "avgdl": 0.0,
             "avgdl_by_field": {}, "fields": sorted(["content", *fields]),
             "field_map": fields,
@@ -487,6 +511,7 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     storage.write_meta({
         "num_partitions": P, "num_shards": num_shards,
         "block_size": BLOCK_SIZE, "k1": K1, "b": B,
+        "b_by_field": b_by_field,
         "with_positions": with_positions, "n_docs": n_docs, "avgdl": avgdl,
         "avgdl_by_field": avgdl_by_field,
         "fields": sorted(["content", *fields]),

@@ -319,9 +319,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     sizes = base.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = base.select("doc_id", F.explode("shingles").alias("sh"))
     if stop_shingle_df is not None:
+        # no broadcast hint: the hot-shingle list is usually tiny but
+        # its size is corpus-dependent (a 100-TB web crawl can have a
+        # huge hot set) — let AQE pick broadcast vs shuffle from the
+        # measured size instead of forcing it onto the driver
         hot = (inv.groupBy("sh").count()
                .filter(F.col("count") > stop_shingle_df).select("sh"))
-        inv = inv.join(F.broadcast(hot), "sh", "left_anti")
+        inv = inv.join(hot, "sh", "left_anti")
     right = inv.select(F.col("doc_id").alias("id_b"), F.col("sh"))
     common = (inv.alias("l")
               .join(right.alias("r"),
@@ -406,17 +410,19 @@ def contamination_flags(df: DataFrame, eval_df: DataFrame, n: int = 8,
     boolean + ``eval_hits`` (matching shingle count).
 
     Scale shape: the eval side is the SMALL side — its distinct
-    shingles broadcast into a hash semi-join against the exploded
-    training shingles; training text never shuffles, and the join key
-    is the shingle string (Catalyst broadcasts automatically under the
-    10 MB default; eval sets are KBs of shingles)."""
+    shingles hash-join against the exploded training shingles and
+    training text never shuffles when the eval set is broadcastable.
+    No explicit broadcast hint: Catalyst/AQE broadcasts under the
+    configured threshold from the measured size, so a surprise
+    multi-GB eval set degrades to a shuffle join instead of OOMing
+    executors/driver."""
     ev_col = eval_text_col or text_col
     ev = (eval_df.select(_shingle_set(ev_col, n).alias("_sh"))
           .select(F.explode("_sh").alias("sh")).distinct())
     tr = (df.select(F.col(id_col).alias("_id"),
                     _shingle_set(text_col, n).alias("_sh"))
           .select("_id", F.explode("_sh").alias("sh")))
-    hits = (tr.join(F.broadcast(ev), "sh")
+    hits = (tr.join(ev, "sh")
             .groupBy("_id").agg(F.count("*").alias("eval_hits")))
     return (df.join(hits, df[id_col] == hits["_id"], "left")
             .drop("_id")

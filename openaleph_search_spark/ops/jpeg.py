@@ -1,0 +1,383 @@
+"""Baseline JPEG (grayscale, JFIF) encode/decode in numpy + stdlib.
+
+Closes the multimodal codec gap flagged in round 3: ``ops/multimodal``
+handled PPM/BMP/WAV natively but gated JPEG behind a ``decoder=`` hook.
+This module is that hook's in-repo demo implementation — a REAL
+baseline-JPEG codec (ITU-T T.81 Annex F/K): 8×8 DCT, quantization,
+zigzag, canonical Huffman entropy coding with the spec's standard
+luminance tables, byte stuffing, JFIF APP0. Single-component
+(grayscale) baseline is a fully legal JPEG — any external reader
+decodes these payloads, and this decoder accepts any single-scan
+baseline grayscale JPEG, not just our own encoder's output.
+
+Scope: grayscale, no subsampling, no restart markers, no progressive —
+deliberate: the point is a real end-to-end codec-format path for the
+Spark multimodal plumbing (feature-extract / resize over opaque binary
+columns), not a libjpeg replacement. Color JPEG stays on the
+``decoder=`` hook (PIL at deploy time).
+
+Pure per-payload Python is acceptable here: decode runs INSIDE
+Arrow-batched ``mapInPandas`` tasks (one payload at a time is the unit
+of work, same as PIL would be) — the Spark-side batching/partitioning
+is unchanged.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# tables (ITU-T T.81 Annex K) + DCT basis
+# ---------------------------------------------------------------------------
+
+# standard luminance DC table: BITS (#codes per length 1..16), HUFFVAL
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+
+# standard luminance AC table
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# near-lossless quant table (all ones): error comes only from DCT
+# coefficient rounding (~±2 levels) — tight decode-parity fixtures
+_QUANT_UNITY = np.ones(64, dtype=np.int64)
+
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    out = []
+    for s in range(15):
+        pts = [(r, s - r) for r in range(max(0, s - 7), min(7, s) + 1)]
+        if s % 2 == 0:
+            pts = pts[::-1]
+        out += pts
+    return out
+
+
+_ZZ = _zigzag_order()
+_ZZ_IDX = np.array([r * 8 + c for r, c in _ZZ], dtype=np.int64)
+_INV_ZZ = np.argsort(_ZZ_IDX)
+
+# orthonormal 8-point DCT-II basis (JPEG A.3.3 definition)
+_C = np.array([[np.sqrt((1.0 if u == 0 else 2.0) / 8.0)
+                * np.cos((2 * x + 1) * u * np.pi / 16.0)
+                for x in range(8)] for u in range(8)])
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """BITS/HUFFVAL → {symbol: (code, length)} (T.81 Annex C)."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_DC_CODES = _canonical_codes(_DC_BITS, _DC_VALS)
+_AC_CODES = _canonical_codes(_AC_BITS, _AC_VALS)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (F.1.2.3)
+                self.out.append(0x00)
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+def _dht_segment(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+    body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg_gray(img: np.ndarray) -> bytes:
+    """(H, W) or (H, W, 3) uint8 → baseline grayscale JFIF bytes.
+    RGB input is converted via BT.601 luma (rounded)."""
+    if img.ndim == 3:
+        img = np.round(
+            img.astype(np.float64) @ [0.299, 0.587, 0.114]
+        ).clip(0, 255).astype(np.uint8)
+    h, w = img.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
+    # all 8×8 blocks at once: (nbh, nbw, 8, 8) → batched orthonormal DCT
+    blocks = (padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+              .astype(np.float64) - 128.0)
+    coefs = np.einsum("ux,bixy,vy->biuv", _C, blocks, _C)
+    q = np.round(coefs).astype(np.int64).reshape(-1, 64)[:, _ZZ_IDX]
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for zz in q:
+        diff = int(zz[0]) - prev_dc
+        prev_dc = int(zz[0])
+        size = _category(diff)
+        code, ln = _DC_CODES[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+        run = 0
+        nz = np.flatnonzero(zz[1:])
+        last = int(nz[-1]) + 1 if nz.size else 0
+        for i in range(1, last + 1):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = _AC_CODES[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            size = _category(v)
+            code, ln = _AC_CODES[(run << 4) | size]
+            bw.write(code, ln)
+            bw.write(v if v > 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last < 63:
+            code, ln = _AC_CODES[0x00]  # EOB
+            bw.write(code, ln)
+    bw.flush()
+
+    parts = [
+        b"\xff\xd8",  # SOI
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00",
+        b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+        + bytes(int(x) for x in _QUANT_UNITY),  # DQT, 8-bit, table 0
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", h, w) + b"\x01" + b"\x01\x11\x00",  # SOF0
+        _dht_segment(0x00, _DC_BITS, _DC_VALS),
+        _dht_segment(0x10, _AC_BITS, _AC_VALS),
+        b"\xff\xda" + struct.pack(">H", 8) + b"\x01" + b"\x01\x00"
+        + b"\x00\x3f\x00",  # SOS
+        bytes(bw.out),
+        b"\xff\xd9",  # EOI
+    ]
+    return b"".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.i = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.i >= len(self.data):
+                raise ValueError("truncated entropy stream")
+            byte = self.data[self.i]
+            self.i += 1
+            if byte == 0xFF:
+                nxt = self.data[self.i] if self.i < len(self.data) else None
+                if nxt == 0x00:
+                    self.i += 1  # stuffed
+                else:
+                    raise ValueError("unexpected marker in scan")
+            self.acc = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+class _HuffDecoder:
+    def __init__(self, bits: list[int], vals: list[int]):
+        # per-length (mincode, maxcode, first value index) — F.2.2.3
+        self.min_c, self.max_c, self.val_ptr = {}, {}, {}
+        self.vals = vals
+        code, k = 0, 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                self.val_ptr[length] = k
+                self.min_c[length] = code
+                self.max_c[length] = code + n - 1
+                code += n
+                k += n
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code, length = 0, 0
+        while True:
+            code = (code << 1) | br.bit()
+            length += 1
+            if length > 16:
+                raise ValueError("invalid Huffman code")
+            mx = self.max_c.get(length)
+            if mx is not None and code <= mx:
+                return self.vals[self.val_ptr[length]
+                                 + code - self.min_c[length]]
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Baseline single-component JPEG → (H, W) uint8. Accepts any
+    single-scan grayscale baseline JPEG (not just ours)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    quant: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _HuffDecoder] = {}
+    ac_tabs: dict[int, _HuffDecoder] = {}
+    h = w = None
+    comp_q = comp_dc = comp_ac = 0
+    while i < len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI before scan
+            raise ValueError("no scan data")
+        seglen = struct.unpack_from(">H", payload, i)[0]
+        seg = payload[i + 2:i + seglen]
+        i += seglen
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if pq:  # 16-bit table
+                    quant[tq] = np.frombuffer(
+                        seg, dtype=">u2", count=64, offset=j
+                    ).astype(np.int64)
+                    j += 128
+                else:
+                    quant[tq] = np.frombuffer(
+                        seg, dtype=np.uint8, count=64, offset=j
+                    ).astype(np.int64)
+                    j += 64
+        elif marker == 0xC0:  # SOF0 baseline
+            h, w = struct.unpack_from(">HH", seg, 1)
+            if seg[5] != 1:
+                raise NotImplementedError(
+                    "only single-component (grayscale) baseline JPEG; "
+                    "pass decoder= (e.g. PIL) for color")
+            comp_q = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("only baseline (SOF0) JPEG")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1:j + 17])
+                n = sum(bits)
+                vals = list(seg[j + 17:j + 17 + n])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffDecoder(
+                    bits, vals)
+                j += 17 + n
+        elif marker == 0xDD:
+            if struct.unpack_from(">H", seg, 0)[0] != 0:
+                raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            comp_dc, comp_ac = seg[2] >> 4, seg[2] & 0x0F
+            break
+        # APPn/COM: skipped
+    else:
+        raise ValueError("no SOS marker")
+    if h is None:
+        raise ValueError("no SOF before SOS")
+
+    br = _BitReader(payload[i:])
+    dc_t, ac_t = dc_tabs[comp_dc], ac_tabs[comp_ac]
+    q = quant[comp_q]
+    nbh, nbw = -(-h // 8), -(-w // 8)
+    out = np.empty((nbh * nbw, 64), dtype=np.int64)
+    prev_dc = 0
+    for b in range(nbh * nbw):
+        zz = np.zeros(64, dtype=np.int64)
+        size = dc_t.decode(br)
+        diff = _extend(br.bits(size), size) if size else 0
+        prev_dc += diff
+        zz[0] = prev_dc
+        k = 1
+        while k < 64:
+            rs = ac_t.decode(br)
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("AC run overflows block")
+            zz[k] = _extend(br.bits(size), size)
+            k += 1
+        out[b] = zz
+    coefs = (out * q)[:, _INV_ZZ].reshape(nbh, nbw, 8, 8).astype(np.float64)
+    pixels = np.einsum("xu,biuv,yv->bixy", _C.T, coefs, _C.T) + 128.0
+    img = (pixels.transpose(0, 2, 1, 3)
+           .reshape(nbh * 8, nbw * 8))[:h, :w]
+    return np.round(img).clip(0, 255).astype(np.uint8)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """JPEG → (H, W, 3) uint8 (gray replicated to the RGB shape the
+    multimodal feature/resize operators expect)."""
+    g = decode_jpeg_gray(payload)
+    return np.repeat(g[:, :, None], 3, axis=2)

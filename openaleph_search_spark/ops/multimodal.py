@@ -3,14 +3,16 @@ with typed metadata, processed by Arrow-batched UDFs.
 
 The decode layer is REAL for formats the standard library + numpy can
 parse — P6 PPM and 24-bit BMP images (pure byte parsing), 16-bit PCM
-WAV audio (stdlib ``wave``) — with real feature extraction (channel
-stats + luminance histogram for images; RMS, zero-crossing rate and
-FFT band energies for audio) and a real nearest-neighbor resize that
-re-encodes PPM. Codec-heavy formats (JPEG/MP3/video containers) have
-no stdlib decoder: they raise ``NotImplementedError`` unless a
-``decoder=`` hook is supplied (PIL/torchaudio/ffmpeg at deploy time) —
-the Spark plumbing (schemas, Arrow batch shapes, partition-preserving
-``mapInPandas``) is identical either way.
+WAV audio (stdlib ``wave``), and baseline grayscale JPEG (a full
+T.81 DCT+Huffman codec in ``ops/jpeg.py``) — with real feature
+extraction (channel stats + luminance histogram for images; RMS,
+zero-crossing rate and FFT band energies for audio) and a real
+nearest-neighbor resize that re-encodes PPM. Remaining codec-heavy
+formats (color JPEG/MP3/video containers) raise
+``NotImplementedError`` unless a ``decoder=`` hook is supplied
+(PIL/torchaudio/ffmpeg at deploy time) — the Spark plumbing (schemas,
+Arrow batch shapes, partition-preserving ``mapInPandas``) is
+identical either way.
 """
 from __future__ import annotations
 
@@ -121,6 +123,12 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        # real baseline-JPEG path (ops/jpeg.py, numpy+stdlib):
+        # grayscale baseline decodes natively; color JPEG raises
+        # NotImplementedError inside with the decoder= hint
+        from .jpeg import decode_jpeg
+        return decode_jpeg(payload)
     raise NotImplementedError(
         "no stdlib decoder for this image format — pass decoder= "
         "(e.g. PIL) to the operator")
@@ -265,8 +273,16 @@ def synthesize_media(spark, n: int = 64) -> DataFrame:
                         (yy * 255 // max(h - 1, 1)),
                         np.full((h, w), int(mid) * 37 % 256)],
                         axis=-1).astype(np.uint8)
-                    payloads.append(encode_ppm(img))
-                    mimes.append("image/x-portable-pixmap")
+                    if int(mid) % 2:
+                        # every other image row is a REAL baseline
+                        # JPEG (ops/jpeg.py) so the default decode
+                        # path covers a codec format end-to-end
+                        from .jpeg import encode_jpeg_gray
+                        payloads.append(encode_jpeg_gray(img))
+                        mimes.append("image/jpeg")
+                    else:
+                        payloads.append(encode_ppm(img))
+                        mimes.append("image/x-portable-pixmap")
                 elif kind == "audio":
                     t = np.arange(int(8000 * dur / 1000)) / 8000.0
                     tone = 0.5 * np.sin(

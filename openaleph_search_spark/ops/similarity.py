@@ -64,11 +64,23 @@ def cosine_topk(df: DataFrame, probe: list[float] | np.ndarray, k: int = 10,
 
 def knn_join(df: DataFrame, probes: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             probe_id_col: str = "probe_id") -> DataFrame:
+             probe_id_col: str = "probe_id",
+             max_probes: int = 100_000) -> DataFrame:
     """Exact k-NN join for a small probe set (broadcast): one matmul
     per (partition × probe-matrix), per-partition top-k per probe,
-    global window top-k."""
-    probe_rows = probes.select(probe_id_col, vec_col).collect()
+    global window top-k.
+
+    The probe side is collected to the driver (it becomes the dense
+    probe matrix every partition multiplies against), so it is guarded
+    by ``max_probes`` — a larger probe table raises instead of OOMing
+    the driver; route it through :func:`lsh_ann`/:func:`ivf_ann` (the
+    scale paths) or raise the cap deliberately."""
+    probe_rows = (probes.select(probe_id_col, vec_col)
+                  .limit(max_probes + 1).collect())
+    if len(probe_rows) > max_probes:
+        raise ValueError(
+            f"knn_join probe side exceeds max_probes={max_probes}; "
+            "use lsh_ann/ivf_ann for large probe sets or raise the cap")
     pids = np.array([r[probe_id_col] for r in probe_rows])
     pmat = _norm(np.vstack([np.asarray(r[vec_col], dtype=np.float64)
                             for r in probe_rows]))

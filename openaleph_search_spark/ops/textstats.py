@@ -119,9 +119,17 @@ def with_pack_ids(df: DataFrame, budget: int,
     started in (training pipelines chunk long docs downstream; exact
     first-fit bin packing is order-sensitive and gains <2% fill).
     Also emits ``pack_offset``: the doc's token start within its
-    group's running stream."""
+    group's running stream. ``id_col`` must be unique within a group
+    (it defines the fill order); the ROWS frame below keeps tied ids
+    from absorbing each other's tokens, but their relative order would
+    be nondeterministic."""
     from pyspark.sql import Window
-    w = Window.partitionBy(group_col).orderBy(id_col)
+    if budget <= 0:
+        raise ValueError(f"pack budget must be > 0, got {budget}")
+    # explicit ROWS frame: the default RANGE frame sums ALL rows tied
+    # on id_col into each tied row's running total (wrong pack_offset)
+    w = (Window.partitionBy(group_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     before = (F.sum(token_col).over(w) - F.col(token_col)).cast("long")
     return (df
             .withColumn("pack_offset", before)

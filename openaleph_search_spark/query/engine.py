@@ -167,6 +167,11 @@ class Engine:
         shards = {int(r["shard"]): {"blocks": int(r["blocks"]),
                                     "postings": int(r["postings"])}
                   for r in shard_rows}
+        # iterate the FULL shard range: a completely empty shard emits
+        # no groupBy row, and skipping it would report balance 1.0 for
+        # maximal skew — the opposite of what the metric signals
+        for sid in range(int(meta.get("num_shards") or 0)):
+            shards.setdefault(sid, {"blocks": 0, "postings": 0})
         post_counts = [s["postings"] for s in shards.values()] or [0]
         cache = self.executor._term_dict()
         n_terms = (int(cache[0].size) if cache is not None

@@ -130,13 +130,17 @@ class _ShardEval:
                  idf: dict[str, float], k: int | None,
                  allowed: np.ndarray | None, k1: float, b: float,
                  avgdl_by_field: dict[str, float],
-                 bigrams: bool = False):
+                 bigrams: bool = False,
+                 b_by_field: dict[str, float] | None = None):
         self.blocks = blocks_by_term
         self.idf = idf
         self.k = k
         self.allowed = allowed  # sorted doc_ids or None
         self.k1 = k1
         self.b = b
+        # per-field BM25 b override (reference weak_length_norm b=0.25,
+        # index/util.py:83-90); fields not listed use the global b
+        self.b_by_field = b_by_field or {}
         self.avgdl_by_field = avgdl_by_field
         self.bigrams = bigrams  # T16 shingle field present in the index
         # memo for unrestricted decodes: synonym/dis_max trees evaluate
@@ -145,6 +149,9 @@ class _ShardEval:
 
     def _avgdl(self, term: str) -> float:
         return self.avgdl_by_field.get(field_of_term(term), 1.0)
+
+    def _b(self, term: str) -> float:
+        return self.b_by_field.get(field_of_term(term), self.b)
 
     # -- postings decode ----------------------------------------------------
     def _term_blocks(self, term: str,
@@ -211,7 +218,7 @@ class _ShardEval:
             return empty
         dls = dls.astype(np.float64)
         scores = self.idf.get(term, 0.0) * bm25_tfnorm(
-            tfs, dls, self._avgdl(term), self.k1, self.b)
+            tfs, dls, self._avgdl(term), self.k1, self._b(term))
         out = (ids, scores, tfs, dls, pos_l if pos_l is not None else [])
         if cacheable:
             self._decode_cache[term] = out
@@ -419,7 +426,7 @@ class _ShardEval:
             idf_sum = sum(self.idf.get(t, 0.0) for t in uniq)
             scores = idf_sum * bm25_tfnorm(
                 tfs.astype(np.float64), dls, self._avgdl(terms[0]),
-                self.k1, self.b)
+                self.k1, self._b(terms[0]))
             return ids, scores * node.boost
         # 1. intersect doc sets rarest-first (docs/tfs only) — with
         # bigrams available, the consecutive shingles (far rarer than
@@ -498,7 +505,7 @@ class _ShardEval:
         dls = dl_of[ranks_u]
         idf_sum = sum(self.idf.get(t, 0.0) for t in uniq)
         scores = idf_sum * bm25_tfnorm(tfs, dls, self._avgdl(terms[0]),
-                                       self.k1, self.b)
+                                       self.k1, self._b(terms[0]))
         return ids, scores * node.boost
 
 
@@ -775,6 +782,7 @@ class SearchExecutor:
                                            F.lit(b"").cast("binary"))
         ctx = {"idf": idf, "k_prune": k,
                "k1": k1, "b": b, "avgdl_by_field": avgdl_by_field,
+               "b_by_field": dict(self.meta.get("b_by_field") or {}),
                "bigrams": bigrams_on}
         return terms, ctx, postings
 
@@ -795,7 +803,16 @@ class SearchExecutor:
         avg = pdf["term"].map(
             lambda t: avg_map.get(field_of_term(t), 1.0)
         ).to_numpy(np.float64)
-        norm = ctx["k1"] * (1.0 - ctx["b"] + ctx["b"] * dlm
+        b_map = ctx.get("b_by_field") or {}
+        if b_map:
+            # per-field b: the bound must use the SAME b as scoring or
+            # pruning loses soundness for weakened (b<B) fields
+            bs = pdf["term"].map(
+                lambda t: b_map.get(field_of_term(t), ctx["b"])
+            ).to_numpy(np.float64)
+        else:
+            bs = ctx["b"]
+        norm = ctx["k1"] * (1.0 - bs + bs * dlm
                             / np.maximum(avg, 1e-12))
         pdf = pdf.copy()
         pdf["block_max_tfnorm"] = tfm / (tfm + norm)
@@ -826,7 +843,8 @@ class SearchExecutor:
                 for t, g in blocks_pdf.groupby("term", sort=False)}
             ev = _ShardEval(by_term, ctx["idf"], ctx["k_prune"], allowed,
                             ctx["k1"], ctx["b"], ctx["avgdl_by_field"],
-                            bigrams=ctx["bigrams"])
+                            bigrams=ctx["bigrams"],
+                            b_by_field=ctx["b_by_field"])
             ids, scores = ev.eval(tree, root=True)
             if k is not None and ids.size > k:
                 # per-shard top-k: exact selection incl. doc_id tiebreak
@@ -888,7 +906,8 @@ class SearchExecutor:
             allowed = m_ids[order]
             ev = _ShardEval(by_term, ctx["idf"], None, allowed,
                             ctx["k1"], ctx["b"], ctx["avgdl_by_field"],
-                            bigrams=ctx["bigrams"])
+                            bigrams=ctx["bigrams"],
+                            b_by_field=ctx["b_by_field"])
             ids, _ = ev.eval(tree, root=True)
             if ids.size == 0:
                 return empty
@@ -941,7 +960,8 @@ class SearchExecutor:
                 for t, g in blocks_pdf.groupby("term", sort=False)}
             ev = _ShardEval(by_term, ctx["idf"], ctx["k_prune"], allowed,
                             ctx["k1"], ctx["b"], ctx["avgdl_by_field"],
-                            bigrams=ctx["bigrams"])
+                            bigrams=ctx["bigrams"],
+                            b_by_field=ctx["b_by_field"])
             parts = []
             for eid, tree in items:
                 ids, scores = ev.eval(tree, root=True)

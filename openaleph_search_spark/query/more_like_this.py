@@ -17,8 +17,30 @@ from ..index.storage import IndexStorage
 from .ir import Bool, TermLeaf
 
 
+# Knob-parity table vs the reference (settings.py:94-99). Semantics
+# match 1:1; the DEFAULT values deliberately differ because the
+# reference tunes for long multilingual entity/person documents while
+# this engine's testbed is short synthetic code docs (~40 tokens):
+#
+#   knob             reference              here      why different
+#   min_tf           mlt_min_term_freq=1    1         same
+#   min_df           mlt_min_doc_freq=1     1         same
+#   max_terms        mlt_max_query_terms=200  25      short docs have
+#                                                     <50 distinct terms
+#   min_should_pct   "10%"                  0.1       same
+#   min_len          mlt_min_word_length=5  3         code identifiers
+#                                                     are short
+#   max_df / ratio   mlt_max_doc_freq=500   ratio 0.9 absolute caps are
+#                    (absolute)                       corpus-size traps;
+#                                                     pass max_df=500
+#                                                     for exact parity
+#
+# REFERENCE_DEFAULTS gives the reference's exact values for callers
+# that want drop-in parity: more_like_this(..., **REFERENCE_DEFAULTS).
 DEFAULTS = dict(min_tf=1, min_df=1, max_df_ratio=0.9, min_len=3,
                 max_terms=25, min_should_pct=0.1)
+REFERENCE_DEFAULTS = dict(min_tf=1, min_df=1, max_df=500, min_len=5,
+                          max_terms=200, min_should_pct=0.1)
 
 
 def doc_term_vector(spark: SparkSession, storage: IndexStorage,

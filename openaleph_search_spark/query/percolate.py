@@ -411,9 +411,19 @@ def compact_registry(storage) -> int:
     survivors — keeps load time O(live queries) after heavy
     registration churn (the reference holds 156k percolator queries;
     unbounded batch accumulation would make every load a history
-    replay). Readers racing the compaction see old+new batches whose
-    last-wins result is identical; the old files delete after the new
-    batch is in place. → number of live stored queries kept."""
+    replay). Readers racing the compaction see a batch set whose
+    last-wins result is identical at every intermediate state: the
+    folded batch (highest seq) lands first, then the LEGACY JSON file
+    is deleted BEFORE the old batches — deleting old batches first
+    would let a reader re-seed legacy entities whose tombstone batches
+    just vanished (brief resurrection of deleted queries).
+
+    Single-writer assumption: compaction must not run concurrently
+    with register/unregister — both allocate the next batch seq from a
+    directory listing, so a concurrent registration could collide with
+    the folded batch's seq and be silently overwritten. Serialize
+    registry WRITES externally (reads are always safe).
+    → number of live stored queries kept."""
     import os
     stored = load_watchlist(storage)
     reg_dir = _registry_dir(storage)
@@ -423,11 +433,11 @@ def compact_registry(storage) -> int:
          "clauses": [{"tokens": list(toks), "boost": float(boost)}
                      for toks, boost in sq.clauses]}
         for sq in stored])
-    for name in old:
-        storage.io.delete_file(os.path.join(reg_dir, name))
     legacy = os.path.join(reg_dir, "queries.json")
     if storage.io.exists(legacy):
         storage.io.delete_file(legacy)
+    for name in old:
+        storage.io.delete_file(os.path.join(reg_dir, name))
     return len(stored)
 
 

@@ -202,7 +202,8 @@ def test_multimodal_features(spark):
     assert len(rows) == av.count()
     assert all(len(r["features"]) == 16 for r in rows)
     # spark-side features == direct decode+featurize of the same bytes
-    one = media.filter(F.col("kind") == "image").limit(1).collect()[0]
+    one = (media.filter(F.col("mime") == "image/x-portable-pixmap")
+           .orderBy("media_id").limit(1).collect()[0])
     img = decode_ppm(bytes(one["payload"]))
     assert img.shape == (one["height"], one["width"], 3)
     want = image_features(img)
@@ -226,10 +227,48 @@ def test_multimodal_features(spark):
     plan = frame_sample_plan(media, every_ms=1000)
     assert plan.count() > 0
     # real nearest-neighbor resize: output decodes to the target shape
+    # (covers BOTH the PPM and the real-JPEG image rows)
     rz = resize_images(media, 12, 10).collect()
     assert rz and all(r["width"] == 12 and r["height"] == 10 for r in rz)
     out_img = decode_ppm(bytes(rz[0]["payload"]))
     assert out_img.shape == (10, 12, 3)
+
+
+def test_jpeg_codec_parity(spark):
+    """Baseline grayscale JPEG (ops/jpeg.py) is a REAL codec: encoded
+    payloads round-trip within DCT rounding error, decode through the
+    default multimodal path (no decoder= hook), and the Spark-side
+    features match direct decode+featurize of the same bytes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from openaleph_search_spark.ops.jpeg import (decode_jpeg,
+                                                 decode_jpeg_gray,
+                                                 encode_jpeg_gray)
+    from openaleph_search_spark.ops.multimodal import (
+        decode_image, extract_features, image_features, synthesize_media)
+    # decode parity: unity quant table → error is DCT rounding only
+    rs = np.random.RandomState(7)
+    for shape in [(8, 8), (24, 16), (33, 41), (7, 9)]:
+        src = rs.randint(0, 256, shape).astype(np.uint8)
+        dec = decode_jpeg_gray(encode_jpeg_gray(src))
+        assert dec.shape == src.shape
+        assert int(np.abs(dec.astype(int) - src.astype(int)).max()) <= 2
+    # structural validity: JFIF magic + EOI, dispatched by decode_image
+    payload = encode_jpeg_gray(rs.randint(0, 256, (16, 24), np.int64)
+                               .astype(np.uint8))
+    assert payload[:3] == b"\xff\xd8\xff" and payload[-2:] == b"\xff\xd9"
+    assert decode_image(payload).shape == (16, 24, 3)
+    # end-to-end: the synthesized media table carries real JPEG rows
+    media = synthesize_media(spark, 30)
+    jpgs = media.filter(F.col("mime") == "image/jpeg")
+    n_jpg = jpgs.count()
+    assert n_jpg > 0
+    feats = {r["media_id"]: r["features"]
+             for r in extract_features(jpgs).collect()}
+    assert len(feats) == n_jpg
+    one = jpgs.orderBy("media_id").limit(1).collect()[0]
+    want = image_features(decode_jpeg(bytes(one["payload"])))
+    assert np.allclose(feats[one["media_id"]], want, atol=1e-6)
 
 
 def test_embedding_near_dup_pairs(spark):

@@ -106,6 +106,35 @@ def test_topk_pruning_matches_oracle(docs_tokens, terms, k):
 
 
 @given(docs_strategy,
+       st.lists(st.sampled_from(VOCAB), min_size=2, max_size=5,
+                unique=True),
+       st.integers(min_value=1, max_value=6),
+       st.sampled_from([0.0, 0.25, 0.4, 1.0]))
+@settings(max_examples=60, deadline=None)
+def test_topk_pruning_per_field_b(docs_tokens, terms, k, bval):
+    """Per-field BM25 b override (weak_length_norm): block-max bounds
+    attached with the overridden b must keep pruning sound — the pruned
+    top-k must equal the unpruned evaluation's top-k."""
+    from openaleph_search_spark.query.executor import SearchExecutor
+    blocks, idf, oracle = build_shard(docs_tokens)
+    ctx = {"k1": 1.2, "b": 0.75,
+           "avgdl_by_field": {"content": oracle.avgdl},
+           "b_by_field": {"content": bval}}
+    blocks = {t: SearchExecutor._attach_bounds(pdf, ctx)
+              for t, pdf in blocks.items()}
+    tree = Bool(should=[TermLeaf(t) for t in terms])
+    args = (idf, None, None, 1.2, 0.75, {"content": oracle.avgdl})
+    full = _ShardEval(blocks, *args, b_by_field={"content": bval})
+    ids_f, sc_f = full.eval(tree, root=True)
+    pruned = _ShardEval(blocks, idf, k, None, 1.2, 0.75,
+                        {"content": oracle.avgdl},
+                        b_by_field={"content": bval})
+    ids_p, sc_p = pruned.eval(tree, root=True)
+    want = dict(zip(ids_f.tolist(), sc_f.tolist()))
+    check(ids_p, sc_p, want, k=k)
+
+
+@given(docs_strategy,
        st.lists(st.sampled_from(VOCAB), min_size=2, max_size=3,
                 unique=True),
        st.integers(min_value=0, max_value=3))
