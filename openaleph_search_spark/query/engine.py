@@ -42,6 +42,32 @@ class SearchResult:
         return [r.asDict() for r in rows[offset:]]
 
 
+
+# reference parse/parser.py:149,219-241 — facet caps added there to
+# mitigate a DDoS by scripted facet bots (2020-11-24): anonymous
+# sessions get facet_size clamped to 50 and facet_total disabled,
+# except on the small enumerable fields. Re-based field names: repo
+# (dataset analog), lang (languages analog).
+SMALL_FACETS = ("repo", "lang")
+
+
+def _anon(auth) -> bool:
+    return auth is not None and not auth.logged_in
+
+
+def _facet_size(sa, auth, f: str) -> int:
+    size = sa.facet_size.get(f, 20)
+    if _anon(auth) and f not in SMALL_FACETS:
+        size = min(50, size)
+    return size
+
+
+def _facet_total_on(sa, auth, f: str) -> bool:
+    if _anon(auth) and f not in SMALL_FACETS:
+        return False
+    return f in sa.facet_total
+
+
 class Engine:
     def __init__(self, spark: SparkSession, index_dir: str,
                  synonyms=None, source_docs: DataFrame | None = None,
@@ -279,7 +305,7 @@ class Engine:
                 f: (partials.filter(F.col("field") == f)
                     .select("value", "count")
                     .orderBy(F.desc("count"), F.asc("value"))
-                    .limit(sa.facet_size.get(f, 20)))
+                    .limit(_facet_size(sa, auth, f)))
                 for f in sa.facets}
             hits = (self.doc_meta.withColumn("score", F.lit(0.0))
                     .limit(0))
@@ -315,7 +341,13 @@ class Engine:
             filter_df = base_meta if (pre_pred is not None or post_fields
                                       or self._has_tombstones) else None
             topk = self.executor.topk(tree, sa.k, filter_df=filter_df)
-            hits = (topk.join(self.doc_meta, "doc_id")
+            # hydrate: the top-k side is bounded (≤ shards × k rows) —
+            # broadcast it so doc_meta never shuffles for a lookup of
+            # a few hundred ids (without the hint, Catalyst plans a
+            # sort-merge join until AQE maybe converts it at runtime)
+            meta_cols = [c for c in self.doc_meta.columns if c != "doc_id"]
+            hits = (self.doc_meta.join(F.broadcast(topk), "doc_id")
+                    .select("doc_id", "score", *meta_cols)
                     .orderBy(F.desc("score"), F.asc("doc_id")))
             if post_fields:
                 hits = hits.filter(self._post_pred(sa, post_fields))
@@ -336,8 +368,8 @@ class Engine:
                                             sa.facet_interval[f])
             else:
                 facets[f] = terms_facet(branch, f,
-                                        sa.facet_size.get(f, 20))
-            if f in sa.facet_total:
+                                        _facet_size(sa, auth, f))
+            if _facet_total_on(sa, auth, f):
                 facet_totals[f] = cardinality(branch, f)
         for f in sa.facet_significant:
             # A5 through the arg dialect: matched docs as foreground,
@@ -346,7 +378,7 @@ class Engine:
             branch = matched.filter(self._post_pred(sa, others)) \
                 if others else matched
             significant[f] = significant_terms(
-                branch, self.doc_meta, f, sa.facet_size.get(f, 20))
+                branch, self.doc_meta, f, _facet_size(sa, auth, f))
 
         fully = matched.filter(self._post_pred(sa, post_fields)) \
             if post_fields else matched

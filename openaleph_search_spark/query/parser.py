@@ -347,6 +347,9 @@ def parse_args(args: dict[str, list[str] | str]) -> SearchArgs:
             out.highlight_query = vals[-1]
     # pagination ceiling, reference parser.py:153-155
     if out.offset + out.limit > MAX_PAGE:
+        # clamp offset FIRST (an offset beyond the ceiling must not
+        # survive with limit 0 — fuzz-found), then shrink the limit
+        out.offset = min(out.offset, MAX_PAGE)
         out.limit = max(0, MAX_PAGE - out.offset)
     return out
 

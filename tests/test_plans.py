@@ -98,6 +98,19 @@ def test_ann_bucket_filter_pushed_to_scan(spark, tmp_path):
     assert got == want
 
 
+def test_topk_hydrate_broadcasts(spark, fixture_engine):
+    """The top-k hydrate join must broadcast the (≤ shards×k row)
+    top-k side — doc_meta never shuffles for a lookup of a few
+    hundred ids."""
+    res = fixture_engine.search({"q": "banana crime", "limit": 5})
+    plan = _plan(res.hits)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # schema order stays (doc_id, score, ...meta) — the entry/oracle
+    # compare and SearchResult docstring both rely on it
+    assert res.hits.columns[:2] == ["doc_id", "score"]
+
+
 def test_facet_fast_path_single_cogroup(spark, fixture_engine):
     """Facet-only queries must plan as ONE cogrouped pass + tiny agg:
     no doc_id join, no second wide shuffle of the match set."""

@@ -419,6 +419,39 @@ def test_search_auth_model(spark, fixture_index):
     assert {h["repo"] for h in hits} == {"r1"}
 
 
+def test_anonymous_facet_caps(spark, fixture_index):
+    """Reference parse/parser.py:219-241 anti-DDoS caps: an anonymous
+    (not logged_in) session gets facet_size clamped to 50 and
+    facet_total disabled on non-small facets; small facets (repo/lang)
+    and logged-in sessions keep the requested values."""
+    from openaleph_search_spark.query.auth import SearchAuth
+    from openaleph_search_spark.query.engine import (Engine, _facet_size,
+                                                     _facet_total_on)
+    from openaleph_search_spark.query.parser import parse_args
+    anon = SearchAuth(datasets={"r1", "r2", "r3"}, logged_in=False)
+    user = SearchAuth(datasets={"r1", "r2", "r3"}, logged_in=True)
+    sa = parse_args({"q": "banana", "facet": "path",
+                     "facet_size:path": "5000",
+                     "facet_total:path": "true", "limit": 0})
+    assert _facet_size(sa, anon, "path") == 50
+    assert _facet_size(sa, user, "path") == 5000
+    assert _facet_size(sa, None, "path") == 5000  # auth-less deploys
+    assert not _facet_total_on(sa, anon, "path")
+    assert _facet_total_on(sa, user, "path")
+    sa2 = parse_args({"facet": "repo", "facet_size:repo": "5000",
+                      "facet_total:repo": "true", "limit": 0})
+    assert _facet_size(sa2, anon, "repo") == 5000  # SMALL_FACETS exempt
+    assert _facet_total_on(sa2, anon, "repo")
+    # end-to-end: anonymous facet_total request returns no total branch
+    eng = Engine(spark, fixture_index)
+    res = eng.search({"q": "banana", "facet": "path",
+                      "facet_total:path": "true", "limit": 0}, auth=anon)
+    assert "path" in res.facets and "path" not in res.facet_totals
+    res2 = eng.search({"q": "banana", "facet": "path",
+                       "facet_total:path": "true", "limit": 0}, auth=user)
+    assert "path" in res2.facet_totals
+
+
 def test_msearch_batches_match_individual(fixture_engine):
     """msearch: one grouped-map pass; per-query hits identical to
     individual search() calls."""
