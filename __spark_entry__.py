@@ -838,6 +838,17 @@ def text_fingerprint(spark, sf_dir):
         "doc_id", "fingerprint_md5", "fingerprint_min8")
 
 
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (dup-word fraction, top-2/3-gram
+    coverage, duplicated-5-gram fraction) — single Arrow-batched pass,
+    zero shuffles (ops/textstats.with_repetition_stats)."""
+    from openaleph_search_spark.ops.textstats import with_repetition_stats
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_repetition_stats(df).select(
+        "doc_id", "dup_word_fraction", "top2gram_fraction",
+        "top3gram_fraction", "dup_ngram_fraction")
+
+
 def q1_fielded_search(spark, sf_dir):
     """Q1: Lucene field:value syntax — lang:de is a scored term on the
     indexed lang field, ANDed with a content term."""
@@ -1195,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "text_pack_sequences": text_pack_sequences,
         "q2b_weak_length_norm": q2b_weak_length_norm,
+        "text_repetition": text_repetition,
         "q28_bm25_match_topk": q28_bm25_match_topk,
         "q9_bool_or": q9_bool_or,
         "q9_bool_not": q9_bool_not,
@@ -1924,6 +1936,40 @@ CROSS JOIN stats s CROSS JOIN tdf CROSS JOIN cdf
 WHERE t.tf > 0 AND c.tf > 0
 ORDER BY score DESC, t.doc_id
 LIMIT 20
+""",
+        "text_repetition": """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS tt,
+         len(string_split(text, ' ')) AS n FROM documents
+),
+dw AS (
+  SELECT doc_id,
+         round(1.0 - len(list_distinct(tt)) * 1.0 / greatest(n, 1), 6)
+           AS dup_word_fraction
+  FROM base
+),
+gr AS (
+  SELECT b.doc_id, g.n AS gn, b.n,
+         array_to_string(b.tt[i.i:i.i+g.n-1], ' ') AS gram
+  FROM base b, (VALUES (2),(3),(5)) g(n),
+       LATERAL (SELECT unnest(range(1, b.n - g.n + 2)) AS i) i
+),
+cnt AS (SELECT doc_id, gn, n, gram, count(*) AS c FROM gr GROUP BY ALL),
+agg AS (
+  SELECT doc_id, gn,
+         least(max(c) * gn * 1.0 / any_value(n), 1.0) AS topf,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c) AS dupf
+  FROM cnt GROUP BY doc_id, gn
+)
+SELECT d.doc_id, d.dup_word_fraction,
+       round(coalesce(max(CASE WHEN gn=2 THEN topf END), 0), 6)
+         AS top2gram_fraction,
+       round(coalesce(max(CASE WHEN gn=3 THEN topf END), 0), 6)
+         AS top3gram_fraction,
+       round(coalesce(max(CASE WHEN gn=5 THEN dupf END), 0), 6)
+         AS dup_ngram_fraction
+FROM dw d LEFT JOIN agg USING (doc_id)
+GROUP BY d.doc_id, d.dup_word_fraction
 """,
         "q16_more_like_this": f"""
 WITH {_TOK_CTE.format(where='')},

@@ -1,12 +1,17 @@
 """Text-analysis operators for large-scale training-data pipelines:
 language-ID, quality scoring, token counting, document fingerprinting.
 
-All pure Column expressions / built-ins (JVM-side, whole-stage codegen)
-— no Python in the hot path; designed to run over a 100 TB documents
-table as a single projection pass.
+All pure Column expressions / built-ins (JVM-side, whole-stage
+codegen) except the repetition n-gram stats, which run in one
+Arrow-batched pandas UDF (factorize+sort+reduceat per batch — the
+n-gram mode has no efficient Column form); everything is designed to
+run over a 100 TB documents table as a single projection pass with
+zero shuffles.
 """
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 # Tiny deterministic stopword banks per language (the n-gram/stopword
@@ -103,6 +108,101 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("fingerprint_md5", F.md5(F.col("_norm")))
             .withColumn("fingerprint_min8", F.array_min(shingles))
             .drop("_norm"))
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text",
+                          dup_n: int = 5) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, the
+    standard pre-training quality gate family) over whitespace tokens:
+
+    * ``dup_word_fraction`` — fraction of token OCCURRENCES whose type
+      is duplicated: ``1 − distinct/total`` (pure Column expr).
+    * ``top2gram_fraction`` / ``top3gram_fraction`` — tokens covered by
+      the most frequent word n-gram: ``min(max_count·n / total_tokens,
+      1)`` (token-count variant of Gopher's top-n-gram character
+      fraction; clamped because overlapping occurrences double-count;
+      deterministic and SQL-expressible).
+    * ``dup_ngram_fraction`` — fraction of ``dup_n``-gram occurrences
+      whose n-gram appears more than once in the doc.
+
+    Scale shape: the n-gram stats run in ONE Arrow-batched pandas UDF —
+    per-partition, zero shuffles (an explode+groupBy formulation would
+    shuffle every n-gram of a 100 TB corpus). Inside the batch the
+    work is factorize + sort + reduceat — no per-row Python loops.
+    Docs shorter than n tokens score 0 for that signal. Line-based
+    Gopher signals (duplicate-line fraction) are omitted: the corpus
+    tokens carry no line structure.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("top2 double, top3 double, dupn double")
+    def _rep(s: pd.Series) -> pd.DataFrame:
+        toks = s.fillna("").str.split(" ")
+        lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        nrows = len(s)
+        out = np.zeros((nrows, 3), dtype=np.float64)
+        if lens.sum():
+            flat = toks.explode()
+            row = flat.index.to_numpy(np.int64)
+            codes, _ = pd.factorize(flat.to_numpy(object), sort=False)
+            codes = codes.astype(np.int64)
+            v = np.int64(codes.max() + 1)
+            for col, n in ((0, 2), (1, 3), (2, dup_n)):
+                if codes.size < n:
+                    continue
+                # within-row n-gram key: positional windows whose rows
+                # all match; combine token codes pairwise with a
+                # re-factorize after each step — codes stay < #windows,
+                # so the pair product can never overflow int64 (a
+                # one-shot base-V combine of a 5-gram would)
+                ok = row[: 1 - n] == row[n - 1:]
+                key = codes[: 1 - n]
+                for j in range(1, n):
+                    nxt = codes[j: codes.size - (n - 1) + j]
+                    key, _ = pd.factorize(key * v + nxt, sort=False)
+                    key = key.astype(np.int64)
+                r, k = row[: 1 - n][ok], key[ok]
+                if r.size == 0:
+                    continue
+                order = np.lexsort((k, r))
+                r, k = r[order], k[order]
+                new = np.empty(r.size, dtype=bool)
+                new[0] = True
+                new[1:] = (r[1:] != r[:-1]) | (k[1:] != k[:-1])
+                starts = np.flatnonzero(new)
+                counts = np.diff(np.append(starts, r.size))
+                grp_row = r[starts]
+                rstart = np.empty(grp_row.size, dtype=bool)
+                rstart[0] = True
+                rstart[1:] = grp_row[1:] != grp_row[:-1]
+                rs = np.flatnonzero(rstart)
+                rows_u = grp_row[rs]
+                if col < 2:  # top-n-gram token coverage
+                    # clamped at 1: overlapping occurrences ("a a a a")
+                    # can make count·n exceed the token count
+                    mx = np.maximum.reduceat(counts, rs)
+                    out[rows_u, col] = np.minimum(
+                        mx * n / lens[rows_u], 1.0)
+                else:  # duplicated-n-gram occurrence fraction
+                    dup = np.add.reduceat(
+                        np.where(counts > 1, counts, 0), rs)
+                    tot = np.add.reduceat(counts, rs)
+                    out[rows_u, col] = dup / tot
+        return pd.DataFrame({"top2": out[:, 0], "top3": out[:, 1],
+                             "dupn": out[:, 2]})
+
+    c = F.col(text_col)
+    ws = F.split(c, " ")
+    rep = _rep(c)
+    return (df
+            .withColumn("dup_word_fraction", F.round(
+                1.0 - F.size(F.array_distinct(ws))
+                / F.greatest(F.size(ws), F.lit(1)), 6))
+            .withColumn("_rep", rep)
+            .withColumn("top2gram_fraction", F.round(F.col("_rep.top2"), 6))
+            .withColumn("top3gram_fraction", F.round(F.col("_rep.top3"), 6))
+            .withColumn("dup_ngram_fraction", F.round(F.col("_rep.dupn"), 6))
+            .drop("_rep"))
 
 
 def with_pack_ids(df: DataFrame, budget: int,

@@ -234,6 +234,33 @@ def test_multimodal_features(spark):
     assert out_img.shape == (10, 12, 3)
 
 
+def test_repetition_stats(spark):
+    """Gopher repetition signals: hand-computed goldens incl. the
+    overlap clamp, short docs, empty text, and a duplicated 5-gram."""
+    from openaleph_search_spark.ops.textstats import with_repetition_stats
+    rows = [
+        (0, "a b a b a b c"),   # "a b" 3x -> top2 6/7; 3 dup tokens… see below
+        (1, "x y z"),           # no repeats; top2 = 2/3 (count-1 bigram)
+        (2, "a a a a a a"),     # overlap clamp: 5*2/6 -> 1.0
+        (3, "one two three four five one two three four five"),
+        (4, ""),                # empty -> all 0
+        (5, "q"),               # shorter than every n -> all 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           with_repetition_stats(df).orderBy("doc_id").collect()}
+    assert abs(got[0]["dup_word_fraction"] - (1 - 3 / 7)) < 1e-6
+    assert abs(got[0]["top2gram_fraction"] - 6 / 7) < 1e-6
+    assert got[1]["dup_word_fraction"] == 0.0
+    assert abs(got[1]["top2gram_fraction"] - 2 / 3) < 1e-4
+    assert got[2]["top2gram_fraction"] == 1.0  # clamped
+    assert got[2]["dup_ngram_fraction"] == 1.0  # "a a a a a" x2
+    assert abs(got[3]["dup_ngram_fraction"] - 2 / 6) < 1e-6
+    assert all(got[4][c] == 0.0 and got[5][c] == 0.0
+               for c in ("dup_word_fraction", "top2gram_fraction",
+                         "top3gram_fraction", "dup_ngram_fraction"))
+
+
 def test_jpeg_codec_parity(spark):
     """Baseline grayscale JPEG (ops/jpeg.py) is a REAL codec: encoded
     payloads round-trip within DCT rounding error, decode through the
