@@ -849,6 +849,34 @@ def text_repetition(spark, sf_dir):
         "top3gram_fraction", "dup_ngram_fraction")
 
 
+def pipe_mixture_sample(spark, sf_dir):
+    """Data-mixing sampler: per-lang keep fractions gated on a
+    deterministic md5 hash of doc_id — identical row selection in any
+    engine (ops/mixing.mixture_sample)."""
+    from openaleph_search_spark.ops.mixing import mixture_sample
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frac = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1, "zh": 0.75}
+    return (mixture_sample(df, frac, group_col="lang")
+            .select("doc_id", "lang"))
+
+
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing: deterministic synthetic PII (email/IP/phone from
+    doc_id) appended to each doc, then redacted + counted
+    (ops/textstats.with_pii_scrubbed — pure Column regexes)."""
+    from openaleph_search_spark.ops.textstats import with_pii_scrubbed
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = df.withColumn("text", F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com at 10."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".0.1 or +1-555-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0")))
+    return with_pii_scrubbed(df).select(
+        "doc_id", "pii_email_count", "pii_ip_count", "pii_phone_count",
+        "text_scrubbed")
+
+
 def q1_fielded_search(spark, sf_dir):
     """Q1: Lucene field:value syntax — lang:de is a scored term on the
     indexed lang field, ANDed with a content term."""
@@ -1207,6 +1235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": text_pack_sequences,
         "q2b_weak_length_norm": q2b_weak_length_norm,
         "text_repetition": text_repetition,
+        "pipe_mixture_sample": pipe_mixture_sample,
+        "text_pii_scrub": text_pii_scrub,
         "q28_bm25_match_topk": q28_bm25_match_topk,
         "q9_bool_or": q9_bool_or,
         "q9_bool_not": q9_bool_not,
@@ -1936,6 +1966,35 @@ CROSS JOIN stats s CROSS JOIN tdf CROSS JOIN cdf
 WHERE t.tf > 0 AND c.tf > 0
 ORDER BY score DESC, t.doc_id
 LIMIT 20
+""",
+        "pipe_mixture_sample": """
+SELECT doc_id, lang FROM documents
+WHERE CASE lang
+  WHEN 'de' THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 16))::UBIGINT < 9223372036854775808
+  WHEN 'en' THEN TRUE
+  WHEN 'es' THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 16))::UBIGINT < 1844674407370955264
+  WHEN 'fr' THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 16))::UBIGINT < 4611686018427387904
+  WHEN 'zh' THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 16))::UBIGINT < 13835058055282163712
+  ELSE FALSE END
+""",
+        "text_pii_scrub": r"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.com at 10.' || CAST(doc_id % 256 AS VARCHAR)
+           || '.0.1 or +1-555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS pii_email_count,
+  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS pii_ip_count,
+  len(regexp_extract_all(text, '\+\d[\d\-]{7,}\d')) AS pii_phone_count,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+      '\+\d[\d\-]{7,}\d', '[PHONE]', 'g') AS text_scrubbed
+FROM t
 """,
         "text_repetition": """
 WITH base AS (

@@ -1,0 +1,61 @@
+"""Training-data mixing: deterministic per-group sampling.
+
+A 100-TB pre-training corpus is assembled as a MIXTURE — "keep 100% of
+code, 50% of web, 80% of books". This operator applies per-group keep
+fractions deterministically (hash-gated, no RNG), so reruns, resumed
+jobs, and different partitionings all select the SAME rows, and the
+decision is a pure Column expression evaluated inside the scan (no
+shuffle, predicate runs pre-projection).
+
+Determinism contract: a row is kept iff
+
+    md5_low64_bigendian(key) < floor(fraction · 2^64)
+
+where the hash is the BIG-endIAN value of hex chars 17..32 of
+``md5(cast(key as string))`` — expressible identically in Spark
+(``conv(substring(md5(x), 17, 16), 16, 10)``) and DuckDB
+(``('0x' || substr(md5(x), 17, 16))::UBIGINT``), so an exact SQL
+oracle exists. Thresholds are computed as exact Python ints and
+inlined, avoiding float-rounding drift between engines.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def sample_hash64(key_col) -> Column:
+    """Uniform-in-[0, 2^64) deterministic hash of a key column (the
+    big-endian md5-low-half; see module docstring)."""
+    return F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 17, 16),
+        16, 10).cast("decimal(20,0)")
+
+
+def mixture_thresholds(fractions: dict[str, float]) -> dict[str, int]:
+    """fraction → exact integer threshold (inline the SAME ints in any
+    SQL oracle; fractions ≥ 1 keep everything, ≤ 0 drop everything)."""
+    out = {}
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0,1]: {f}")
+        out[g] = int(f * (1 << 64))
+    return out
+
+
+def mixture_sample(df: DataFrame, fractions: dict[str, float],
+                   group_col: str = "source",
+                   key_col: str = "doc_id") -> DataFrame:
+    """Keep each ``group_col`` value's rows at its ``fractions`` rate,
+    gated on a deterministic hash of ``key_col``. Groups not listed
+    are DROPPED (explicit mixture spec — silence is not 100%).
+    ``key_col`` should be a stable unique id; sampling is then stable
+    under reruns, appends, and repartitioning."""
+    th = mixture_thresholds(fractions)
+    u = sample_hash64(key_col)
+    full = [g for g, t in th.items() if t >= (1 << 64)]
+    partial = {g: t for g, t in th.items() if t < (1 << 64)}
+    cond = F.col(group_col).isin(full) if full else F.lit(False)
+    for g, t in sorted(partial.items()):
+        cond = cond | ((F.col(group_col) == g)
+                       & (u < F.lit(str(t)).cast("decimal(20,0)")))
+    return df.filter(cond)

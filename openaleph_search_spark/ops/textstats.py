@@ -110,6 +110,38 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             .drop("_norm"))
 
 
+#: PII patterns — deliberately lookaround-free so the SAME pattern
+#: strings run under Java regex (Spark) and RE2-style engines
+#: (DuckDB oracle, scrubbing sidecars).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d\-]{7,}\d",
+}
+
+
+def with_pii_scrubbed(df: DataFrame, text_col: str = "text",
+                      patterns: dict[str, str] | None = None) -> DataFrame:
+    """PII scrubbing for training text: replace emails / IPv4 addresses
+    / international-format phone numbers with ``[EMAIL]``/``[IP]``/
+    ``[PHONE]`` placeholders and count the redactions per doc. Pure
+    Column expressions (regexp_replace / regexp_count — whole-stage
+    codegen, single projection pass, zero shuffles). Order: email
+    before ip/phone so an address's digits are never re-matched. The
+    default patterns are heuristic (as in production pipelines) —
+    extend via ``patterns`` (name → regex; each adds a
+    ``pii_<name>_count`` column and a replace step)."""
+    pats = patterns or PII_PATTERNS
+    out = df
+    scrub = F.col(text_col)
+    for name, pat in pats.items():
+        out = out.withColumn(f"pii_{name}_count",
+                             F.regexp_count(F.col(text_col), F.lit(pat))
+                             .cast("long"))
+        scrub = F.regexp_replace(scrub, pat, f"[{name.upper()}]")
+    return out.withColumn("text_scrubbed", scrub)
+
+
 def with_repetition_stats(df: DataFrame, text_col: str = "text",
                           dup_n: int = 5) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1, the

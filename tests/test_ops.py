@@ -261,6 +261,48 @@ def test_repetition_stats(spark):
                          "top3gram_fraction", "dup_ngram_fraction"))
 
 
+def test_mixture_sample_deterministic(spark):
+    """Data-mixing sampler: same rows selected regardless of
+    partitioning, unlisted groups dropped, fraction bounds enforced,
+    and observed rates near the requested fractions."""
+    import pytest
+    from openaleph_search_spark.ops.mixing import mixture_sample
+    rows = [(i, ["web", "code", "books"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    frac = {"web": 0.5, "code": 1.0}
+    ids1 = sorted(r.doc_id for r in mixture_sample(df, frac).collect())
+    ids2 = sorted(r.doc_id for r in
+                  mixture_sample(df.repartition(7), frac).collect())
+    assert ids1 == ids2  # partition-invariant selection
+    got = {r["source"]: r["count"] for r in
+           mixture_sample(df, frac).groupBy("source").count().collect()}
+    assert got["code"] == 1000          # fraction 1.0 keeps all
+    assert "books" not in got           # unlisted group dropped
+    assert abs(got["web"] / 1000 - 0.5) < 0.06
+    with pytest.raises(ValueError):
+        mixture_sample(df, {"web": 1.5})
+
+
+def test_pii_scrub(spark):
+    """PII scrubbing: emails/IPs/phones redacted and counted; custom
+    pattern extension adds its own count + replace step."""
+    from openaleph_search_spark.ops.textstats import with_pii_scrubbed
+    rows = [(0, "bob+x@a.example.org or +1-555-867-5309"),
+            (1, "at 10.0.255.3 and 192.168.1.1"),
+            (2, "clean"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in with_pii_scrubbed(df).collect()}
+    assert got[0]["pii_email_count"] == 1 and got[0]["pii_phone_count"] == 1
+    assert got[0]["text_scrubbed"] == "[EMAIL] or [PHONE]"
+    assert got[1]["pii_ip_count"] == 2
+    assert got[1]["text_scrubbed"] == "at [IP] and [IP]"
+    assert got[2]["text_scrubbed"] == "clean"
+    custom = with_pii_scrubbed(df, patterns={"ssn": r"\d{3}-\d{2}-\d{4}"})
+    row = {r["doc_id"]: r for r in custom.collect()}
+    assert "pii_ssn_count" in custom.columns
+    assert row[0]["pii_ssn_count"] == 0
+
+
 def test_jpeg_codec_parity(spark):
     """Baseline grayscale JPEG (ops/jpeg.py) is a REAL codec: encoded
     payloads round-trip within DCT rounding error, decode through the
