@@ -1216,10 +1216,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate records only the
     # FIRST 50 entries, so entries that have never (or least recently)
     # appeared in a driver CORRECTNESS artifact are listed first and the
-    # block is rotated each round.  Round 4 rotation: the 12 entries that
-    # sat past position 50 in rounds 2-3 lead; the 12 that drop out of
-    # the window this round (dedup_minhash_lsh .. text_token_quality)
-    # were all driver-green in CORRECTNESS_r03.json.
+    # block is rotated each round.  Round 4 rotation: the 12 entries
+    # that sat past position 50 in rounds 2-3 lead, followed by the 4
+    # new r4 entries; the 16 that sit past the window this round
+    # (s9_ids_lookup .. text_token_quality) were all driver-green in
+    # CORRECTNESS_r02/r03.json. Rotate again next round.
     return {
         "q15_percolate": q15_percolate,
         "q16_more_like_this": q16_more_like_this,

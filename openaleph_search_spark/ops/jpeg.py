@@ -294,6 +294,8 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
         if marker == 0xD9:  # EOI before scan
             raise ValueError("no scan data")
         seglen = struct.unpack_from(">H", payload, i)[0]
+        if seglen < 2:  # malformed length would loop forever
+            raise ValueError("invalid JPEG segment length")
         seg = payload[i + 2:i + seglen]
         i += seglen
         if marker == 0xDB:  # DQT

@@ -338,6 +338,17 @@ def test_jpeg_codec_parity(spark):
     one = jpgs.orderBy("media_id").limit(1).collect()[0]
     want = image_features(decode_jpeg(bytes(one["payload"])))
     assert np.allclose(feats[one["media_id"]], want, atol=1e-6)
+    # malformed payloads raise promptly (no hangs on bad lengths /
+    # truncated streams) — the decode UDF surfaces them as task errors
+    import pytest
+    good = encode_jpeg_gray(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    sos = good.index(b"\xff\xda")
+    for bad in (b"hello world", b"\xff\xd8",
+                b"\xff\xd8\xff\xdb\x00\x00\xff\xd9",  # zero seglen
+                good[:sos + 10],                       # truncated scan
+                b"\xff\xd8" + b"\x00" * 20):
+        with pytest.raises(Exception):
+            decode_jpeg_gray(bad)
 
 
 def test_embedding_near_dup_pairs(spark):
