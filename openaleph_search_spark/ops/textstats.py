@@ -142,6 +142,66 @@ def with_pii_scrubbed(df: DataFrame, text_col: str = "text",
     return out.withColumn("text_scrubbed", scrub)
 
 
+def repetition_kernel(s: pd.Series, dup_n: int = 5) -> pd.DataFrame:
+    """Batch kernel behind :func:`with_repetition_stats` — exposed
+    at module level so the property suite can fuzz the segment
+    logic (factorize + lexsort + reduceat) without a Spark session
+    in the loop."""
+    toks = s.fillna("").str.split(" ")
+    lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+    nrows = len(s)
+    out = np.zeros((nrows, 3), dtype=np.float64)
+    if lens.sum():
+        flat = toks.explode()
+        row = flat.index.to_numpy(np.int64)
+        codes, _ = pd.factorize(flat.to_numpy(object), sort=False)
+        codes = codes.astype(np.int64)
+        v = np.int64(codes.max() + 1)
+        for col, n in ((0, 2), (1, 3), (2, dup_n)):
+            if codes.size < n:
+                continue
+            # within-row n-gram key: positional windows whose rows
+            # all match; combine token codes pairwise with a
+            # re-factorize after each step — codes stay < #windows,
+            # so the pair product can never overflow int64 (a
+            # one-shot base-V combine of a 5-gram would)
+            ok = row[: 1 - n] == row[n - 1:]
+            key = codes[: 1 - n]
+            for j in range(1, n):
+                nxt = codes[j: codes.size - (n - 1) + j]
+                key, _ = pd.factorize(key * v + nxt, sort=False)
+                key = key.astype(np.int64)
+            r, k = row[: 1 - n][ok], key[ok]
+            if r.size == 0:
+                continue
+            order = np.lexsort((k, r))
+            r, k = r[order], k[order]
+            new = np.empty(r.size, dtype=bool)
+            new[0] = True
+            new[1:] = (r[1:] != r[:-1]) | (k[1:] != k[:-1])
+            starts = np.flatnonzero(new)
+            counts = np.diff(np.append(starts, r.size))
+            grp_row = r[starts]
+            rstart = np.empty(grp_row.size, dtype=bool)
+            rstart[0] = True
+            rstart[1:] = grp_row[1:] != grp_row[:-1]
+            rs = np.flatnonzero(rstart)
+            rows_u = grp_row[rs]
+            if col < 2:  # top-n-gram token coverage
+                # clamped at 1: overlapping occurrences ("a a a a")
+                # can make count·n exceed the token count
+                mx = np.maximum.reduceat(counts, rs)
+                out[rows_u, col] = np.minimum(
+                    mx * n / lens[rows_u], 1.0)
+            else:  # duplicated-n-gram occurrence fraction
+                dup = np.add.reduceat(
+                    np.where(counts > 1, counts, 0), rs)
+                tot = np.add.reduceat(counts, rs)
+                out[rows_u, col] = dup / tot
+    return pd.DataFrame({"top2": out[:, 0], "top3": out[:, 1],
+                         "dupn": out[:, 2]})
+
+
 def with_repetition_stats(df: DataFrame, text_col: str = "text",
                           dup_n: int = 5) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1, the
@@ -169,59 +229,7 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text",
 
     @pandas_udf("top2 double, top3 double, dupn double")
     def _rep(s: pd.Series) -> pd.DataFrame:
-        toks = s.fillna("").str.split(" ")
-        lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
-        nrows = len(s)
-        out = np.zeros((nrows, 3), dtype=np.float64)
-        if lens.sum():
-            flat = toks.explode()
-            row = flat.index.to_numpy(np.int64)
-            codes, _ = pd.factorize(flat.to_numpy(object), sort=False)
-            codes = codes.astype(np.int64)
-            v = np.int64(codes.max() + 1)
-            for col, n in ((0, 2), (1, 3), (2, dup_n)):
-                if codes.size < n:
-                    continue
-                # within-row n-gram key: positional windows whose rows
-                # all match; combine token codes pairwise with a
-                # re-factorize after each step — codes stay < #windows,
-                # so the pair product can never overflow int64 (a
-                # one-shot base-V combine of a 5-gram would)
-                ok = row[: 1 - n] == row[n - 1:]
-                key = codes[: 1 - n]
-                for j in range(1, n):
-                    nxt = codes[j: codes.size - (n - 1) + j]
-                    key, _ = pd.factorize(key * v + nxt, sort=False)
-                    key = key.astype(np.int64)
-                r, k = row[: 1 - n][ok], key[ok]
-                if r.size == 0:
-                    continue
-                order = np.lexsort((k, r))
-                r, k = r[order], k[order]
-                new = np.empty(r.size, dtype=bool)
-                new[0] = True
-                new[1:] = (r[1:] != r[:-1]) | (k[1:] != k[:-1])
-                starts = np.flatnonzero(new)
-                counts = np.diff(np.append(starts, r.size))
-                grp_row = r[starts]
-                rstart = np.empty(grp_row.size, dtype=bool)
-                rstart[0] = True
-                rstart[1:] = grp_row[1:] != grp_row[:-1]
-                rs = np.flatnonzero(rstart)
-                rows_u = grp_row[rs]
-                if col < 2:  # top-n-gram token coverage
-                    # clamped at 1: overlapping occurrences ("a a a a")
-                    # can make count·n exceed the token count
-                    mx = np.maximum.reduceat(counts, rs)
-                    out[rows_u, col] = np.minimum(
-                        mx * n / lens[rows_u], 1.0)
-                else:  # duplicated-n-gram occurrence fraction
-                    dup = np.add.reduceat(
-                        np.where(counts > 1, counts, 0), rs)
-                    tot = np.add.reduceat(counts, rs)
-                    out[rows_u, col] = dup / tot
-        return pd.DataFrame({"top2": out[:, 0], "top3": out[:, 1],
-                             "dupn": out[:, 2]})
+        return repetition_kernel(s, dup_n)
 
     c = F.col(text_col)
     ws = F.split(c, " ")

@@ -134,6 +134,40 @@ def test_topk_pruning_per_field_b(docs_tokens, terms, k, bval):
     check(ids_p, sc_p, want, k=k)
 
 
+@given(st.lists(st.lists(st.sampled_from(VOCAB[:4]),
+                          min_size=0, max_size=25),
+                min_size=1, max_size=12),
+       st.integers(min_value=2, max_value=6))
+@settings(max_examples=120, deadline=None)
+def test_repetition_kernel_matches_oracle(docs_tokens, dup_n):
+    """The repetition kernel's vectorized segment logic (factorize +
+    stepwise pair-refactorize + lexsort + reduceat) vs a Counter
+    oracle — exercises row boundaries, empty docs, and heavy
+    repetition (a 4-token vocabulary makes collisions the common
+    case). No Spark in the loop."""
+    from collections import Counter
+    from openaleph_search_spark.ops.textstats import repetition_kernel
+
+    def oracle(tokens, n):
+        if len(tokens) < n:
+            return 0.0, 0.0
+        grams = [tuple(tokens[i:i + n]) for i in
+                 range(len(tokens) - n + 1)]
+        c = Counter(grams)
+        top = min(max(c.values()) * n / len(tokens), 1.0)
+        dup = sum(v for v in c.values() if v > 1) / len(grams)
+        return top, dup
+
+    texts = pd.Series([" ".join(t) for t in docs_tokens])
+    got = repetition_kernel(texts, dup_n)
+    for i, _ in enumerate(docs_tokens):
+        # mirror the kernel's split(" ") view (empty text → [""])
+        toks = texts.iloc[i].split(" ")
+        assert abs(got["top2"][i] - oracle(toks, 2)[0]) < 1e-12
+        assert abs(got["top3"][i] - oracle(toks, 3)[0]) < 1e-12
+        assert abs(got["dupn"][i] - oracle(toks, dup_n)[1]) < 1e-12
+
+
 @given(docs_strategy,
        st.lists(st.sampled_from(VOCAB), min_size=2, max_size=3,
                 unique=True),
