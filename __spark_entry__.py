@@ -877,6 +877,22 @@ def text_pii_scrub(spark, sf_dir):
         "text_scrubbed")
 
 
+def sim_quantize_int8(spark, sf_dir):
+    """Int8 embedding quantization (4x storage/shuffle for ANN at
+    100 TB): per-vector symmetric scale + explicit floor(x+0.5)
+    rounding so the codes are engine-exact. Compared via scalar
+    digests (sum/min/max of codes + scale)."""
+    from openaleph_search_spark.ops.similarity import quantize_embeddings
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id", F.round("q_scale", 6).alias("q_scale"),
+        F.aggregate("q8", F.lit(0).cast("long"),
+                    lambda a, x: a + x.cast("long")).alias("q_sum"),
+        F.array_min("q8").cast("long").alias("q_min"),
+        F.array_max("q8").cast("long").alias("q_max"))
+
+
 def q1_fielded_search(spark, sf_dir):
     """Q1: Lucene field:value syntax — lang:de is a scored term on the
     indexed lang field, ANDed with a content term."""
@@ -1238,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "pipe_mixture_sample": pipe_mixture_sample,
         "text_pii_scrub": text_pii_scrub,
+        "sim_quantize_int8": sim_quantize_int8,
         "q28_bm25_match_topk": q28_bm25_match_topk,
         "q9_bool_or": q9_bool_or,
         "q9_bool_not": q9_bool_not,
@@ -1967,6 +1984,31 @@ CROSS JOIN stats s CROSS JOIN tdf CROSS JOIN cdf
 WHERE t.tf > 0 AND c.tf > 0
 ORDER BY score DESC, t.doc_id
 LIMIT 20
+""",
+        "sim_quantize_int8": """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS m
+  FROM embeddings
+),
+sc AS (
+  SELECT vec_id, embedding,
+         CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale
+  FROM s
+),
+codes AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+           x -> greatest(least(floor(CAST(x AS DOUBLE) * scale + 0.5),
+                               127), -127)) AS c
+  FROM sc
+)
+SELECT vec_id, round(scale, 6) AS q_scale,
+       CAST(list_sum(c) AS BIGINT) AS q_sum,
+       CAST(list_min(c) AS BIGINT) AS q_min,
+       CAST(list_max(c) AS BIGINT) AS q_max
+FROM codes
 """,
         "pipe_mixture_sample": """
 SELECT doc_id, lang FROM documents

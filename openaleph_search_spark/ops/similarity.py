@@ -301,3 +301,42 @@ def lsh_cosine_topk(df: DataFrame, probe: list[float] | np.ndarray,
         cand = bucketed.filter(
             F.expr(f"bit_count({bcol} ^ {pbits}) <= {probe_radius}"))
     return cosine_topk(cand, probe, k, id_col, vec_col)
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q_i = floor(x_i ·
+    (127/max|x|) + 0.5)`` clamped to [-127, 127], plus the float
+    ``q_scale`` needed to dequantize (``x ≈ q / scale``). 4× smaller
+    embedding storage/shuffle payloads with ~0.5% cosine error at
+    d=64 — the standard memory/IO lever for ANN over a 100 TB corpus.
+
+    Rounding is explicit floor(x+0.5) (not banker's) so the arithmetic
+    is reproducible in any engine (exact DuckDB oracle). A zero vector
+    gets scale 0 and all-zero codes. Arrow-batched pandas UDF — one
+    numpy pass per batch, zero shuffles."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("q8 array<tinyint>, q_scale double")
+    def _q(v: pd.Series) -> pd.DataFrame:
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        maxabs = np.abs(mat).max(axis=1)
+        scale = np.where(maxabs > 0, 127.0 / np.maximum(maxabs, 1e-300),
+                         0.0)
+        q = np.clip(np.floor(mat * scale[:, None] + 0.5), -127, 127)
+        return pd.DataFrame({"q8": list(q.astype(np.int8)),
+                             "q_scale": scale})
+
+    out = df.withColumn("_q", _q(F.col(vec_col)))
+    return (out.withColumn("q8", F.col("_q.q8"))
+            .withColumn("q_scale", F.col("_q.q_scale")).drop("_q"))
+
+
+def dequantize_col(q_col: str = "q8", scale_col: str = "q_scale"):
+    """Column expr: int8 codes → approximate float vector (q/scale;
+    zero scale → zero vector)."""
+    return F.when(F.col(scale_col) == 0.0,
+                  F.transform(F.col(q_col), lambda q: F.lit(0.0))) \
+            .otherwise(F.transform(
+                F.col(q_col),
+                lambda q: q.cast("double") / F.col(scale_col)))

@@ -261,6 +261,41 @@ def test_repetition_stats(spark):
                          "top3gram_fraction", "dup_ngram_fraction"))
 
 
+def test_quantize_embeddings(spark):
+    """Int8 quantization: dequantized vectors stay cosine-parallel to
+    the originals, codes stay in [-127, 127] with max|code| = 127 for
+    nonzero vectors, and zero vectors get scale 0 / all-zero codes."""
+    import numpy as np
+    from openaleph_search_spark.ops.similarity import (cosine_topk,
+                                                       dequantize_col,
+                                                       quantize_embeddings)
+    rng = np.random.RandomState(3)
+    rows = [(i, (rng.standard_normal(32) * (10 ** (i % 5 - 2))).tolist())
+            for i in range(40)] + [(99, [0.0] * 32)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+    q = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
+    for i, vec in rows:
+        codes = np.array(q[i]["q8"], dtype=np.float64)
+        assert codes.min() >= -127 and codes.max() <= 127
+        if i == 99:
+            assert q[i]["q_scale"] == 0.0 and not codes.any()
+            continue
+        assert int(np.abs(codes).max()) == 127  # scale saturates int8
+        x = np.array(vec, dtype=np.float64)
+        deq = codes / q[i]["q_scale"]
+        cos = (x @ deq) / (np.linalg.norm(x) * np.linalg.norm(deq))
+        assert cos > 0.999
+    # dequantize_col round-trips through Spark and preserves top-k
+    probe = rows[0][1]
+    deq_df = quantize_embeddings(emb).select(
+        "vec_id", dequantize_col().alias("embedding"))
+    orig = [r["vec_id"] for r in cosine_topk(emb, probe, k=5).collect()]
+    dq = [r["vec_id"] for r in cosine_topk(deq_df, probe, k=5).collect()]
+    assert orig[0] == dq[0] == 0  # self-match survives quantization
+    assert len(set(orig) & set(dq)) >= 4
+
+
 def test_mixture_sample_deterministic(spark):
     """Data-mixing sampler: same rows selected regardless of
     partitioning, unlisted groups dropped, fraction bounds enforced,
