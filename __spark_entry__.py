@@ -893,6 +893,19 @@ def sim_quantize_int8(spark, sf_dir):
         F.array_max("q8").cast("long").alias("q_max"))
 
 
+def dedup_duplicate_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (Lee et al. 2022 family):
+    maximal token ranges covered by 5-token windows occurring ≥2
+    times corpus-wide — the ranges a pipeline cuts out of training
+    text. Rolling polynomial window hashes (vectorized mapInPandas)
+    + hash-count join + gaps-and-islands merge; the oracle groups
+    the raw window strings, so a Spark/DuckDB match also certifies
+    the hash is collision-free on this corpus."""
+    from openaleph_search_spark.ops.dedup import duplicate_spans
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_spans(df, window=5, min_count=2)
+
+
 def q1_fielded_search(spark, sf_dir):
     """Q1: Lucene field:value syntax — lang:de is a scored term on the
     indexed lang field, ANDed with a content term."""
@@ -1255,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_mixture_sample": pipe_mixture_sample,
         "text_pii_scrub": text_pii_scrub,
         "sim_quantize_int8": sim_quantize_int8,
+        "dedup_duplicate_spans": dedup_duplicate_spans,
         "q28_bm25_match_topk": q28_bm25_match_topk,
         "q9_bool_or": q9_bool_or,
         "q9_bool_not": q9_bool_not,
@@ -1984,6 +1998,43 @@ CROSS JOIN stats s CROSS JOIN tdf CROSS JOIN cdf
 WHERE t.tf > 0 AND c.tf > 0
 ORDER BY score DESC, t.doc_id
 LIMIT 20
+""",
+        "dedup_duplicate_spans": """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x != '') AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         UNNEST(list_transform(
+             range(1, greatest(len(toks) - 4, 0) + 1),
+             i -> {'pos': i - 1,
+                   'win': array_to_string(toks[i:i+4], ' ')}),
+             recursive := true)
+  FROM t
+),
+dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+g AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS NULL
+              OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) + 5
+              THEN 1 ELSE 0 END AS brk
+  FROM w JOIN dup USING (win)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM g
+)
+SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + 5 AS INT) AS span_end,
+       CAST(max(pos) + 5 - min(pos) AS INT) AS span_tokens
+FROM isl GROUP BY doc_id, island
 """,
         "sim_quantize_int8": """
 WITH s AS (

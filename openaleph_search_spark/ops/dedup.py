@@ -429,3 +429,92 @@ def contamination_flags(df: DataFrame, eval_df: DataFrame, n: int = 8,
             .withColumn("eval_hits",
                         F.coalesce("eval_hits", F.lit(0)).cast("long"))
             .withColumn("contaminated", F.col("eval_hits") > 0))
+
+
+def _window_hash_batches(window: int, id_col: str, text_col: str):
+    """mapInPandas kernel: emit one (doc_id, pos, wh) row per w-token
+    rolling window. Fully vectorized — tokens hash once per batch
+    (``pd.util.hash_array``), then the window key is a polynomial
+    combine of w shifted slices in wrapping uint64 arithmetic, so the
+    cost is O(tokens · w) numpy ops with no per-window Python."""
+    B = np.uint64(1099511628211)  # FNV-1a prime, odd → bijective mult
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            pdf = pdf.reset_index(drop=True)
+            toks = (pdf[text_col].fillna("").str.lower()
+                    .str.split(r"[^a-z0-9_]+", regex=True))
+            flat = toks.explode()
+            flat = flat[flat.notna() & (flat != "")]
+            if flat.size < window:
+                continue
+            row = flat.index.to_numpy(np.int64)
+            th = pd.util.hash_array(flat.to_numpy(object))
+            n_win = th.size - window + 1
+            # window valid iff it does not cross a doc boundary
+            valid = row[:n_win] == row[window - 1:]
+            if not valid.any():
+                continue
+            acc = th[:n_win].copy()
+            for j in range(1, window):
+                acc = acc * B + th[j:n_win + j]
+            # token position within its own doc
+            starts = np.flatnonzero(np.r_[True, row[1:] != row[:-1]])
+            counts = np.diff(np.append(starts, row.size))
+            pos = np.arange(row.size, dtype=np.int64) \
+                - np.repeat(starts, counts)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].to_numpy()[row[:n_win][valid]],
+                "pos": pos[:n_win][valid].astype(np.int32),
+                "wh": acc[valid].view(np.int64)})
+    return fn
+
+
+def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", window: int = 5,
+                    min_count: int = 2) -> DataFrame:
+    """Exact-substring duplicate span detection (the dedup family of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better") re-expressed for Spark: instead of a suffix
+    array, emit every ``window``-token rolling hash, count each hash
+    corpus-wide, and merge each doc's duplicated windows into maximal
+    token ranges. → (doc_id, span_start, span_end, span_tokens): every
+    maximal [span_start, span_end) token range fully covered by
+    windows whose exact token sequence occurs ≥ ``min_count`` times
+    across the corpus — the ranges a pipeline cuts out of the
+    training text.
+
+    Scale shape: the windows relation is ~1 row per token (20 B each)
+    and is deliberately NOT persisted — it is recomputed for the
+    count branch and the join branch (CPU-cheap vectorized kernel)
+    rather than spilling a corpus-sized cache to disk. Both the
+    count and the join-back shuffle on the 8-byte window hash (AQE
+    handles hot-hash skew); the island merge shuffles once on doc_id
+    and the final groupBy reuses that exchange. Window hashes are
+    64-bit polynomial combines of per-token hashes — equal token
+    sequences always collide-equal, unequal ones collide with
+    probability ~n²/2⁶⁵ (document-level false merges only; no span
+    is ever missed)."""
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias("_text"))
+    wins = base.mapInPandas(
+        _window_hash_batches(window, "doc_id", "_text"),
+        schema="doc_id long, pos int, wh long")
+    dup = (wins.groupBy("wh").agg(F.count("*").alias("_c"))
+           .filter(F.col("_c") >= min_count).select("wh"))
+    hits = wins.join(dup, "wh").select("doc_id", "pos")
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.lag("pos").over(w_ord).isNull()
+                 | (F.col("pos") > F.lag("pos").over(w_ord) + window),
+                 1).otherwise(0)
+    island = (F.sum(brk).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (hits.withColumn("_island", island)
+            .groupBy("doc_id", "_island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + window).alias("span_end"))
+            .select("doc_id", "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start"))
+                    .alias("span_tokens")))

@@ -513,3 +513,42 @@ def test_duplicate_clusters_random_vs_union_find(spark):
         got = {r["doc_id"]: r["cluster_id"]
                for r in duplicate_clusters(pairs).collect()}
         assert got == uf_components(edges, nodes), f"trial {trial}"
+
+
+def test_duplicate_spans(spark):
+    """Semantics pinned by hand: windows never cross docs, adjacent/
+    overlapping duplicated windows merge into one maximal span,
+    unique text yields no span, min_count is corpus-wide."""
+    from openaleph_search_spark.ops.dedup import duplicate_spans
+    boiler = "the quick brown fox jumps over the lazy dog tonight"
+    docs = [
+        # docs 1+2 share a 10-token prefix, then diverge
+        (1, boiler + " alpha beta gamma delta unique one fine"),
+        (2, boiler + " zeta eta theta iota unique two other"),
+        # doc 3: fully unique text, no spans
+        (3, "completely different words nobody else ever wrote here"),
+        # doc 4: too short to hold a 5-token window even though the
+        # tokens appear in doc 1 (boundary: no cross-doc windows)
+        (4, "the quick brown fox"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: (r["span_start"], r["span_end"])
+           for r in duplicate_spans(df, window=5).collect()}
+    # windows 0..5 of the 10-token boilerplate are duplicated in docs
+    # 1 and 2 -> one merged span [0, 10) in each, nothing else
+    assert out == {1: (0, 10), 2: (0, 10)}
+
+    # min_count=3 kills the pair-only duplicate
+    assert duplicate_spans(df, window=5, min_count=3).count() == 0
+
+    # two disjoint duplicated regions in one doc stay two spans
+    gap_docs = [
+        (1, boiler + " xx yy zz ww vv uu tt ss " + boiler),
+        (2, boiler),
+    ]
+    df2 = spark.createDataFrame(gap_docs, "doc_id long, text string")
+    spans1 = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicate_spans(df2, window=5).collect()
+        if r["doc_id"] == 1)
+    assert spans1 == [(0, 10), (18, 28)]
