@@ -906,6 +906,19 @@ def dedup_duplicate_spans(spark, sf_dir):
     return duplicate_spans(df, window=5, min_count=2)
 
 
+def dedup_cut_spans(spark, sf_dir):
+    """The 'cut' step completing exact-substring dedup: remove every
+    duplicated token range found by duplicate_spans from each doc's
+    normalized token stream (vectorized delta-array mask in one
+    mapInPandas pass). Oracle re-derives the spans from raw window
+    strings and anti-joins token positions against them."""
+    from openaleph_search_spark.ops.dedup import (cut_spans,
+                                                  duplicate_spans)
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = duplicate_spans(df, window=5, min_count=2)
+    return cut_spans(df, spans)
+
+
 def q1_fielded_search(spark, sf_dir):
     """Q1: Lucene field:value syntax — lang:de is a scored term on the
     indexed lang field, ANDed with a content term."""
@@ -1269,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": text_pii_scrub,
         "sim_quantize_int8": sim_quantize_int8,
         "dedup_duplicate_spans": dedup_duplicate_spans,
+        "dedup_cut_spans": dedup_cut_spans,
         "q28_bm25_match_topk": q28_bm25_match_topk,
         "q9_bool_or": q9_bool_or,
         "q9_bool_not": q9_bool_not,
@@ -2035,6 +2049,67 @@ SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
        CAST(max(pos) + 5 AS INT) AS span_end,
        CAST(max(pos) + 5 - min(pos) AS INT) AS span_tokens
 FROM isl GROUP BY doc_id, island
+""",
+        "dedup_cut_spans": """
+WITH t AS (
+  SELECT doc_id,
+         coalesce(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9_]+'),
+             x -> x != ''), []) AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         UNNEST(list_transform(
+             range(1, greatest(len(toks) - 4, 0) + 1),
+             i -> {'pos': i - 1,
+                   'win': array_to_string(toks[i:i+4], ' ')}),
+             recursive := true)
+  FROM t
+),
+dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+g AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS NULL
+              OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) + 5
+              THEN 1 ELSE 0 END AS brk
+  FROM w JOIN dup USING (win)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM g
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+  FROM isl GROUP BY doc_id, island
+),
+tok AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(toks) + 1),
+                i -> {'pos': i - 1, 'tok': toks[i]}),
+             recursive := true)
+  FROM t
+),
+kept AS (
+  SELECT tok.doc_id, tok.pos, tok.tok
+  FROM tok LEFT JOIN spans
+    ON tok.doc_id = spans.doc_id
+   AND tok.pos >= spans.s AND tok.pos < spans.e
+  WHERE spans.s IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt,
+         count(*) AS n
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(agg.txt, '') AS text_deduped,
+       len(t.toks)::BIGINT AS n_tokens,
+       (len(t.toks) - coalesce(agg.n, 0))::BIGINT AS n_tokens_removed
+FROM t LEFT JOIN agg USING (doc_id)
 """,
         "sim_quantize_int8": """
 WITH s AS (

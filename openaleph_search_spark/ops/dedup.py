@@ -518,3 +518,73 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
             .select("doc_id", "span_start", "span_end",
                     (F.col("span_end") - F.col("span_start"))
                     .alias("span_tokens")))
+
+
+def cut_spans(df: DataFrame, spans: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Apply :func:`duplicate_spans` output to the corpus: remove the
+    marked token ranges from each doc's normalized token stream. →
+    (doc_id, text_deduped, n_tokens, n_tokens_removed). Which spans
+    to cut is the CALLER's policy — pass the spans DataFrame as-is to
+    cut every duplicated occurrence, or pre-filter it (e.g. keep the
+    min-doc_id occurrence per duplicate group) for keep-one policies.
+
+    Cutting happens in analyzer-normalized token space (lowercased
+    word tokens — the same stream the spans were detected on), so
+    ``text_deduped`` is the space-joined kept tokens, not raw bytes
+    with original whitespace. That is the representation a training
+    pipeline tokenizes anyway, and it keeps the operator a vectorized
+    numpy mask (flat delta-array + cumsum over the batch's token
+    stream) instead of per-row offset bookkeeping.
+
+    Scale shape: spans are grouped per doc (one shuffle on doc_id,
+    bounded rows — spans, not tokens), broadcast-joined or
+    shuffle-joined to the docs by AQE's size estimate, and the mask
+    kernel is one mapInPandas pass over the text."""
+    ranges = (spans.groupBy(F.col(id_col).alias("_rid"))
+              .agg(F.sort_array(F.collect_list(
+                  F.struct(F.col("span_start").alias("s"),
+                           F.col("span_end").alias("e")))).alias("_rg")))
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      F.col(text_col).alias("_text"))
+            .join(ranges, F.col("doc_id") == F.col("_rid"), "left")
+            .drop("_rid"))
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            pdf = pdf.reset_index(drop=True)
+            ex = (pdf["_text"].fillna("").str.lower()
+                  .str.split(r"[^a-z0-9_]+", regex=True).explode())
+            ex = ex[ex.notna() & (ex != "")]
+            row = ex.index.to_numpy(np.int64)
+            flat = ex.to_numpy(object)
+            lens = np.bincount(row, minlength=len(pdf)).astype(np.int64)
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            total = int(offs[-1])
+            delta = np.zeros(total + 1, dtype=np.int64)
+            # span lists are small (spans, not tokens); the only
+            # Python loop is over them, never over the token stream
+            for i, rg in enumerate(pdf["_rg"]):
+                if rg is None or (isinstance(rg, float) and pd.isna(rg)):
+                    continue
+                for r in rg:
+                    s = min(max(int(r["s"]), 0), lens[i])
+                    e = min(max(int(r["e"]), 0), lens[i])
+                    if e > s:
+                        delta[offs[i] + s] += 1
+                        delta[offs[i] + e] -= 1
+            keep = ~(np.cumsum(delta[:-1]) > 0)
+            kept_row = row[keep]
+            kept = pd.Series(flat[keep]).groupby(kept_row).agg(" ".join)
+            kept_n = np.bincount(kept_row, minlength=len(pdf))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "text_deduped": kept.reindex(
+                    np.arange(len(pdf))).fillna("").to_numpy(),
+                "n_tokens": lens,
+                "n_tokens_removed": lens - kept_n})
+    return base.mapInPandas(
+        fn, schema=("doc_id long, text_deduped string, "
+                    "n_tokens long, n_tokens_removed long"))

@@ -552,3 +552,32 @@ def test_duplicate_spans(spark):
         for r in duplicate_spans(df2, window=5).collect()
         if r["doc_id"] == 1)
     assert spans1 == [(0, 10), (18, 28)]
+
+
+def test_cut_spans(spark):
+    """Detect → cut round-trip: duplicated ranges vanish from the
+    normalized token stream, unique text and null/empty docs pass
+    through, and caller-filtered spans implement keep-one policies."""
+    from openaleph_search_spark.ops.dedup import (cut_spans,
+                                                  duplicate_spans)
+    boiler = "the quick brown fox jumps over the lazy dog tonight"
+    docs = [(1, boiler + " alpha beta gamma"),
+            (2, boiler + " zeta eta theta"),
+            (3, "unique text entirely here okay fine right"),
+            (4, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = duplicate_spans(df, window=5)
+    out = {r["doc_id"]: r for r in cut_spans(df, spans).collect()}
+    assert out[1]["text_deduped"] == "alpha beta gamma"
+    assert out[1]["n_tokens"] == 13 and out[1]["n_tokens_removed"] == 10
+    assert out[2]["text_deduped"] == "zeta eta theta"
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[3]["text_deduped"].startswith("unique text")
+    assert out[4]["text_deduped"] == "" and out[4]["n_tokens"] == 0
+
+    # keep-one policy: caller filters the spans to docs != min doc
+    keep_first = spans.filter(F.col("doc_id") != 1)
+    out2 = {r["doc_id"]: r for r in cut_spans(df, keep_first).collect()}
+    assert out2[1]["n_tokens_removed"] == 0
+    assert out2[1]["text_deduped"].startswith("the quick brown")
+    assert out2[2]["n_tokens_removed"] == 10

@@ -442,3 +442,45 @@ def test_parse_args_never_crashes(args):
         return  # non-numeric offset/limit/count: a 400, not a crash
     assert sa.offset + sa.limit <= 9999
     assert sa.limit >= 0 and sa.offset >= 0
+
+
+@given(st.lists(st.lists(st.sampled_from(VOCAB[:5]),
+                          min_size=0, max_size=20),
+                min_size=1, max_size=10),
+       st.integers(min_value=2, max_value=6))
+@settings(max_examples=100, deadline=None)
+def test_window_hash_kernel_matches_oracle(docs_tokens, window):
+    """duplicate_spans' rolling window-hash kernel vs a naive tuple
+    oracle: exactly one (doc_id, pos) row per in-doc window, and the
+    polynomial hash is equal iff the token tuple is equal (on a
+    5-token vocabulary duplicate windows are the common case, so the
+    iff check is exercised in both directions). No Spark in the
+    loop."""
+    import re
+    from openaleph_search_spark.ops.dedup import _window_hash_batches
+
+    texts = [" ".join(t) for t in docs_tokens]
+    pdf = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                        "_text": texts})
+    out = list(_window_hash_batches(window, "doc_id", "_text")([pdf]))
+    got = (pd.concat(out) if out else
+           pd.DataFrame({"doc_id": [], "pos": [], "wh": []}))
+
+    want = {}  # (doc_id, pos) -> token tuple
+    for did, text in enumerate(texts):
+        toks = [t for t in re.split(r"[^a-z0-9_]+", text.lower()) if t]
+        for p in range(len(toks) - window + 1):
+            want[(did, p)] = tuple(toks[p:p + window])
+
+    keys = list(zip(got["doc_id"].tolist(), got["pos"].tolist()))
+    assert sorted(keys) == sorted(want)
+    by_hash = {}
+    for (did, p), wh in zip(keys, got["wh"].tolist()):
+        by_hash.setdefault(wh, set()).add(want[(did, p)])
+    # equal hash -> equal tuple (no collision on the sample) ...
+    assert all(len(v) == 1 for v in by_hash.values())
+    # ... and equal tuple -> equal hash (determinism across docs)
+    tup_hash = {}
+    for wh, tups in by_hash.items():
+        t = next(iter(tups))
+        assert tup_hash.setdefault(t, wh) == wh
