@@ -919,6 +919,16 @@ def dedup_cut_spans(spark, sf_dir):
     return cut_spans(df, spans)
 
 
+def text_vocab(spark, sf_dir):
+    """Corpus vocabulary (token df/tf/rank — the tokenizer-training /
+    stopword / idf input): double partial-aggregated groupBy, then a
+    single vocabulary-sized rank window. Top 200 by collection
+    frequency."""
+    from openaleph_search_spark.ops.textstats import vocab_table
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_table(df, top_n=200)
+
+
 def q1_fielded_search(spark, sf_dir):
     """Q1: Lucene field:value syntax — lang:de is a scored term on the
     indexed lang field, ANDed with a content term."""
@@ -1283,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_quantize_int8": sim_quantize_int8,
         "dedup_duplicate_spans": dedup_duplicate_spans,
         "dedup_cut_spans": dedup_cut_spans,
+        "text_vocab": text_vocab,
         "q28_bm25_match_topk": q28_bm25_match_topk,
         "q9_bool_or": q9_bool_or,
         "q9_bool_not": q9_bool_not,
@@ -2110,6 +2121,21 @@ SELECT t.doc_id, coalesce(agg.txt, '') AS text_deduped,
        len(t.toks)::BIGINT AS n_tokens,
        (len(t.toks) - coalesce(agg.n, 0))::BIGINT AS n_tokens_removed
 FROM t LEFT JOIN agg USING (doc_id)
+""",
+        "text_vocab": """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x != '') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+pd AS (SELECT token, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+agg AS (SELECT token, count(*)::BIGINT AS df, sum(c)::BIGINT AS tf
+        FROM pd GROUP BY token)
+SELECT token, df, tf,
+       row_number() OVER (ORDER BY tf DESC, token)::INT AS rank
+FROM agg QUALIFY rank <= 200
 """,
         "sim_quantize_int8": """
 WITH s AS (

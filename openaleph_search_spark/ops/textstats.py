@@ -276,3 +276,31 @@ def with_pack_ids(df: DataFrame, budget: int,
             .withColumn("pack_id", F.concat_ws(
                 "-", F.col(group_col),
                 F.floor(before / F.lit(budget)).cast("string"))))
+
+
+def vocab_table(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id",
+                min_df: int = 1, top_n: int | None = None) -> DataFrame:
+    """Corpus vocabulary with document and collection frequencies —
+    the input every tokenizer-training / stopword / idf pipeline
+    needs. → (token, df, tf, rank) where ``df`` = docs containing the
+    token, ``tf`` = total occurrences, ``rank`` = 1-based dense rank
+    by (tf desc, token asc).
+
+    Scale shape: one explode + one partial-aggregated groupBy on the
+    token (map-side combine collapses each partition's Zipf head
+    before the shuffle, so the shuffle payload is ~vocab-sized per
+    partition, not token-stream-sized). The rank is a single
+    ungrouped window — fine for a vocabulary (≤ millions of rows);
+    cap with ``top_n`` / raise ``min_df`` when the long tail is not
+    wanted."""
+    tok = df.select(F.col(id_col).alias("_doc"),
+                    F.explode(tokens_col(F.col(text_col))).alias("token"))
+    per_doc = tok.groupBy("token", "_doc").agg(F.count("*").alias("_c"))
+    agg = (per_doc.groupBy("token")
+           .agg(F.count("*").alias("df"), F.sum("_c").alias("tf"))
+           .filter(F.col("df") >= min_df))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("tf").desc(), F.col("token"))
+    out = agg.withColumn("rank", F.row_number().over(w))
+    return out.filter(F.col("rank") <= top_n) if top_n else out

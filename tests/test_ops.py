@@ -581,3 +581,22 @@ def test_cut_spans(spark):
     assert out2[1]["n_tokens_removed"] == 0
     assert out2[1]["text_deduped"].startswith("the quick brown")
     assert out2[2]["n_tokens_removed"] == 10
+
+
+def test_vocab_table(spark):
+    """df counts docs (not occurrences), tf counts occurrences,
+    rank is dense by tf desc with token tiebreak, min_df filters."""
+    from openaleph_search_spark.ops.textstats import vocab_table
+    docs = [(1, "alpha beta alpha alpha"),
+            (2, "beta gamma, beta!"),
+            (3, "alpha only here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["token"]: r for r in vocab_table(df).collect()}
+    assert (out["alpha"]["df"], out["alpha"]["tf"]) == (2, 4)
+    assert (out["beta"]["df"], out["beta"]["tf"]) == (2, 3)
+    assert (out["gamma"]["df"], out["gamma"]["tf"]) == (1, 1)
+    assert out["alpha"]["rank"] == 1 and out["beta"]["rank"] == 2
+    assert vocab_table(df, min_df=2).count() == 2
+    assert [r["token"] for r in
+            vocab_table(df, top_n=2).orderBy("rank").collect()] \
+        == ["alpha", "beta"]
