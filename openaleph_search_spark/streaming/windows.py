@@ -106,3 +106,65 @@ def sessionize(events: DataFrame, key_col: str = "user_id",
                 stateStructType="start long, end long, n long",
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+DEDUP_SCHEMA = "doc_id long, content_hash string, is_duplicate boolean"
+
+
+def _dedup_fn():
+    """applyInPandasWithState fn: per-bucket seen-hash set. Only
+    (doc_id, hash) rows reach the operator — document text never
+    shuffles."""
+    def fn(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        start = len(seen)
+        for pdf in pdfs:
+            hs = pdf["content_hash"]
+            dup = hs.map(seen.__contains__)
+            # mark THEN add, batch-order: the first copy of each new
+            # hash in this bucket is the non-duplicate
+            for h in hs[~dup.to_numpy(bool)].drop_duplicates():
+                seen.add(h)
+            dup = dup | hs.duplicated(keep="first")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content_hash": hs,
+                                "is_duplicate": dup.to_numpy(bool)})
+        if len(seen) != start:
+            state.update((sorted(seen),))
+    return fn
+
+
+def dedup_stream(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 n_buckets: int = 256) -> DataFrame:
+    """Streaming exact dedup: flag every doc whose (trimmed) content
+    sha256 was already seen — earlier in the stream or earlier in the
+    same micro-batch. Exactly one copy of each distinct hash is ever
+    emitted with ``is_duplicate=False``.
+
+    Shape: the hash is computed JVM-side (``sha2``) before the
+    stateful operator, rows shuffle on a ``n_buckets``-way hash-prefix
+    key (so state is spread across executors and per-group state
+    stays small), and only (doc_id, hash) ever reaches Python. State
+    per bucket is the sorted seen-hash list — it grows with distinct
+    content forever (that is the operator's contract: register once,
+    dedup forever); at cluster scale back it with the RocksDB state
+    store (`spark.sql.streaming.stateStore.providerClass`) so seen
+    sets page to disk instead of executor heap.
+
+    Works identically on a bounded DataFrame (batch parity =
+    ``row_number() over (partition by hash order by doc_id) > 1`` up
+    to which copy is flagged first; the flagged COUNT per hash is
+    always identical)."""
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.trim(F.col(text_col)), 256).alias("content_hash"),
+        (F.abs(F.xxhash64(F.sha2(F.trim(F.col(text_col)), 256)))
+         % n_buckets).alias("bucket"))
+    return (hashed.groupBy("bucket")
+            .applyInPandasWithState(
+                _dedup_fn(),
+                outputStructType=DEDUP_SCHEMA,
+                stateStructType="hashes array<string>",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -386,3 +386,42 @@ def test_cli_export_compact_roundtrip(spark, fixture_docs_df, tmp_path):
     alerts = spark.read.parquet(alerts_dir)
     assert ("w1", "b/crime.go") in {
         (r["entity_id"], r["path"]) for r in alerts.collect()}
+
+
+def test_streaming_dedup_stateful(spark, tmp_path):
+    """Streaming exact dedup: one copy per distinct hash ever emitted
+    non-duplicate, across micro-batches (maxFilesPerTrigger=1 forces
+    the state to carry between batches)."""
+    from openaleph_search_spark.streaming.windows import dedup_stream
+    a = spark.createDataFrame(
+        [(1, "same text"), (2, "other text"), (3, "same text")],
+        "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(4, "same text"), (5, "third text"), (6, "other text")],
+        "doc_id long, text string")
+    src = str(tmp_path / "dd_src")
+    a.repartition(1).write.mode("overwrite").parquet(src)
+    # second file lands before the stream starts; one file per trigger
+    b.repartition(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(a.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (dedup_stream(stream).writeStream.format("memory")
+         .queryName("ddstream").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck3"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from ddstream").collect()
+    assert len(rows) == 6
+    by_hash = {}
+    for r in rows:
+        by_hash.setdefault(r["content_hash"], []).append(
+            r["is_duplicate"])
+    # 3 distinct texts; per hash exactly one False, rest True
+    assert len(by_hash) == 3
+    for flags in by_hash.values():
+        assert flags.count(False) == 1
+    # 'same text' appears 3x -> 2 dups; total dups = 3
+    assert sum(r["is_duplicate"] for r in rows) == 3
