@@ -520,6 +520,53 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
                     .alias("span_tokens")))
 
 
+
+def cut_spans_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Batch kernel behind :func:`cut_spans` (module-level so the
+    property suite can fuzz the delta-array mask without Spark).
+    Expects columns ``doc_id``, ``_text``, ``_rg`` (sorted list of
+    {s, e} ranges or None)."""
+    pdf = pdf.reset_index(drop=True)
+    ex = (pdf["_text"].fillna("").str.lower()
+          .str.split(r"[^a-z0-9_]+", regex=True).explode())
+    ex = ex[ex.notna() & (ex != "")]
+    row = ex.index.to_numpy(np.int64)
+    flat = ex.to_numpy(object)
+    lens = np.bincount(row, minlength=len(pdf)).astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    total = int(offs[-1])
+    delta = np.zeros(total + 1, dtype=np.int64)
+    # span lists are small (spans, not tokens); the only Python loop
+    # is over them, never over the token stream
+    for i, rg in enumerate(pdf["_rg"]):
+        if rg is None or (isinstance(rg, float) and pd.isna(rg)):
+            continue
+        for r in rg:
+            s = min(max(int(r["s"]), 0), lens[i])
+            e = min(max(int(r["e"]), 0), lens[i])
+            if e > s:
+                delta[offs[i] + s] += 1
+                delta[offs[i] + e] -= 1
+    keep = ~(np.cumsum(delta[:-1]) > 0)
+    kept_row = row[keep]
+    kept = pd.Series(flat[keep]).groupby(kept_row).agg(" ".join)
+    kept_n = np.bincount(kept_row, minlength=len(pdf))
+    return pd.DataFrame({
+        "doc_id": pdf["doc_id"],
+        "text_deduped": kept.reindex(
+            np.arange(len(pdf))).fillna("").to_numpy(),
+        "n_tokens": lens,
+        "n_tokens_removed": lens - kept_n})
+
+
+def _cut_spans_batches():
+    def fn(it):
+        for pdf in it:
+            if len(pdf):
+                yield cut_spans_kernel(pdf)
+    return fn
+
+
 def cut_spans(df: DataFrame, spans: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """Apply :func:`duplicate_spans` output to the corpus: remove the
@@ -550,41 +597,7 @@ def cut_spans(df: DataFrame, spans: DataFrame, id_col: str = "doc_id",
             .join(ranges, F.col("doc_id") == F.col("_rid"), "left")
             .drop("_rid"))
 
-    def fn(it):
-        for pdf in it:
-            if not len(pdf):
-                continue
-            pdf = pdf.reset_index(drop=True)
-            ex = (pdf["_text"].fillna("").str.lower()
-                  .str.split(r"[^a-z0-9_]+", regex=True).explode())
-            ex = ex[ex.notna() & (ex != "")]
-            row = ex.index.to_numpy(np.int64)
-            flat = ex.to_numpy(object)
-            lens = np.bincount(row, minlength=len(pdf)).astype(np.int64)
-            offs = np.concatenate(([0], np.cumsum(lens)))
-            total = int(offs[-1])
-            delta = np.zeros(total + 1, dtype=np.int64)
-            # span lists are small (spans, not tokens); the only
-            # Python loop is over them, never over the token stream
-            for i, rg in enumerate(pdf["_rg"]):
-                if rg is None or (isinstance(rg, float) and pd.isna(rg)):
-                    continue
-                for r in rg:
-                    s = min(max(int(r["s"]), 0), lens[i])
-                    e = min(max(int(r["e"]), 0), lens[i])
-                    if e > s:
-                        delta[offs[i] + s] += 1
-                        delta[offs[i] + e] -= 1
-            keep = ~(np.cumsum(delta[:-1]) > 0)
-            kept_row = row[keep]
-            kept = pd.Series(flat[keep]).groupby(kept_row).agg(" ".join)
-            kept_n = np.bincount(kept_row, minlength=len(pdf))
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "text_deduped": kept.reindex(
-                    np.arange(len(pdf))).fillna("").to_numpy(),
-                "n_tokens": lens,
-                "n_tokens_removed": lens - kept_n})
     return base.mapInPandas(
-        fn, schema=("doc_id long, text_deduped string, "
-                    "n_tokens long, n_tokens_removed long"))
+        _cut_spans_batches(),
+        schema=("doc_id long, text_deduped string, "
+                "n_tokens long, n_tokens_removed long"))

@@ -484,3 +484,35 @@ def test_window_hash_kernel_matches_oracle(docs_tokens, window):
     for wh, tups in by_hash.items():
         t = next(iter(tups))
         assert tup_hash.setdefault(t, wh) == wh
+
+
+@given(st.lists(
+    st.tuples(st.lists(st.sampled_from(VOCAB[:6]),
+                       min_size=0, max_size=15),
+              st.lists(st.tuples(st.integers(-2, 16),
+                                 st.integers(-2, 18)),
+                       min_size=0, max_size=4)),
+    min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_cut_spans_kernel_matches_oracle(docs):
+    """cut_spans' delta-array mask vs a per-doc boolean-mask oracle —
+    exercises empty docs, out-of-range / empty / overlapping ranges
+    (duplicate_spans never emits overlaps, but the kernel must not
+    corrupt neighbours if a caller passes them)."""
+    from openaleph_search_spark.ops.dedup import cut_spans_kernel
+
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(len(docs), dtype=np.int64),
+        "_text": [" ".join(toks) for toks, _ in docs],
+        "_rg": [[{"s": s, "e": e} for s, e in sorted(rgs)] or None
+                for _, rgs in docs]})
+    got = cut_spans_kernel(pdf)
+    for i, (toks, rgs) in enumerate(docs):
+        mask = [True] * len(toks)
+        for s, e in rgs:
+            for p in range(max(s, 0), min(e, len(toks))):
+                mask[p] = False
+        kept = [t for t, m in zip(toks, mask) if m]
+        assert got["text_deduped"][i] == " ".join(kept)
+        assert got["n_tokens"][i] == len(toks)
+        assert got["n_tokens_removed"][i] == len(toks) - len(kept)
