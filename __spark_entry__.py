@@ -929,6 +929,18 @@ def text_vocab(spark, sf_dir):
     return vocab_table(df, top_n=200)
 
 
+def text_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality proxy: mean add-one-smoothed unigram
+    log-prob per doc (self-scored corpus model). The (T, V) scalars
+    ride in on a broadcast 1-row crossJoin — no driver collect."""
+    from openaleph_search_spark.ops.textstats import with_unigram_logprob
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (with_unigram_logprob(df)
+            .select("doc_id", "n_tokens",
+                    F.round("unigram_logprob", 6)
+                    .alias("unigram_logprob")))
+
+
 def q1_fielded_search(spark, sf_dir):
     """Q1: Lucene field:value syntax — lang:de is a scored term on the
     indexed lang field, ANDed with a content term."""
@@ -1294,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_duplicate_spans": dedup_duplicate_spans,
         "dedup_cut_spans": dedup_cut_spans,
         "text_vocab": text_vocab,
+        "text_unigram_logprob": text_unigram_logprob,
         "q28_bm25_match_topk": q28_bm25_match_topk,
         "q9_bool_or": q9_bool_or,
         "q9_bool_not": q9_bool_not,
@@ -2136,6 +2149,29 @@ agg AS (SELECT token, count(*)::BIGINT AS df, sum(c)::BIGINT AS tf
 SELECT token, df, tf,
        row_number() OVER (ORDER BY tf DESC, token)::INT AS rank
 FROM agg QUALIFY rank <= 200
+""",
+        "text_unigram_logprob": """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x != '') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+pd AS (SELECT token, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+vb AS (SELECT token, sum(c)::BIGINT AS tf FROM pd GROUP BY token),
+tot AS (SELECT sum(tf) AS T, count(*) AS V FROM vb),
+sc AS (
+  SELECT tok.doc_id,
+         ln((coalesce(vb.tf, 0) + 1)::DOUBLE / (tot.T + tot.V)) AS lp
+  FROM tok LEFT JOIN vb USING (token) CROSS JOIN tot
+),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               round(avg(lp), 6) AS unigram_logprob
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens,
+       agg.unigram_logprob
+FROM documents d LEFT JOIN agg USING (doc_id)
 """,
         "sim_quantize_int8": """
 WITH s AS (

@@ -304,3 +304,45 @@ def vocab_table(df: DataFrame, text_col: str = "text",
     w = Window.orderBy(F.col("tf").desc(), F.col("token"))
     out = agg.withColumn("rank", F.row_number().over(w))
     return out.filter(F.col("rank") <= top_n) if top_n else out
+
+
+def with_unigram_logprob(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         vocab: DataFrame | None = None) -> DataFrame:
+    """CCNet-style LM quality proxy: each doc's mean token log-prob
+    under a unigram model with add-one smoothing — low scores mark
+    gibberish / rare-token soup, the cheap stand-in for the KenLM
+    perplexity filter. → df + ``n_tokens`` + ``unigram_logprob``
+    (natural log; null for empty docs).
+
+    ``vocab`` defaults to :func:`vocab_table` over ``df`` itself
+    (self-scoring); pass a vocabulary built from a reference corpus
+    to score against it instead. p(t) = (tf(t)+1)/(T+V), OOV =
+    1/(T+V), where T = total tokens and V = vocabulary size of the
+    model corpus.
+
+    Scale shape: one explode, one equi-join on the token (the vocab
+    side is vocabulary-sized — AQE broadcasts it under the
+    threshold), one groupBy(doc). The (T, V) scalars ride in on a
+    1-row crossJoin, not a driver collect."""
+    vb = (vocab if vocab is not None
+          else vocab_table(df, text_col=text_col, id_col=id_col))
+    vb = vb.select("token", "tf")
+    tot = vb.agg(F.sum("tf").alias("_T"),
+                 F.count("*").alias("_V"))
+    tok = df.select(F.col(id_col).alias("_doc"),
+                    F.explode(tokens_col(F.col(text_col)))
+                    .alias("token"))
+    scored = (tok.join(vb, "token", "left")
+              .crossJoin(F.broadcast(tot))
+              .select("_doc",
+                      (F.log((F.coalesce(F.col("tf"), F.lit(0)) + 1)
+                             / (F.col("_T") + F.col("_V"))))
+                      .alias("_lp")))
+    agg = (scored.groupBy("_doc")
+           .agg(F.count("*").alias("n_tokens"),
+                F.avg("_lp").alias("unigram_logprob")))
+    return (df.join(agg, df[id_col] == agg["_doc"], "left")
+            .drop("_doc")
+            .withColumn("n_tokens",
+                        F.coalesce("n_tokens", F.lit(0)).cast("long")))

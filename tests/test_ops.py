@@ -600,3 +600,30 @@ def test_vocab_table(spark):
     assert [r["token"] for r in
             vocab_table(df, top_n=2).orderBy("rank").collect()] \
         == ["alpha", "beta"]
+
+
+def test_unigram_logprob(spark):
+    """Hand-computed add-one unigram model; reference-vocab scoring
+    marks OOV-heavy docs lower than in-vocab docs."""
+    import math
+    from openaleph_search_spark.ops.textstats import (vocab_table,
+                                                      with_unigram_logprob)
+    docs = [(1, "alpha alpha beta"), (2, "alpha gamma"), (3, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_unigram_logprob(df).collect()}
+    # corpus: alpha tf=3, beta tf=1, gamma tf=1 -> T=5, V=3
+    lp = lambda tf: math.log((tf + 1) / 8)
+    assert abs(out[1]["unigram_logprob"]
+               - (2 * lp(3) + lp(1)) / 3) < 1e-12
+    assert abs(out[2]["unigram_logprob"] - (lp(3) + lp(1)) / 2) < 1e-12
+    assert out[3]["unigram_logprob"] is None and out[3]["n_tokens"] == 0
+
+    # external reference vocab: doc of pure OOV scores ln(1/(T+V))
+    ref = vocab_table(
+        spark.createDataFrame([(1, "alpha alpha")],
+                              "doc_id long, text string"))
+    scored = {r["doc_id"]: r
+              for r in with_unigram_logprob(df, vocab=ref).collect()}
+    # ref model: T=2, V=1 -> OOV lp = ln(1/3)
+    assert abs(scored[2]["unigram_logprob"]
+               - (math.log(3 / 3) + math.log(1 / 3)) / 2) < 1e-12
