@@ -941,6 +941,17 @@ def text_unigram_logprob(spark, sf_dir):
                     .alias("unigram_logprob")))
 
 
+def pipe_split(spark, sf_dir):
+    """Deterministic train/val/test split: contiguous hash-line bands
+    sized 80/10/10, salted so the gate is independent of any
+    mixture_sample on the same key (ops/mixing.with_split). Oracle
+    inlines the SAME exact integer band edges (split_edges)."""
+    from openaleph_search_spark.ops.mixing import with_split
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (with_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+            .select("doc_id", "split"))
+
+
 def q1_fielded_search(spark, sf_dir):
     """Q1: Lucene field:value syntax — lang:de is a scored term on the
     indexed lang field, ANDed with a content term."""
@@ -1307,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cut_spans": dedup_cut_spans,
         "text_vocab": text_vocab,
         "text_unigram_logprob": text_unigram_logprob,
+        "pipe_split": pipe_split,
         "q28_bm25_match_topk": q28_bm25_match_topk,
         "q9_bool_or": q9_bool_or,
         "q9_bool_not": q9_bool_not,
@@ -2172,6 +2184,19 @@ agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
 SELECT d.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens,
        agg.unigram_logprob
 FROM documents d LEFT JOIN agg USING (doc_id)
+""",
+        "pipe_split": """
+WITH u AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                         17, 16))::UBIGINT AS h
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN h < 14757395258967642112 THEN 'train'
+            WHEN h < 16602069666338596864 THEN 'val'
+            ELSE 'test' END AS split
+FROM u
 """,
         "sim_quantize_int8": """
 WITH s AS (

@@ -59,3 +59,48 @@ def mixture_sample(df: DataFrame, fractions: dict[str, float],
         cond = cond | ((F.col(group_col) == g)
                        & (u < F.lit(str(t)).cast("decimal(20,0)")))
     return df.filter(cond)
+
+
+
+def split_edges(weights: dict[str, float]) -> list[int]:
+    """Exact integer band edges for :func:`with_split` (len-1 edges
+    for len(weights) bands) — inline the SAME ints in any SQL
+    oracle."""
+    total = sum(weights.values())
+    edges, acc = [], 0.0
+    for name in list(weights)[:-1]:
+        acc += weights[name] / total
+        edges.append(min(int(acc * (1 << 64)), (1 << 64) - 1))
+    return edges
+
+
+def with_split(df: DataFrame, weights: dict[str, float],
+               key_col: str = "doc_id",
+               salt: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: partition the hash
+    line [0, 2^64) into contiguous bands, one per split, sized by
+    ``weights`` (normalized; order = insertion order). → df +
+    ``split`` column. The same contract as :func:`mixture_sample`:
+    hash-gated, no RNG, stable under reruns / appends /
+    repartitioning, and a pure Column expression in the scan.
+
+    ``salt`` decouples this hash from any mixture_sample gate on the
+    same key (salted key = ``key || ':' || salt``), so sampling and
+    splitting stay independent events."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError(f"weights must be >= 0 with a > 0 sum: {weights}")
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
+                                      F.lit(salt))), 17, 16),
+        16, 10).cast("decimal(20,0)")
+    names = list(weights)
+    edges = split_edges(weights)
+    expr = F.lit(names[-1])
+    for name, edge in zip(reversed(names[:-1]), reversed(edges)):
+        expr = F.when(u < F.lit(str(edge)).cast("decimal(20,0)"),
+                      F.lit(name)).otherwise(expr)
+    # nested whens evaluate smallest edge first → bands are
+    # [0,e0) [e0,e1) ... [e_last, 2^64)
+    return df.withColumn("split", expr)

@@ -627,3 +627,49 @@ def test_unigram_logprob(spark):
     # ref model: T=2, V=1 -> OOV lp = ln(1/3)
     assert abs(scored[2]["unigram_logprob"]
                - (math.log(3 / 3) + math.log(1 / 3)) / 2) < 1e-12
+
+
+def test_with_split_deterministic(spark):
+    """Split assignment is a partition of the corpus, stable under
+    repartitioning/appends, proportions near weights, independent of
+    the mixture_sample gate on the same key."""
+    import pytest
+    from openaleph_search_spark.ops.mixing import (mixture_sample,
+                                                   with_split)
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = with_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"]
+              for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == df.count()
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] + counts["test"]
+
+    # stability: same assignment under different partitioning and on
+    # a subset (append-stability)
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in with_split(df.repartition(7),
+                             {"train": 0.8, "val": 0.1, "test": 0.1})
+         .collect()}
+    assert a == b
+    sub = {r["doc_id"]: r["split"]
+           for r in with_split(df.limit(100),
+                               {"train": 0.8, "val": 0.1, "test": 0.1})
+           .collect()}
+    assert all(a[k] == v for k, v in sub.items())
+
+    # independence from the sampling gate: within the kept half of a
+    # 50% sample, split proportions stay ~80/10/10 (the salted hash
+    # decorrelates the two decisions)
+    kept = mixture_sample(df.withColumn("g", F.lit("x")), {"x": 0.5},
+                          group_col="g")
+    ks = with_split(kept, {"train": 0.8, "val": 0.1, "test": 0.1})
+    kc = {r["split"]: r["count"]
+          for r in ks.groupBy("split").count().collect()}
+    frac_train = kc["train"] / sum(kc.values())
+    assert 0.7 < frac_train < 0.9
+
+    with pytest.raises(ValueError):
+        with_split(df, {})
+    with pytest.raises(ValueError):
+        with_split(df, {"a": -1.0, "b": 2.0})
