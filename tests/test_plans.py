@@ -151,3 +151,33 @@ def test_ivf_centroid_selection_is_bounded_topn(spark):
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "CollectLimit" not in plan
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """Exact-substring dedup must stay equi-join shaped: no cartesian
+    or nested-loop join anywhere, and the shuffle count bounded at 4
+    (wh count, wh join-back, doc_id island window; the final groupBy
+    reuses the island exchange)."""
+    from openaleph_search_spark.ops.dedup import duplicate_spans
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i}")
+         for i in range(20)], "doc_id long, text string")
+    plan = _plan(duplicate_spans(docs, window=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") <= 4
+
+
+def test_split_and_mixture_stay_in_scan_stage(spark):
+    """with_split / mixture_sample are pure Column exprs — their plans
+    must contain no Exchange at all (single projection/filter pass
+    over the scan)."""
+    from openaleph_search_spark.ops.mixing import (mixture_sample,
+                                                   with_split)
+    docs = spark.createDataFrame(
+        [(i, "x", "t") for i in range(10)],
+        "doc_id long, source string, text string")
+    p1 = _plan(with_split(docs, {"train": 0.9, "val": 0.1}))
+    p2 = _plan(mixture_sample(docs, {"x": 0.5}))
+    assert "Exchange" not in p1
+    assert "Exchange" not in p2
