@@ -952,6 +952,19 @@ def pipe_split(spark, sf_dir):
             .select("doc_id", "split"))
 
 
+def dedup_boilerplate_lines(spark, sf_dir):
+    """Corpus-frequency line statistics (RefinedWeb/CCNet line-dedup
+    signal). The single-line synthetic docs are wrapped into lines at
+    the word 'table' (plain substring replace — identical consumption
+    semantics in Spark and DuckDB), then boilerplate = trimmed lines
+    of >= 10 chars appearing in >= 2 distinct docs."""
+    from openaleph_search_spark.ops.dedup import boilerplate_lines
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = df.withColumn("text", F.regexp_replace(
+        F.col("text"), " table ", "\ntable "))
+    return boilerplate_lines(df, min_docs=2, min_chars=10)
+
+
 def q1_fielded_search(spark, sf_dir):
     """Q1: Lucene field:value syntax — lang:de is a scored term on the
     indexed lang field, ANDed with a content term."""
@@ -1319,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": text_vocab,
         "text_unigram_logprob": text_unigram_logprob,
         "pipe_split": pipe_split,
+        "dedup_boilerplate_lines": dedup_boilerplate_lines,
         "q28_bm25_match_topk": q28_bm25_match_topk,
         "q9_bool_or": q9_bool_or,
         "q9_bool_not": q9_bool_not,
@@ -2197,6 +2211,24 @@ SELECT doc_id,
             WHEN h < 16602069666338596864 THEN 'val'
             ELSE 'test' END AS split
 FROM u
+""",
+        "dedup_boilerplate_lines": """
+WITH t AS (
+  SELECT doc_id,
+         replace(text, ' table ', chr(10) || 'table ') AS text2
+  FROM documents
+),
+l AS (
+  SELECT doc_id, trim(u) AS line
+  FROM t, UNNEST(string_split(text2, chr(10))) AS s(u)
+  WHERE length(trim(u)) >= 10
+)
+SELECT md5(line) AS line_hash,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occurrences,
+       min(line) AS sample
+FROM l GROUP BY md5(line)
+HAVING count(DISTINCT doc_id) >= 2
 """,
         "sim_quantize_int8": """
 WITH s AS (

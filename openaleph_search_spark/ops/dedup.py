@@ -601,3 +601,69 @@ def cut_spans(df: DataFrame, spans: DataFrame, id_col: str = "doc_id",
         _cut_spans_batches(),
         schema=("doc_id long, text_deduped string, "
                 "n_tokens long, n_tokens_removed long"))
+
+
+def boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", min_docs: int = 3,
+                      min_chars: int = 10) -> DataFrame:
+    """Corpus-frequency line statistics (the RefinedWeb/CCNet
+    line-dedup signal): → (line_hash, n_docs, n_occurrences, sample)
+    for every distinct (trimmed) line of ≥ ``min_chars`` chars that
+    appears in ≥ ``min_docs`` distinct docs — license headers,
+    nav/footer boilerplate, generated-code banners.
+
+    Scale shape: explode lines → (line_hash, doc) groupBy →
+    line_hash groupBy; both partial-aggregated, shuffle payloads are
+    (16-byte hash, counts) rows. ``sample`` keeps one representative
+    line text via ``min`` (deterministic), so the output is
+    human-auditable without a join back to the corpus."""
+    lines = (df.select(F.col(id_col).alias("_doc"),
+                       F.explode(F.split(F.col(text_col), "\n"))
+                       .alias("_raw"))
+             .select("_doc", F.trim(F.col("_raw")).alias("line"))
+             .filter(F.length("line") >= min_chars))
+    per_doc = (lines.groupBy(F.md5("line").alias("line_hash"))
+               .agg(F.countDistinct("_doc").alias("n_docs"),
+                    F.count("*").alias("n_occurrences"),
+                    F.min("line").alias("sample")))
+    return per_doc.filter(F.col("n_docs") >= min_docs)
+
+
+def strip_boilerplate_lines(df: DataFrame, boiler: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Remove every line whose hash is in ``boiler`` (the output of
+    :func:`boilerplate_lines`, pre-filtered to the caller's removal
+    policy) from each doc. → (doc_id, text_clean, n_lines,
+    n_lines_removed). Line identity = trimmed text, removal keeps
+    original (untrimmed) non-boilerplate lines joined by ``\\n``.
+
+    Shape: explode lines with position, left-anti-like join on the
+    16-byte line hash (boiler is vocabulary-sized — AQE broadcasts
+    it under the threshold), re-assemble per doc via concat_ws over
+    a position-sorted collect_list — one shuffle on the line hash,
+    one on doc_id."""
+    pos_lines = (df.select(F.col(id_col).alias("doc_id"),
+                           F.posexplode(F.split(F.col(text_col), "\n"))
+                           .alias("pos", "_raw"))
+                 .withColumn("line_hash", F.md5(F.trim(F.col("_raw")))))
+    marked = (pos_lines.join(
+        boiler.select("line_hash").withColumn("_bp", F.lit(True)),
+        "line_hash", "left"))
+    kept = marked.filter(F.col("_bp").isNull())
+    agg = (kept.groupBy("doc_id")
+           .agg(F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("pos", F.col("_raw").alias("l")))),
+                        lambda s: s["l"])).alias("text_clean"),
+                F.count("*").alias("n_kept")))
+    totals = (pos_lines.groupBy("doc_id")
+              .agg(F.count("*").alias("n_lines")))
+    return (totals.join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+                    "n_lines",
+                    (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+                    .alias("n_lines_removed")))

@@ -673,3 +673,30 @@ def test_with_split_deterministic(spark):
         with_split(df, {})
     with pytest.raises(ValueError):
         with_split(df, {"a": -1.0, "b": 2.0})
+
+
+def test_boilerplate_lines_detect_and_strip(spark):
+    """Cross-doc repeated lines detected by corpus df, stripped while
+    preserving the original (untrimmed) text and line order of what
+    remains; short lines are exempt from detection."""
+    from openaleph_search_spark.ops.dedup import (boilerplate_lines,
+                                                  strip_boilerplate_lines)
+    hdr = "// Licensed under the Apache License, Version 2.0"
+    docs = [(1, hdr + "\nint main() {\n  return 0;\n}"),
+            (2, "  " + hdr + "  \nfn main() {}\n}"),   # trim-identical
+            (3, hdr + "\nunique body three"),
+            (4, "no header\njust code")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bp = boilerplate_lines(df, min_docs=3)
+    rows = bp.collect()
+    assert len(rows) == 1
+    assert rows[0]["n_docs"] == 3 and rows[0]["n_occurrences"] == 3
+    assert rows[0]["sample"] == hdr
+    # '}' appears in docs 1+2 but is under min_chars -> exempt
+    out = {r["doc_id"]: r
+           for r in strip_boilerplate_lines(df, bp).collect()}
+    assert out[1]["text_clean"] == "int main() {\n  return 0;\n}"
+    assert out[1]["n_lines"] == 4 and out[1]["n_lines_removed"] == 1
+    assert out[2]["text_clean"] == "fn main() {}\n}"
+    assert out[4]["n_lines_removed"] == 0
+    assert out[4]["text_clean"] == "no header\njust code"
