@@ -188,13 +188,28 @@ def run_queries(cores: int, index_dir: str) -> tuple[dict, dict]:
                        slop=2).count()
     _perc()  # warm (first run pays Arrow/py-worker spin-up)
     dt = float("inf")
-    for _ in range(3):  # same best-of discipline as the other ops
-        t0 = time.time()
-        _perc()
-        dt = min(dt, time.time() - t0)
+    reps = []
+    for _ in range(5):  # best-of-5: single-thread throughput on this
+        t0 = time.time()  # host swings up to 18x within one process
+        _perc()           # (measured on identical input), so percolate
+        dt = min(dt, time.time() - t0)  # needs more draws than the
+        reps.append(round(time.time() - t0, 2))  # builds do
     timings["op_percolate_200q"] = round(dt, 3)
-    log(f"  percolate 200q x {n_docs_p} docs: {dt:.2f}s")
+    log(f"  percolate 200q x {n_docs_p} docs: {dt:.2f}s "
+        f"(reps {reps})")
     p95["op_percolate_docs_per_sec"] = round(n_docs_p / dt, 1)
+    p95["op_percolate_rep_secs"] = reps
+    # ambient probe: single-threaded numpy sorts/sec right now — the
+    # reader can judge whether a slow percolate number is the engine
+    # or the hypervisor (healthy box ~20/s; degraded windows <5/s)
+    import numpy as np
+    a = np.random.RandomState(0).randint(0, 1 << 40, 2_000_000)
+    t0 = time.time()
+    k = 0
+    while time.time() - t0 < 1.5:
+        np.sort(a)
+        k += 1
+    p95["ambient_sorts_per_sec"] = round(k / (time.time() - t0), 1)
     spark.stop()
     return timings, p95
 

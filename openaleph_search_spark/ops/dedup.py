@@ -647,10 +647,8 @@ def strip_boilerplate_lines(df: DataFrame, boiler: DataFrame,
                            F.posexplode(F.split(F.col(text_col), "\n"))
                            .alias("pos", "_raw"))
                  .withColumn("line_hash", F.md5(F.trim(F.col("_raw")))))
-    marked = (pos_lines.join(
-        boiler.select("line_hash").withColumn("_bp", F.lit(True)),
-        "line_hash", "left"))
-    kept = marked.filter(F.col("_bp").isNull())
+    kept = pos_lines.join(boiler.select("line_hash"),
+                          "line_hash", "left_anti")
     agg = (kept.groupBy("doc_id")
            .agg(F.concat_ws(
                     "\n",
