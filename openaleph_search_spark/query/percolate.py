@@ -231,75 +231,82 @@ def _percolate_batch_fn(stored: list[StoredQuery], id_cols: list[str],
             "entity_id": pd.Series(dtype=object),
             "score": pd.Series(dtype=np.float64),
             "matched_names": pd.Series(dtype=object)})
-        for pdf in it:
-            ridx, terms, pos = tokenize_flat(pdf[text_col])
-            if not len(terms) or not n_gid:
-                yield empty
-                continue
-            tok_df = pd.DataFrame({
-                "doc": ridx, "term": terms.to_numpy(), "pos": pos})
-            hits = tok_df.merge(clause_df, on="term", copy=False)
-            if not len(hits):
-                yield empty
-                continue
-            doc = hits["doc"].to_numpy(np.int64)
-            hgid = hits["gid"].to_numpy(np.int64)
-            slot = hits["slot"].to_numpy(np.int64)
-            adj = hits["pos"].to_numpy(np.int64) - slot
-            # composite key: (doc, clause) pair base + adjusted pos.
-            # span must exceed TWICE the in-pair key range plus slop so
-            # the nearest key of a NEIGHBORING pair is always farther
-            # than slop (keys near a pair's top edge sit span-offmax
-            # away from the next pair's bottom edge).
-            offset = np.int64(int(g_m.max()) + 1)  # adj ≥ -(m-1)
-            off_max = int(pos.max()) + int(offset)
-            span = np.int64(2 * off_max + slop + 2)
-            pair = doc * np.int64(n_gid) + hgid
-            key = pair * span + adj + offset
-            hm = g_m[hgid]
-            matched_pairs = []
-            for m in m_classes:
-                sel = hm == m
-                if not sel.any():
+        # bound the per-chunk working set (same lesson as the build's
+        # bounded tasks): the merge/lexsort intermediates grow with
+        # docs x clause-hits, and oversized fresh allocations hit the
+        # memory regime where shared-host throughput collapses; ~1k
+        # docs keeps them cache-friendly. Chunk loop is O(batches).
+        for whole in it:
+            for lo in range(0, len(whole), 1024):
+                pdf = whole.iloc[lo:lo + 1024]
+                ridx, terms, pos = tokenize_flat(pdf[text_col])
+                if not len(terms) or not n_gid:
+                    yield empty
                     continue
-                if m == 1:
-                    matched_pairs.append(np.unique(pair[sel]))
+                tok_df = pd.DataFrame({
+                    "doc": ridx, "term": terms.to_numpy(), "pos": pos})
+                hits = tok_df.merge(clause_df, on="term", copy=False)
+                if not len(hits):
+                    yield empty
                     continue
-                anchors = np.sort(key[sel & (slot == 0)])
-                for j in range(1, m):
-                    if anchors.size == 0:
-                        break
-                    ref = np.sort(key[sel & (slot == j)])
-                    if ref.size == 0:
-                        anchors = anchors[:0]
-                        break
-                    idx = np.searchsorted(ref, anchors)
-                    left = ref[np.maximum(idx - 1, 0)]
-                    right = ref[np.minimum(idx, ref.size - 1)]
-                    dist = np.minimum(np.abs(anchors - left),
-                                      np.abs(right - anchors))
-                    anchors = anchors[dist <= slop]
-                if anchors.size:
-                    matched_pairs.append(np.unique(anchors // span))
-            if not matched_pairs:
-                yield empty
-                continue
-            # (doc, entity) groups are contiguous in sorted pair order
-            # (entity clauses have contiguous gids): segment-reduce the
-            # scores and np.split the matched names — no per-group
-            # python aggregation
-            mp = np.unique(np.concatenate(matched_pairs))
-            m_doc = (mp // n_gid).astype(np.int64)
-            m_gid = (mp % n_gid).astype(np.int64)
-            m_e = g_eord[m_gid]
-            grp = np.flatnonzero(np.r_[True, (m_doc[1:] != m_doc[:-1])
-                                       | (m_e[1:] != m_e[:-1])])
-            res = pd.DataFrame(
-                {c: pdf[c].to_numpy()[m_doc[grp]] for c in id_cols})
-            res["entity_id"] = g_entity[m_gid[grp]]
-            res["score"] = np.add.reduceat(g_boost[m_gid], grp)
-            res["matched_names"] = np.split(g_name[m_gid], grp[1:])
-            yield res
+                doc = hits["doc"].to_numpy(np.int64)
+                hgid = hits["gid"].to_numpy(np.int64)
+                slot = hits["slot"].to_numpy(np.int64)
+                adj = hits["pos"].to_numpy(np.int64) - slot
+                # composite key: (doc, clause) pair base + adjusted pos.
+                # span must exceed TWICE the in-pair key range plus slop so
+                # the nearest key of a NEIGHBORING pair is always farther
+                # than slop (keys near a pair's top edge sit span-offmax
+                # away from the next pair's bottom edge).
+                offset = np.int64(int(g_m.max()) + 1)  # adj ≥ -(m-1)
+                off_max = int(pos.max()) + int(offset)
+                span = np.int64(2 * off_max + slop + 2)
+                pair = doc * np.int64(n_gid) + hgid
+                key = pair * span + adj + offset
+                hm = g_m[hgid]
+                matched_pairs = []
+                for m in m_classes:
+                    sel = hm == m
+                    if not sel.any():
+                        continue
+                    if m == 1:
+                        matched_pairs.append(np.unique(pair[sel]))
+                        continue
+                    anchors = np.sort(key[sel & (slot == 0)])
+                    for j in range(1, m):
+                        if anchors.size == 0:
+                            break
+                        ref = np.sort(key[sel & (slot == j)])
+                        if ref.size == 0:
+                            anchors = anchors[:0]
+                            break
+                        idx = np.searchsorted(ref, anchors)
+                        left = ref[np.maximum(idx - 1, 0)]
+                        right = ref[np.minimum(idx, ref.size - 1)]
+                        dist = np.minimum(np.abs(anchors - left),
+                                          np.abs(right - anchors))
+                        anchors = anchors[dist <= slop]
+                    if anchors.size:
+                        matched_pairs.append(np.unique(anchors // span))
+                if not matched_pairs:
+                    yield empty
+                    continue
+                # (doc, entity) groups are contiguous in sorted pair order
+                # (entity clauses have contiguous gids): segment-reduce the
+                # scores and np.split the matched names — no per-group
+                # python aggregation
+                mp = np.unique(np.concatenate(matched_pairs))
+                m_doc = (mp // n_gid).astype(np.int64)
+                m_gid = (mp % n_gid).astype(np.int64)
+                m_e = g_eord[m_gid]
+                grp = np.flatnonzero(np.r_[True, (m_doc[1:] != m_doc[:-1])
+                                           | (m_e[1:] != m_e[:-1])])
+                res = pd.DataFrame(
+                    {c: pdf[c].to_numpy()[m_doc[grp]] for c in id_cols})
+                res["entity_id"] = g_entity[m_gid[grp]]
+                res["score"] = np.add.reduceat(g_boost[m_gid], grp)
+                res["matched_names"] = np.split(g_name[m_gid], grp[1:])
+                yield res
 
     return fn
 
