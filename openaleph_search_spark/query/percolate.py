@@ -333,7 +333,16 @@ def percolate_docs(docs: DataFrame, stored: list[StoredQuery],
     fn = _percolate_batch_fn(stored, id_cols, text_col, slop)
     id_schema = ", ".join(
         f"{c} {docs.schema[c].dataType.simpleString()}" for c in id_cols)
-    return docs.select(*id_cols, text_col).mapInPandas(
+    src = docs.select(*id_cols, text_col)
+    # a small input (fewer partitions than cores — e.g. one parquet
+    # file) would run the whole kernel on one task; rebalance so every
+    # core percolates. At corpus scale partitions >> cores, so this
+    # never fires and doc text never takes an extra shuffle.
+    if not src.isStreaming:  # .rdd is illegal on streaming plans
+        par = src.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < par:
+            src = src.repartition(par)
+    return src.mapInPandas(
         fn, f"{id_schema}, entity_id string, score double, "
             f"matched_names array<string>")
 
