@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .textstats import tokens_col
+from .util import rebalance_small
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
@@ -187,7 +188,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     (1 − 0.9⁴)¹⁶ ≈ 3e-4 per pair; identical sets are always caught.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    base = (df.select(F.col(id_col).alias("doc_id"),
+    base = (rebalance_small(df)
+            .select(F.col(id_col).alias("doc_id"),
                       _shingle_set(text_col, shingle).alias("_toks"))
             .filter(F.size("_toks") > 0))
     # one shingle computation feeds both consumers (banding + digest);
@@ -260,8 +262,8 @@ def _simhash_batches(hash_fn: str = "fast"):
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text", hash_fn: str = "fast") -> DataFrame:
     """→ (doc_id, simhash long)."""
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     _token_set(text_col).alias("_toks"))
+    base = rebalance_small(df).select(F.col(id_col).alias("doc_id"),
+                                      _token_set(text_col).alias("_toks"))
     return base.mapInPandas(_simhash_batches(hash_fn),
                             "doc_id long, simhash long")
 
@@ -313,8 +315,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     JVM higher-order-function formulation is interpreted per element
     and measured 20-50x slower (CLAUDE.md perf rule).
     """
-    base = (df.select(F.col(id_col).alias("doc_id"),
-                      _shingle_set(text_col, n).alias("shingles"))
+    base = (rebalance_small(df)
+            .select(F.col(id_col).alias("doc_id"),
+                    _shingle_set(text_col, n).alias("shingles"))
             .filter(F.size("shingles") > 0))
     sizes = base.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = base.select("doc_id", F.explode("shingles").alias("sh"))
@@ -497,8 +500,8 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     sequences always collide-equal, unequal ones collide with
     probability ~n²/2⁶⁵ (document-level false merges only; no span
     is ever missed)."""
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     F.col(text_col).alias("_text"))
+    base = rebalance_small(df).select(F.col(id_col).alias("doc_id"),
+                                      F.col(text_col).alias("_text"))
     wins = base.mapInPandas(
         _window_hash_batches(window, "doc_id", "_text"),
         schema="doc_id long, pos int, wh long")
@@ -592,8 +595,9 @@ def cut_spans(df: DataFrame, spans: DataFrame, id_col: str = "doc_id",
               .agg(F.sort_array(F.collect_list(
                   F.struct(F.col("span_start").alias("s"),
                            F.col("span_end").alias("e")))).alias("_rg")))
-    base = (df.select(F.col(id_col).alias("doc_id"),
-                      F.col(text_col).alias("_text"))
+    base = (rebalance_small(df)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("_text"))
             .join(ranges, F.col("doc_id") == F.col("_rid"), "left")
             .drop("_rid"))
 

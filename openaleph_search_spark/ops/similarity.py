@@ -23,6 +23,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from .util import rebalance_small
+
 
 def _norm(v: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(v, axis=-1, keepdims=True)
@@ -54,7 +56,7 @@ def cosine_topk(df: DataFrame, probe: list[float] | np.ndarray, k: int = 10,
     """Exact brute-force cosine top-k: scatter (matmul per partition,
     ≤k rows out each) → gather (global sort-limit over ≤ P·k rows)."""
     probe = np.asarray(probe, dtype=np.float64)
-    part = df.select(id_col, vec_col).mapInPandas(
+    part = rebalance_small(df.select(id_col, vec_col)).mapInPandas(
         _topk_partition(probe, k, id_col, vec_col),
         "vec_id long, cosine double")
     return (part
@@ -99,7 +101,7 @@ def knn_join(df: DataFrame, probes: DataFrame, k: int = 5,
                 "probe_id": np.repeat(pids, m),
                 "vec_id": pdf[id_col].to_numpy()[idx.T.ravel()],
                 "cosine": np.take_along_axis(sims, idx, axis=0).T.ravel()})
-    part = df.select(id_col, vec_col).mapInPandas(
+    part = rebalance_small(df.select(id_col, vec_col)).mapInPandas(
         fn, "probe_id long, vec_id long, cosine double")
     from pyspark.sql import Window
     w = Window.partitionBy("probe_id").orderBy(
