@@ -23,6 +23,16 @@ def get_spark(cores: str | None = None):
             .getOrCreate())
 
 
+
+def _read_docs(spark, inp: str):
+    """``table:catalog.db.docs`` reads through the configured catalog
+    (the Iceberg deployment path); anything else is a parquet path."""
+    if inp.startswith("table:"):
+        from openaleph_search_spark.sources.code_table import load_table
+        return load_table(spark, inp[len("table:"):])
+    return spark.read.parquet(inp)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="openaleph-search-spark")
     ap.add_argument("--cores", default=None,
@@ -31,8 +41,8 @@ def main(argv=None):
 
     b = sub.add_parser("build", help="build the inverted index")
     b.add_argument("--input", required=True,
-                   help="parquet/iceberg path of docs(repo,path,commit,"
-                        "lang,content)")
+                   help="parquet path OR table:<catalog.db.table> of "
+                        "docs(repo,path,commit,lang,content)")
     b.add_argument("--output", required=True, help="index directory")
     b.add_argument("--partitions", type=int, default=None)
     b.add_argument("--shards", type=int, default=8)
@@ -123,7 +133,7 @@ def main(argv=None):
     try:
         if args.cmd == "build":
             from openaleph_search_spark.index.build import build_index
-            docs = spark.read.parquet(args.input)
+            docs = _read_docs(spark, args.input)
             st = build_index(spark, docs, args.output,
                              num_partitions=args.partitions,
                              num_shards=args.shards,
@@ -181,7 +191,7 @@ def main(argv=None):
         elif args.cmd == "upsert":
             from openaleph_search_spark.index.mutate import upsert_docs
             from openaleph_search_spark.index.storage import IndexStorage
-            docs = spark.read.parquet(args.input)
+            docs = _read_docs(spark, args.input)
             upsert_docs(spark, IndexStorage(args.index), docs)
             print(json.dumps({"upserted": docs.count()}))
         elif args.cmd == "stats":
@@ -204,7 +214,7 @@ def main(argv=None):
             from openaleph_search_spark.index.storage import IndexStorage
             from openaleph_search_spark.query.percolate import (
                 percolate_index)
-            docs = spark.read.parquet(args.input)
+            docs = _read_docs(spark, args.input)
             alerts = percolate_index(IndexStorage(args.index), docs)
             alerts.write.mode("overwrite").parquet(args.output)
             print(json.dumps({"alerts": alerts.count(),

@@ -55,3 +55,25 @@ def docs_from_documents(documents: DataFrame, replicate: int = 1) -> DataFrame:
 def load_docs(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
     documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs_from_documents(documents, replicate=replicate)
+
+
+def load_table(spark: SparkSession, table: str,
+               content_col: str = "content") -> DataFrame:
+    """Load the mandated (repo, path, commit, lang, content) shape
+    from a CATALOG table — the deployment path for Iceberg inputs
+    (``spark.table`` resolves through whatever catalog is configured:
+    ``spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog``
+    gives snapshot-isolated scans, partition pruning, and metadata
+    column pushdown with zero engine changes here). Column presence
+    is validated eagerly so a misconfigured table fails at load, not
+    three stages into a build."""
+    df = spark.table(table)
+    want = ["repo", "path", "commit", "lang", content_col]
+    missing = [c for c in want if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"table {table!r} is missing required columns {missing}; "
+            f"have {df.columns}")
+    out = df.select(*want)
+    return (out.withColumnRenamed(content_col, "content")
+            if content_col != "content" else out)

@@ -236,3 +236,17 @@ def test_highlight_wildcard_expansions(spark, fixture_index,
     res = eng.search({"q": "cr?me", "highlight": "true", "limit": 10})
     frags = {r["path"]: r["highlights"] for r in res.hit_rows(0, 10)}
     assert any("<em>crime</em>" in f for f in frags["b/crime.go"])
+
+
+def test_load_table_catalog_path(spark, fixture_docs_df):
+    """table:-scheme input resolves through the session catalog (the
+    Iceberg deployment path) and validates the mandated columns."""
+    import pytest
+    from openaleph_search_spark.sources.code_table import load_table
+    fixture_docs_df.createOrReplaceTempView("docs_v")
+    out = load_table(spark, "docs_v")
+    assert out.columns == ["repo", "path", "commit", "lang", "content"]
+    assert out.count() == fixture_docs_df.count()
+    fixture_docs_df.drop("content").createOrReplaceTempView("bad_v")
+    with pytest.raises(ValueError, match="missing required columns"):
+        load_table(spark, "bad_v")
