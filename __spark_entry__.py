@@ -965,6 +965,24 @@ def dedup_boilerplate_lines(spark, sf_dir):
     return boilerplate_lines(df, min_docs=2, min_chars=10)
 
 
+def text_bpe_roundtrip(spark, sf_dir):
+    """BPE tokenizer train + encode (ops/bpe.py): merges learned
+    driver-side from the distributed vocab_table (the scale-correct
+    split — the merge loop touches vocabulary entries, never the
+    corpus), then every doc encoded. The oracle checks the lossless
+    round-trip invariant — BPE pieces concatenate back to exactly
+    token+EOW per word — which holds for ANY learned merge list; the
+    segmentation itself is pinned by goldens in tests."""
+    from openaleph_search_spark.ops.bpe import bpe_encode, learn_bpe
+    from openaleph_search_spark.ops.textstats import vocab_table
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = learn_bpe(vocab_table(df, top_n=300), num_merges=100)
+    enc = bpe_encode(df, merges)
+    return enc.select(
+        "doc_id",
+        F.md5(F.concat_ws("", F.col("bpe_tokens"))).alias("reassembled_md5"))
+
+
 def q1_fielded_search(spark, sf_dir):
     """Q1: Lucene field:value syntax — lang:de is a scored term on the
     indexed lang field, ANDed with a content term."""
@@ -1333,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": text_unigram_logprob,
         "pipe_split": pipe_split,
         "dedup_boilerplate_lines": dedup_boilerplate_lines,
+        "text_bpe_roundtrip": text_bpe_roundtrip,
         "q28_bm25_match_topk": q28_bm25_match_topk,
         "q9_bool_or": q9_bool_or,
         "q9_bool_not": q9_bool_not,
@@ -2229,6 +2248,18 @@ SELECT md5(line) AS line_hash,
        min(line) AS sample
 FROM l GROUP BY md5(line)
 HAVING count(DISTINCT doc_id) >= 2
+""",
+        "text_bpe_roundtrip": """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x != '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       md5(array_to_string(
+           list_transform(toks, x -> x || '\u2581'), '')) AS reassembled_md5
+FROM t
 """,
         "sim_quantize_int8": """
 WITH s AS (

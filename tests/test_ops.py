@@ -700,3 +700,29 @@ def test_boilerplate_lines_detect_and_strip(spark):
     assert out[2]["text_clean"] == "fn main() {}\n}"
     assert out[4]["n_lines_removed"] == 0
     assert out[4]["text_clean"] == "no header\njust code"
+
+
+def test_bpe_learn_and_encode(spark):
+    """Sennrich et al. toy corpus: canonical first merges, lossless
+    round-trip, distributed encode matches driver-side encode."""
+    from openaleph_search_spark.ops.bpe import (EOW, bpe_encode,
+                                                encode_word, learn_bpe)
+    vocab = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = learn_bpe(vocab, num_merges=10)
+    # the classic result: 'es' then 'est' lead (freq 9)
+    assert merges[0] == ("e", "s") and merges[1] == ("es", "t")
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert encode_word("lowest", ranks) == ["low", "est" + EOW]
+    for w in ("low", "newest", "widest", "unseen"):
+        assert "".join(encode_word(w, ranks)).rstrip(EOW) == w
+
+    docs = [(1, "low lowest newest"), (2, "widest low!"), (3, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    assert out[1]["bpe_tokens"][:2] == ["low" + EOW, "low"]
+    assert out[1]["n_pieces"] == len(out[1]["bpe_tokens"])
+    assert out[3]["n_pieces"] == 0 and out[3]["bpe_tokens"] == []
+    # distributed == driver-side encode per token
+    want = [p for w in ("widest", "low")
+            for p in encode_word(w, ranks)]
+    assert out[2]["bpe_tokens"] == want

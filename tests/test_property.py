@@ -516,3 +516,25 @@ def test_cut_spans_kernel_matches_oracle(docs):
         assert got["text_deduped"][i] == " ".join(kept)
         assert got["n_tokens"][i] == len(toks)
         assert got["n_tokens_removed"][i] == len(toks) - len(kept)
+
+
+@given(st.lists(st.tuples(st.text(alphabet="abcde_01", min_size=1,
+                                  max_size=8),
+                          st.integers(1, 50)),
+                min_size=1, max_size=20),
+       st.integers(0, 30),
+       st.lists(st.text(alphabet="abcde_01", min_size=1, max_size=10),
+                min_size=1, max_size=10))
+@settings(max_examples=60, deadline=None)
+def test_bpe_roundtrip_property(vocab, n_merges, words):
+    """For ANY vocab and merge budget, encoding any word (in- or
+    out-of-vocab) is lossless and pieces are non-empty."""
+    from openaleph_search_spark.ops.bpe import (EOW, encode_word,
+                                                learn_bpe)
+    merges = learn_bpe(vocab, num_merges=n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in words:
+        pieces = encode_word(w, ranks)
+        assert pieces and all(pieces)
+        joined = "".join(pieces)
+        assert joined == w + EOW
