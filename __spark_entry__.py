@@ -983,6 +983,20 @@ def text_bpe_roundtrip(spark, sf_dir):
         F.md5(F.concat_ws("", F.col("bpe_tokens"))).alias("reassembled_md5"))
 
 
+def dedup_strip_boilerplate(spark, sf_dir):
+    """The strip step paired with dedup_boilerplate_lines: remove
+    every >= 2-doc line from the line-wrapped corpus, preserving the
+    original text and order of what remains. Oracle re-derives the
+    boilerplate set and anti-joins token positions via NOT EXISTS."""
+    from openaleph_search_spark.ops.dedup import (boilerplate_lines,
+                                                  strip_boilerplate_lines)
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = df.withColumn("text", F.regexp_replace(
+        F.col("text"), " table ", "\ntable "))
+    bp = boilerplate_lines(df, min_docs=2, min_chars=10)
+    return strip_boilerplate_lines(df, bp)
+
+
 def q1_fielded_search(spark, sf_dir):
     """Q1: Lucene field:value syntax — lang:de is a scored term on the
     indexed lang field, ANDed with a content term."""
@@ -1352,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_split": pipe_split,
         "dedup_boilerplate_lines": dedup_boilerplate_lines,
         "text_bpe_roundtrip": text_bpe_roundtrip,
+        "dedup_strip_boilerplate": dedup_strip_boilerplate,
         "q28_bm25_match_topk": q28_bm25_match_topk,
         "q9_bool_or": q9_bool_or,
         "q9_bool_not": q9_bool_not,
@@ -2260,6 +2275,43 @@ SELECT doc_id,
        md5(array_to_string(
            list_transform(toks, x -> x || '\u2581'), '')) AS reassembled_md5
 FROM t
+""",
+        "dedup_strip_boilerplate": """
+WITH t AS (
+  SELECT doc_id,
+         replace(text, ' table ', chr(10) || 'table ') AS text2
+  FROM documents
+),
+pl AS (
+  SELECT doc_id, CAST(s.i - 1 AS INT) AS pos, s.raw,
+         trim(s.raw) AS line
+  FROM t, UNNEST(list_transform(
+      string_split(text2, chr(10)),
+      (x, i) -> {'i': i, 'raw': x})) AS u(s)
+),
+bp AS (
+  SELECT line FROM pl
+  WHERE length(line) >= 10
+  GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT pl.doc_id, pl.pos, pl.raw
+  FROM pl LEFT JOIN bp ON pl.line = bp.line
+  WHERE bp.line IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(raw, chr(10) ORDER BY pos) AS text_clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, count(*)::BIGINT AS n_lines FROM pl GROUP BY doc_id
+)
+SELECT tot.doc_id, coalesce(agg.text_clean, '') AS text_clean,
+       tot.n_lines,
+       (tot.n_lines - coalesce(agg.n_kept, 0))::BIGINT
+         AS n_lines_removed
+FROM tot LEFT JOIN agg USING (doc_id)
 """,
         "sim_quantize_int8": """
 WITH s AS (
