@@ -997,6 +997,19 @@ def dedup_strip_boilerplate(spark, sf_dir):
     return strip_boilerplate_lines(df, bp)
 
 
+def dedup_keep_one(spark, sf_dir):
+    """End-to-end near-dup removal: 3-gram Jaccard pairs -> connected
+    components -> keep the min-id representative of each cluster,
+    drop the rest (ops/dedup.keep_one_per_cluster). Returns the
+    surviving doc ids; the oracle replays the recursive-CTE closure
+    and anti-joins non-canonical members."""
+    from openaleph_search_spark.ops.dedup import (keep_one_per_cluster,
+                                                  ngram_jaccard_pairs)
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(df, n=3, threshold=0.5)
+    return keep_one_per_cluster(df, pairs).select("doc_id")
+
+
 def q1_fielded_search(spark, sf_dir):
     """Q1: Lucene field:value syntax — lang:de is a scored term on the
     indexed lang field, ANDed with a content term."""
@@ -1367,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_boilerplate_lines": dedup_boilerplate_lines,
         "text_bpe_roundtrip": text_bpe_roundtrip,
         "dedup_strip_boilerplate": dedup_strip_boilerplate,
+        "dedup_keep_one": dedup_keep_one,
         "q28_bm25_match_topk": q28_bm25_match_topk,
         "q9_bool_or": q9_bool_or,
         "q9_bool_not": q9_bool_not,
@@ -2312,6 +2326,46 @@ SELECT tot.doc_id, coalesce(agg.text_clean, '') AS text_clean,
        (tot.n_lines - coalesce(agg.n_kept, 0))::BIGINT
          AS n_lines_removed
 FROM tot LEFT JOIN agg USING (doc_id)
+""",
+        "dedup_keep_one": """
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, len(t) - 1),
+             i -> array_to_string(t[i:i+2], ' '))) AS shingles
+  FROM d
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+e0 AS (
+  SELECT c.id_a AS a, c.id_b AS b FROM common c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE c.inter::DOUBLE / (sa.n_sh + sb.n_sh - c.inter) >= 0.5
+),
+edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+walk(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id
+),
+comps AS (
+  SELECT id, min(lbl) AS lbl FROM walk GROUP BY id
+)
+SELECT d0.doc_id FROM documents d0
+LEFT JOIN (SELECT id FROM comps WHERE id != lbl) l
+  ON d0.doc_id = l.id
+WHERE l.id IS NULL
 """,
         "sim_quantize_int8": """
 WITH s AS (

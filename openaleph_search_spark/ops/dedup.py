@@ -669,3 +669,22 @@ def strip_boilerplate_lines(df: DataFrame, boiler: DataFrame,
                     "n_lines",
                     (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
                     .alias("n_lines_removed")))
+
+
+def keep_one_per_cluster(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """The end-to-end 'drop near-duplicates' call: near-dup ``pairs``
+    (from minhash_lsh_pairs / simhash_pairs / ngram_jaccard_pairs /
+    embedding_near_dup_pairs) → connected components → keep only the
+    canonical (min-id) doc of each cluster. → df minus every
+    non-canonical duplicate.
+
+    Shape: clustering shuffles (id, label) pairs only; the final cut
+    is one left-anti join of df against the non-canonical id set
+    (cluster members minus representatives — near-dup count sized,
+    tiny next to the corpus)."""
+    clusters = duplicate_clusters(pairs)
+    losers = (clusters
+              .filter(F.col("doc_id") != F.col("cluster_id"))
+              .select(F.col("doc_id").alias("_loser")))
+    return df.join(losers, df[id_col] == F.col("_loser"), "left_anti")

@@ -726,3 +726,19 @@ def test_bpe_learn_and_encode(spark):
     want = [p for w in ("widest", "low")
             for p in encode_word(w, ranks)]
     assert out[2]["bpe_tokens"] == want
+
+
+def test_keep_one_per_cluster(spark):
+    """Transitive near-dup chains collapse to one survivor (min id);
+    unique docs always survive."""
+    from openaleph_search_spark.ops.dedup import keep_one_per_cluster
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 7)],
+        "doc_id long, text string")
+    # chain 1-2-3 and pair 5-6; doc 4 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (5, 6, 0.95)],
+        "id_a long, id_b long, jaccard double")
+    kept = sorted(r["doc_id"]
+                  for r in keep_one_per_cluster(docs, pairs).collect())
+    assert kept == [1, 4, 5]
