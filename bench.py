@@ -44,7 +44,8 @@ def session(cores: int):
 
 
 def build_at(cores: int, num_partitions: int, tag: str,
-             replicate: int = REPLICATE, reps: int = 2) -> dict:
+             replicate: int = REPLICATE, reps: int = 2,
+             num_tasks: int | None = None) -> dict:
     """Build the full index at a given core count; returns metrics."""
     from openaleph_search_spark.index.build import build_index
     from openaleph_search_spark.sources.code_table import load_docs
@@ -66,7 +67,9 @@ def build_at(cores: int, num_partitions: int, tag: str,
     (spark.range(10_000).repartition(cores)
      .mapInPandas(lambda it: it, "id long").count())
     # identical job shape at both parallelism levels: same partitions,
-    # same shard count — only the executor-thread count varies.
+    # same shard count, same TASK count (num_tasks pins the grouped-map
+    # shuffle width so the scheduling unit doesn't vary with cores) —
+    # only the executor-thread count varies.
     # best of N runs: single-box wall clock is noisy (±30% observed).
     dt = float("inf")
     for _ in range(reps):
@@ -74,7 +77,8 @@ def build_at(cores: int, num_partitions: int, tag: str,
         t0 = time.time()
         st = build_index(spark, docs, out,
                          num_partitions=num_partitions,
-                         num_shards=max(4, CPUS // 2), bigrams=True)
+                         num_shards=max(4, CPUS // 2), bigrams=True,
+                         num_tasks=num_tasks)
         dt = min(dt, time.time() - t0)
     meta = st.read_meta()
     # shuffle/skew evidence: postings rows + max block rows per term
@@ -112,17 +116,23 @@ def run_queries(cores: int, index_dir: str) -> tuple[dict, dict]:
     eng.doc_meta.cache().count()  # metadata warm, like ES fs cache
 
     timings = {}
+    rep_detail = {}
 
     def bench(name, fn, warm=True, reps=3):
         if warm:
             fn()
-        best = float("inf")
+        secs = []
         for _ in range(reps):  # single-shot wall clock is ±40% noisy
             t0 = time.time()
             fn()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        log(f"  {name}: {timings[name]}s")
+            secs.append(time.time() - t0)
+        secs.sort()
+        m = len(secs) // 2  # headline = MEDIAN of reps (best retained
+        med = (secs[m] if len(secs) % 2  # in the detail sidecar)
+               else (secs[m - 1] + secs[m]) / 2)
+        timings[name] = round(med, 3)
+        rep_detail[name] = [round(s, 3) for s in secs]
+        log(f"  {name}: {timings[name]}s (reps {rep_detail[name]})")
 
     bench("q_match_and",
           lambda: eng.search({"q": "spark query join", "limit": 10})
@@ -187,15 +197,15 @@ def run_queries(cores: int, index_dir: str) -> tuple[dict, dict]:
         percolate_docs(docs, watch, id_cols=["doc_id"], text_col="text",
                        slop=2).count()
     _perc()  # warm (first run pays Arrow/py-worker spin-up)
-    dt = float("inf")
     reps = []
-    for _ in range(5):  # best-of-5: single-thread throughput on this
+    for _ in range(5):  # 5 draws: single-thread throughput on this
         t0 = time.time()  # host swings up to 18x within one process
-        _perc()           # (measured on identical input), so percolate
-        dt = min(dt, time.time() - t0)  # needs more draws than the
-        reps.append(round(time.time() - t0, 2))  # builds do
+        _perc()           # (measured on identical input)
+        reps.append(round(time.time() - t0, 2))
+    srt = sorted(reps)  # headline = MEDIAN of the 5 (all reps kept)
+    dt = srt[len(srt) // 2]
     timings["op_percolate_200q"] = round(dt, 3)
-    log(f"  percolate 200q x {n_docs_p} docs: {dt:.2f}s "
+    log(f"  percolate 200q x {n_docs_p} docs: median {dt:.2f}s "
         f"(reps {reps})")
     p95["op_percolate_docs_per_sec"] = round(n_docs_p / dt, 1)
     p95["op_percolate_rep_secs"] = reps
@@ -211,7 +221,7 @@ def run_queries(cores: int, index_dir: str) -> tuple[dict, dict]:
         k += 1
     p95["ambient_sorts_per_sec"] = round(k / (time.time() - t0), 1)
     spark.stop()
-    return timings, p95
+    return timings, p95, rep_detail
 
 
 def _hw_spin(kind, q):
@@ -272,6 +282,21 @@ def main():
     # The same rule at 100 TB: bound docs/task, not tasks/core.
     partitions = 8 * CPUS
 
+    def _ambient_probe(secs: float = 1.0) -> float:
+        import numpy as np
+        a = np.random.RandomState(0).randint(0, 1 << 40, 2_000_000)
+        t0 = time.time()
+        k = 0
+        while time.time() - t0 < secs:
+            np.sort(a)
+            k += 1
+        return round(k / (time.time() - t0), 1)
+
+    def _median(xs):
+        srt = sorted(xs)
+        m = len(srt) // 2
+        return srt[m] if len(srt) % 2 else (srt[m - 1] + srt[m]) / 2
+
     def pair(n, n4, replicate, reps=2):
         log(f"== scaling pair local[{n}] vs local[{n4}] "
             f"(replicate={replicate}) ==")
@@ -279,31 +304,32 @@ def main():
         # full same-input N-vs-4N experiment with its builds adjacent
         # in time. The shared-host neighbor load can only SLOW a build,
         # so a loaded minute corrupts whatever round it lands on (in
-        # either direction of the ratio); the BEST round is the
-        # measurement least corrupted by the host, and the full
-        # per-round list + the pure-CPU hw ceilings recorded alongside
-        # let a reader judge the spread (observed bimodal on this
-        # sandbox: 0.28–0.95 within one run as neighbors come and go).
+        # either direction of the ratio); the MEDIAN round is the
+        # headline (best is recorded alongside), and an ambient
+        # single-thread CPU probe per round + the pure-CPU hw ceilings
+        # let a reader judge how clean the window was (observed bimodal
+        # on this sandbox: 0.28–0.95 within one run as neighbors come
+        # and go; ambient drops from ~40 to <1 sorts/s in bad windows).
+        n_tasks = max(32, 4 * n4)  # identical shape at BOTH levels
         best = {n: None, n4: None}
         effs = []
+        ambients = []
         for _ in range(reps):
+            ambients.append(_ambient_probe())
             rnd = {}
             for lvl in (n, n4):
                 m = build_at(lvl, partitions, f"n{lvl}", replicate,
-                             reps=1)
+                             reps=1, num_tasks=n_tasks)
                 rnd[lvl] = m
                 if (best[lvl] is None
                         or m["docs_per_sec"] > best[lvl]["docs_per_sec"]):
                     best[lvl] = m
             effs.append((rnd[n4]["docs_per_sec"]
                          / rnd[n]["docs_per_sec"]) / (n4 / n))
+            log(f"  round eff={effs[-1]:.3f} ambient={ambients[-1]}/s")
         a, b = best[n], best[n4]
         log(str(a))
         log(str(b))
-        srt = sorted(effs)
-        eff = max(effs)
-        eff_median = (srt[len(srt) // 2] if len(srt) % 2 else
-                      (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2)
         # per-task UDF seconds inflate under SMP memory-bandwidth
         # contention — tasks/core are constant, so this ratio isolates
         # the single-box artifact a real 4x cluster doesn't have
@@ -314,9 +340,12 @@ def main():
             "docs": a["docs"],
             "docs_per_sec_n": a["docs_per_sec"],
             "docs_per_sec_4n": b["docs_per_sec"],
-            "efficiency": round(eff, 3),
+            "efficiency": round(_median(effs), 3),   # headline = median
+            "efficiency_best": round(max(effs), 3),
             "efficiency_rounds": [round(e, 3) for e in effs],
-            "efficiency_median": round(eff_median, 3),
+            "efficiency_median": round(_median(effs), 3),
+            "ambient_sorts_per_sec_rounds": ambients,
+            "num_tasks": n_tasks,
             "udf_task_inflation_4n_vs_n": round(inflation, 2),
             **hw_ceiling(n, n4),
         }
@@ -335,7 +364,7 @@ def main():
     a2, b2, s_big = pair(max(2, CPUS // 4), CPUS, REPLICATE)
 
     log(f"== queries @ local[{CPUS}] ==")
-    timings, p95 = run_queries(CPUS, b2["index_dir"])
+    timings, p95, rep_detail = run_queries(CPUS, b2["index_dir"])
 
     detail = {
         "metric": "index-build docs/sec + query sec (BM25 engine, sf "
@@ -351,19 +380,22 @@ def main():
         "scaling": {
             **s_low, "target": 0.8,
             "pairs": [s_low, s_big],
-            "note": ("efficiency = best of `efficiency_rounds`, each a "
-                     "complete interleaved same-input N-vs-4N pair: "
-                     "shared-host neighbor load only slows builds, so "
-                     "the best round is the least-corrupted measurement "
-                     "(median + all rounds recorded; hw_*_efficiency "
-                     "give the box's own pure-CPU scaling ceilings "
-                     "measured at the same pair). Single-JVM local "
-                     "mode shares one memory subsystem across all "
-                     "executor threads — udf_task_inflation shows the "
-                     "per-task slowdown (constant tasks/core) that "
-                     "separate 4x-cluster nodes do not share"),
+            "note": ("efficiency (headline) = MEDIAN of "
+                     "`efficiency_rounds`, each a complete interleaved "
+                     "same-input N-vs-4N pair (best + all rounds + a "
+                     "per-round ambient single-thread CPU probe "
+                     "recorded; hw_*_efficiency give the box's own "
+                     "pure-CPU scaling ceilings measured at the same "
+                     "pair — when ambient is degraded or the hw "
+                     "ceiling is <0.9 the window itself cannot "
+                     "evidence scaling). Single-JVM local mode shares "
+                     "one memory subsystem across all executor "
+                     "threads — udf_task_inflation shows the per-task "
+                     "slowdown (constant tasks/core) that separate "
+                     "4x-cluster nodes do not share"),
         },
         "latency": p95,
+        "query_rep_secs": rep_detail,
     }
     # Full detail goes to a sidecar file; the LAST stdout line is a
     # compact (<1.5 KB) headline the driver's tail capture can always

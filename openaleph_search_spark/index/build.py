@@ -398,7 +398,9 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
                 fields: dict[str, str] | None = None,
                 bigrams: bool = False,
                 meta_cols: list[str] | None = None,
-                b_by_field: dict[str, float] | None = None
+                b_by_field: dict[str, float] | None = None,
+                phase_log: dict | None = None,
+                num_tasks: int | None = None,
                 ) -> IndexStorage:
     """Build (or resume) the inverted index for a docs table.
 
@@ -417,6 +419,14 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     """
     if fields is None:
         fields = DEFAULT_FIELDS
+    ph = phase_log if phase_log is not None else {}
+    _t = time.time()
+
+    def _mark(name):
+        nonlocal _t
+        now = time.time()
+        ph[name] = round(ph.get(name, 0.0) + (now - _t), 3)
+        _t = now
     meta_cols = meta_cols or []
     b_by_field = {k: float(v) for k, v in (b_by_field or {}).items()}
     for fname, bv in b_by_field.items():
@@ -448,6 +458,7 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     done = storage.completed_partitions() if resume else {}
     if done:
         prepared = prepared.filter(~F.col("src_part").isin(list(done)))
+    _mark("setup")
 
     # ---- step A: SPIMI packed-block runs, checkpointed per partition ----
     # shard = src_part mod S: stable under later appends (new parts get
@@ -459,7 +470,40 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
                       lambda sp: sp % num_shards, fields, bigrams,
                       meta_cols),
         MANIFEST_SCHEMA)
-    new_rows = manifests.collect()  # tiny: one row per partition
+    # Pin this job's task granularity: AQE coalesces the grouped-map
+    # shuffle by MAP-OUTPUT BYTES (text compresses ~4x, so the 64 MB
+    # advisory target collapses hundreds of groups into a handful of
+    # tasks — measured 5 tasks at local[4], i.e. a guaranteed straggler
+    # wave), but the cost driver here is per-GROUP Python tokenize+
+    # encode work, not bytes.  The other extreme (one group per task)
+    # pays the per-Python-task fixed cost (worker handshake + Arrow
+    # stream setup, ~50-150 ms) 256 times — measured ~35 s of pure
+    # overhead at local[1].  The sweet spot packs a handful of groups
+    # per task: enough tasks for wave balance (≥4 per core), few
+    # enough that the ~0.3 s/group UDF work amortizes the task cost.
+    # AQE is disabled for this job outright: partitioning is pinned, so
+    # replanning only adds driver latency between the two stages.
+    if num_tasks is None:
+        num_tasks = min(P, max(32, 4 * sc_parallelism))
+    conf = spark.conf
+    pinned = {"spark.sql.shuffle.partitions": str(int(num_tasks)),
+              "spark.sql.adaptive.enabled": "false"}
+    saved = {}
+    for k, v in pinned.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+        conf.set(k, v)
+    try:
+        new_rows = manifests.collect()  # tiny: one row per partition
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    _mark("spimi_job")
 
     # ---- global stats: free — summed from the manifest checkpoints
     # (docs + token counts are per-partition lineage metrics) -------------
@@ -468,6 +512,7 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     total_tokens = sum(m["tokens"] for m in all_manifests)
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
     avgdl_by_field = _read_field_stats(storage)
+    _mark("field_stats")
 
     if n_docs == 0:
         # empty corpus: materialize empty tables so readers work
@@ -507,6 +552,7 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     # ---- term stats (global df/cf — unlike ES's per-shard idf) over the
     # per-partition partials written in step A ---------------------------
     aggregate_term_stats(spark, storage)
+    _mark("term_stats")
 
     storage.write_meta({
         "num_partitions": P, "num_shards": num_shards,
@@ -523,6 +569,7 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         "built_partitions": len(done) + len(new_rows),
         "resumed_from": len(done),
     })
+    _mark("write_meta")
     return storage
 
 
@@ -546,9 +593,16 @@ def aggregate_term_stats(spark: SparkSession,
              if n.endswith(".parquet")]
     paths = [os.path.join(storage.term_stats_parts_dir, n)
              for n in names]
-    total = sum(storage.io.file_size(p) for p in paths)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        total = sum(pool.map(storage.io.file_size, paths))
     if total <= _TERM_STATS_DRIVER_BYTES:
-        tables = [storage.io.read_parquet(p) for p in paths]
+        # threaded reads: this runs serially on the driver right after
+        # the build job — at small scale it was ~1.5 s of one-file-at-
+        # a-time I/O on the critical path (pure fixed cost against the
+        # N→4N scaling target)
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            tables = list(pool.map(storage.io.read_parquet, paths))
         merged = (pa.concat_tables(tables)
                   .group_by("term")
                   .aggregate([("df", "sum"), ("cf", "sum")])
