@@ -1349,12 +1349,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate records only the
     # FIRST 50 entries, so entries that have never (or least recently)
     # appeared in a driver CORRECTNESS artifact are listed first and the
-    # block is rotated each round.  Round 4 rotation: the 12 entries
-    # that sat past position 50 in rounds 2-3 lead, followed by the 4
-    # new r4 entries; the 16 that sit past the window this round
-    # (s9_ids_lookup .. text_token_quality) were all driver-green in
-    # CORRECTNESS_r02/r03.json. Rotate again next round.
+    # block is rotated each round.  Round 5 rotation: the 26 entries
+    # that sat past position 50 in round 4 (a1..a7 facets, s6/s7/s9/s10
+    # sources, the dedup/sim/textstat ops — all driver-green in
+    # CORRECTNESS_r02/r03.json) lead; the 50 that just recorded r4
+    # rows follow in their r4 order. Rotate again next round.
     return {
+        "a1_terms_facet": a1_terms_facet,
+        "a2_cardinality": a2_cardinality,
+        "a3_date_histogram": a3_date_histogram,
+        "a4_metrics_nested": a4_metrics_nested,
+        "a5_significant_terms": a5_significant_terms,
+        "a3_engine_histogram": a3_engine_histogram,
+        "a5_engine_significant": a5_engine_significant,
+        "a7_systematic_sample": a7_systematic_sample,
+        "s6_export_query": s6_export_query,
+        "s7_filtered_scan": s7_filtered_scan,
+        "s9_ids_lookup": s9_ids_lookup,
+        "s10_checksum_counts": s10_checksum_counts,
+        "s10_msearch": s10_msearch,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_clusters": dedup_clusters,
+        "dedup_decontaminate": dedup_decontaminate,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding": dedup_embedding,
+        "sim_cosine_topk": sim_cosine_topk,
+        "sim_lsh_ann": sim_lsh_ann,
+        "sim_ivf_ann": sim_ivf_ann,
+        "sim_knn_join": sim_knn_join,
+        "text_language_id": text_language_id,
+        "text_token_quality": text_token_quality,
         "q15_percolate": q15_percolate,
         "q16_more_like_this": q16_more_like_this,
         "q17_match_query": q17_match_query,
@@ -1405,32 +1431,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_sort_q27_paging": q26_sort_q27_paging,
         "q27_search_after": q27_search_after,
         "q10_post_filter_facet": q10_post_filter_facet,
-        "a1_terms_facet": a1_terms_facet,
-        "a2_cardinality": a2_cardinality,
-        "a3_date_histogram": a3_date_histogram,
-        "a4_metrics_nested": a4_metrics_nested,
-        "a5_significant_terms": a5_significant_terms,
-        "a3_engine_histogram": a3_engine_histogram,
-        "a5_engine_significant": a5_engine_significant,
-        "a7_systematic_sample": a7_systematic_sample,
-        "s6_export_query": s6_export_query,
-        "s7_filtered_scan": s7_filtered_scan,
-        "s9_ids_lookup": s9_ids_lookup,
-        "s10_checksum_counts": s10_checksum_counts,
-        "s10_msearch": s10_msearch,
-        "dedup_exact": dedup_exact,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_clusters": dedup_clusters,
-        "dedup_decontaminate": dedup_decontaminate,
-        "dedup_simhash": dedup_simhash,
-        "dedup_embedding": dedup_embedding,
-        "sim_cosine_topk": sim_cosine_topk,
-        "sim_lsh_ann": sim_lsh_ann,
-        "sim_ivf_ann": sim_ivf_ann,
-        "sim_knn_join": sim_knn_join,
-        "text_language_id": text_language_id,
-        "text_token_quality": text_token_quality,
     }
 
 
