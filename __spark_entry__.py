@@ -25,39 +25,58 @@ K1, B = 1.2, 0.75
 
 _ENGINES: dict[str, object] = {}
 
+# The /tmp index caches are keyed on the FULL entry-pinned build
+# config (CLAUDE.md: the staleness check must cover any build config
+# added here) — layout version plus every knob and derived-column
+# formula the entry passes to build_index.  The exact dict is written
+# to entry_config.json next to meta.json after a successful build and
+# compared verbatim on reuse, so editing any of it (e.g. the title
+# derivation) rebuilds instead of silently desyncing the oracles.
+_CREATED_FORMULA = ("timestamp'2020-01-01 00:00:00' + make_interval("
+                    "0, 0, 0, cast(regexp_extract(path, "
+                    "'mod_(\\\\d+)\\\\.', 1) as int) % 360, 0, 0, 0)")
+
+
+def _cache_stale(idx_dir: str, cfg: dict) -> bool:
+    import json
+    p = os.path.join(idx_dir, "entry_config.json")
+    if not (os.path.exists(p)
+            and os.path.exists(os.path.join(idx_dir, "meta.json"))):
+        return True
+    with open(p) as f:
+        return json.load(f) != cfg
+
+
+def _mark_built(idx_dir: str, cfg: dict) -> None:
+    import json
+    with open(os.path.join(idx_dir, "entry_config.json"), "w") as f:
+        json.dump(cfg, f)
+
 
 def _engine(spark: SparkSession, sf_dir: str):
     from openaleph_search_spark.index.build import build_index
     from openaleph_search_spark.query.engine import Engine
-    import json
     import shutil
     from openaleph_search_spark.index.build import LAYOUT_VERSION
     key = os.path.abspath(sf_dir)
     if key not in _ENGINES:
         idx_dir = os.path.join(
             "/tmp", "oa_idx_" + os.path.basename(key.rstrip("/")))
-        meta_path = os.path.join(idx_dir, "meta.json")
-        stale = True
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                m = json.load(f)
-                stale = (m.get("layout_version") != LAYOUT_VERSION
-                         or not m.get("bigrams")
-                         or m.get("meta_cols") != ["created"])
-        if stale:
+        cfg = {"layout_version": LAYOUT_VERSION, "bigrams": True,
+               "meta_cols": ["created"],
+               "created_formula": _CREATED_FORMULA,
+               "num_partitions": 8, "num_shards": 4}
+        if _cache_stale(idx_dir, cfg):
             shutil.rmtree(idx_dir, ignore_errors=True)
             from openaleph_search_spark.sources.code_table import load_docs
             docs = load_docs(spark, sf_dir)
             # deterministic typed timestamp (doc_values role): day
             # offset = source doc id mod 360 from 2020-01-01
-            docs = docs.withColumn(
-                "created",
-                F.expr("timestamp'2020-01-01 00:00:00' + make_interval("
-                       "0, 0, 0, cast(regexp_extract(path, "
-                       "'mod_(\\\\d+)\\\\.', 1) as int) % 360, 0, 0, 0)"))
+            docs = docs.withColumn("created", F.expr(_CREATED_FORMULA))
             build_index(spark, docs, idx_dir, num_partitions=8,
                         num_shards=4, bigrams=True,
                         meta_cols=["created"])
+            _mark_built(idx_dir, cfg)
         _ENGINES[key] = Engine(spark, idx_dir)
     return _ENGINES[key]
 
@@ -71,7 +90,6 @@ def _engine_weak_b(spark: SparkSession, sf_dir: str):
     openaleph_search/index/util.py:83-90): a derived variable-length
     ``title`` field (first 1+doc_id%7 content tokens) indexed with
     b=0.25 while content keeps the global b."""
-    import json
     import shutil
     from openaleph_search_spark.index.build import LAYOUT_VERSION, build_index
     from openaleph_search_spark.query.engine import Engine
@@ -80,14 +98,13 @@ def _engine_weak_b(spark: SparkSession, sf_dir: str):
     if key not in _B_ENGINES:
         idx_dir = os.path.join(
             "/tmp", "oa_idxb_" + os.path.basename(key.rstrip("/")))
-        meta_path = os.path.join(idx_dir, "meta.json")
-        stale = True
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                m = json.load(f)
-                stale = (m.get("layout_version") != LAYOUT_VERSION
-                         or m.get("b_by_field") != {"title": 0.25})
-        if stale:
+        cfg = {"layout_version": LAYOUT_VERSION,
+               "fields": {"title": "title"},
+               "b_by_field": {"title": 0.25},
+               "title_formula":
+                   "first 1+(doc_id%7) space-split content tokens",
+               "num_partitions": 8, "num_shards": 4}
+        if _cache_stale(idx_dir, cfg):
             shutil.rmtree(idx_dir, ignore_errors=True)
             docs = load_docs(spark, sf_dir)
             did = F.regexp_extract("path", r"mod_(\d+)\.", 1).cast("long")
@@ -99,6 +116,7 @@ def _engine_weak_b(spark: SparkSession, sf_dir: str):
             build_index(spark, docs, idx_dir, num_partitions=8,
                         num_shards=4, fields={"title": "title"},
                         b_by_field={"title": 0.25})
+            _mark_built(idx_dir, cfg)
         _B_ENGINES[key] = Engine(spark, idx_dir)
     return _B_ENGINES[key]
 

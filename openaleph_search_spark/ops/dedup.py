@@ -633,6 +633,45 @@ def boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
     return per_doc.filter(F.col("n_docs") >= min_docs)
 
 
+def strip_boilerplate_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Batch kernel behind :func:`strip_boilerplate_lines` (module
+    level so tests can fuzz it without Spark). Expects columns
+    ``doc_id``, ``_text``, ``_rm`` (sorted int line positions to
+    remove, or None). NULL text behaves like empty text (one empty
+    line, kept)."""
+    pdf = pdf.reset_index(drop=True)
+    ex = pdf["_text"].fillna("").str.split("\n").explode()
+    row = ex.index.to_numpy(np.int64)
+    flat = ex.to_numpy(object)
+    lens = np.bincount(row, minlength=len(pdf)).astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    keep = np.ones(int(offs[-1]), dtype=bool)
+    # the only Python loop is over docs-with-hits; position lists are
+    # boilerplate-hit sized, never line-stream sized
+    for i, rm in enumerate(pdf["_rm"]):
+        if rm is None or (isinstance(rm, float) and pd.isna(rm)):
+            continue
+        pos = np.asarray(rm, dtype=np.int64)
+        keep[offs[i] + pos[pos < lens[i]]] = False
+    kept_row = row[keep]
+    kept = pd.Series(flat[keep]).groupby(kept_row).agg("\n".join)
+    kept_n = np.bincount(kept_row, minlength=len(pdf))
+    return pd.DataFrame({
+        "doc_id": pdf["doc_id"],
+        "text_clean": kept.reindex(
+            np.arange(len(pdf))).fillna("").to_numpy(),
+        "n_lines": lens,
+        "n_lines_removed": lens - kept_n})
+
+
+def _strip_boiler_batches():
+    def fn(it):
+        for pdf in it:
+            if len(pdf):
+                yield strip_boilerplate_kernel(pdf)
+    return fn
+
+
 def strip_boilerplate_lines(df: DataFrame, boiler: DataFrame,
                             id_col: str = "doc_id",
                             text_col: str = "text") -> DataFrame:
@@ -641,34 +680,33 @@ def strip_boilerplate_lines(df: DataFrame, boiler: DataFrame,
     policy) from each doc. → (doc_id, text_clean, n_lines,
     n_lines_removed). Line identity = trimmed text, removal keeps
     original (untrimmed) non-boilerplate lines joined by ``\\n``.
+    Every input doc appears in the output — NULL text yields
+    ``text_clean = ''`` (same as empty text).
 
-    Shape: explode lines with position, left-anti-like join on the
-    16-byte line hash (boiler is vocabulary-sized — AQE broadcasts
-    it under the threshold), re-assemble per doc via concat_ws over
-    a position-sorted collect_list — one shuffle on the line hash,
-    one on doc_id."""
-    pos_lines = (df.select(F.col(id_col).alias("doc_id"),
-                           F.posexplode(F.split(F.col(text_col), "\n"))
-                           .alias("pos", "_raw"))
-                 .withColumn("line_hash", F.md5(F.trim(F.col("_raw")))))
-    kept = pos_lines.join(boiler.select("line_hash"),
-                          "line_hash", "left_anti")
-    agg = (kept.groupBy("doc_id")
-           .agg(F.concat_ws(
-                    "\n",
-                    F.transform(
-                        F.array_sort(F.collect_list(
-                            F.struct("pos", F.col("_raw").alias("l")))),
-                        lambda s: s["l"])).alias("text_clean"),
-                F.count("*").alias("n_kept")))
-    totals = (pos_lines.groupBy("doc_id")
-              .agg(F.count("*").alias("n_lines")))
-    return (totals.join(agg, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-                    "n_lines",
-                    (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
-                    .alias("n_lines_removed")))
+    Shape (the :func:`cut_spans` pattern — corpus text never
+    shuffles): the (doc_id, pos, line_hash) stream is joined against
+    the vocabulary-sized ``boiler`` set (AQE broadcasts it, so the
+    stream itself is not exchanged), leaving only boilerplate HIT
+    positions — tiny int rows — to shuffle into a per-doc sorted
+    array; that array joins back to the docs (again broadcast-sized)
+    and one mapInPandas pass masks the flagged lines per doc."""
+    pos_hash = (df.select(F.col(id_col).alias("doc_id"),
+                          F.posexplode(F.split(F.col(text_col), "\n"))
+                          .alias("pos", "_raw"))
+                .select("doc_id", "pos",
+                        F.md5(F.trim(F.col("_raw"))).alias("line_hash")))
+    rm = (pos_hash.join(boiler.select("line_hash"), "line_hash")
+          .groupBy(F.col("doc_id").alias("_rid"))
+          .agg(F.sort_array(F.collect_list("pos")).alias("_rm")))
+    base = (rebalance_small(df)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("_text"))
+            .join(rm, F.col("doc_id") == F.col("_rid"), "left")
+            .drop("_rid"))
+    return base.mapInPandas(
+        _strip_boiler_batches(),
+        schema=("doc_id long, text_clean string, "
+                "n_lines long, n_lines_removed long"))
 
 
 def keep_one_per_cluster(df: DataFrame, pairs: DataFrame,

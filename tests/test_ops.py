@@ -685,7 +685,8 @@ def test_boilerplate_lines_detect_and_strip(spark):
     docs = [(1, hdr + "\nint main() {\n  return 0;\n}"),
             (2, "  " + hdr + "  \nfn main() {}\n}"),   # trim-identical
             (3, hdr + "\nunique body three"),
-            (4, "no header\njust code")]
+            (4, "no header\njust code"),
+            (5, None)]                     # NULL text must be preserved
     df = spark.createDataFrame(docs, "doc_id long, text string")
     bp = boilerplate_lines(df, min_docs=3)
     rows = bp.collect()
@@ -700,6 +701,8 @@ def test_boilerplate_lines_detect_and_strip(spark):
     assert out[2]["text_clean"] == "fn main() {}\n}"
     assert out[4]["n_lines_removed"] == 0
     assert out[4]["text_clean"] == "no header\njust code"
+    # NULL text -> doc survives with empty clean text (ADVICE r4)
+    assert out[5]["text_clean"] == "" and out[5]["n_lines_removed"] == 0
 
 
 def test_bpe_learn_and_encode(spark):
