@@ -336,9 +336,34 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
 
 def dequantize_col(q_col: str = "q8", scale_col: str = "q_scale"):
     """Column expr: int8 codes → approximate float vector (q/scale;
-    zero scale → zero vector)."""
+    zero scale → zero vector).
+
+    Small/debug use only: the JVM evaluates ``transform`` lambdas
+    interpreted, per element. Bulk paths (ANN rescoring over every
+    candidate) must use :func:`dequantize_embeddings` — the
+    Arrow-batched variant is one vectorized numpy pass per batch."""
     return F.when(F.col(scale_col) == 0.0,
                   F.transform(F.col(q_col), lambda q: F.lit(0.0))) \
             .otherwise(F.transform(
                 F.col(q_col),
                 lambda q: q.cast("double") / F.col(scale_col)))
+
+
+def dequantize_embeddings(df: DataFrame, q_col: str = "q8",
+                          scale_col: str = "q_scale",
+                          out_col: str = "embedding") -> DataFrame:
+    """Bulk int8 → float dequantization as an Arrow-batched pandas
+    UDF (the hot-path counterpart of :func:`dequantize_col`): one
+    numpy divide over the batch matrix, no per-element JVM lambda.
+    Zero scale → zero vector, matching quantize_embeddings."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _dq(q: pd.Series, s: pd.Series) -> pd.Series:
+        mat = np.vstack(q.to_numpy()).astype(np.float64)
+        sc = s.to_numpy(np.float64)
+        out = np.divide(mat, sc[:, None],
+                        out=np.zeros_like(mat), where=sc[:, None] != 0)
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, _dq(F.col(q_col), F.col(scale_col)))

@@ -126,10 +126,14 @@ def with_pii_scrubbed(df: DataFrame, text_col: str = "text",
                       patterns: dict[str, str] | None = None) -> DataFrame:
     """PII scrubbing for training text: replace emails / IPv4 addresses
     / international-format phone numbers with ``[EMAIL]``/``[IP]``/
-    ``[PHONE]`` placeholders and count the redactions per doc. Pure
+    ``[PHONE]`` placeholders, plus per-doc ``pii_<name>_count`` columns
+    counting each pattern's occurrences in the ORIGINAL text (counts
+    are independent per pattern, so text matched by two patterns — an
+    email embedding a dotted quad — counts under both even though only
+    the first replacement survives in ``text_scrubbed``). Pure
     Column expressions (regexp_replace / regexp_count — whole-stage
-    codegen, single projection pass, zero shuffles). Order: email
-    before ip/phone so an address's digits are never re-matched. The
+    codegen, single projection pass, zero shuffles). Replace order:
+    email before ip/phone so an address's digits are never re-matched. The
     default patterns are heuristic (as in production pipelines) —
     extend via ``patterns`` (name → regex; each adds a
     ``pii_<name>_count`` column and a replace step)."""

@@ -294,6 +294,13 @@ def test_quantize_embeddings(spark):
     dq = [r["vec_id"] for r in cosine_topk(deq_df, probe, k=5).collect()]
     assert orig[0] == dq[0] == 0  # self-match survives quantization
     assert len(set(orig) & set(dq)) >= 4
+    # bulk Arrow-batched dequantize == the Column-expr dequantize
+    from openaleph_search_spark.ops.similarity import dequantize_embeddings
+    bulk = {r["vec_id"]: r["embedding"] for r in
+            dequantize_embeddings(quantize_embeddings(emb))
+            .select("vec_id", "embedding").collect()}
+    for r in deq_df.collect():
+        assert np.allclose(bulk[r["vec_id"]], r["embedding"], atol=1e-12)
 
 
 def test_mixture_sample_deterministic(spark):
