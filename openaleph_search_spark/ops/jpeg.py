@@ -1,20 +1,24 @@
-"""Baseline JPEG (grayscale, JFIF) encode/decode in numpy + stdlib.
+"""Baseline JPEG (grayscale + YCbCr color, JFIF) in numpy + stdlib.
 
-Closes the multimodal codec gap flagged in round 3: ``ops/multimodal``
-handled PPM/BMP/WAV natively but gated JPEG behind a ``decoder=`` hook.
-This module is that hook's in-repo demo implementation — a REAL
-baseline-JPEG codec (ITU-T T.81 Annex F/K): 8×8 DCT, quantization,
-zigzag, canonical Huffman entropy coding with the spec's standard
-luminance tables, byte stuffing, JFIF APP0. Single-component
-(grayscale) baseline is a fully legal JPEG — any external reader
-decodes these payloads, and this decoder accepts any single-scan
-baseline grayscale JPEG, not just our own encoder's output.
+Closes the multimodal codec gap flagged in rounds 3/4: ``ops/
+multimodal`` handled PPM/BMP/WAV natively but gated JPEG behind a
+``decoder=`` hook. This module is that hook's in-repo implementation —
+a REAL baseline-JPEG codec (ITU-T T.81 Annex F/K): 8×8 DCT,
+quantization, zigzag, canonical Huffman entropy coding with the
+spec's standard luminance AND chrominance tables, byte stuffing,
+JFIF APP0, MCU-interleaved 3-component scans with 4:4:4 / 4:2:2 /
+4:2:0 chroma subsampling and JFIF/BT.601 YCbCr↔RGB. Any external
+reader decodes these payloads, and the decoder accepts any
+single-scan baseline JPEG (grayscale or color, any integer-ratio
+sampling, multiple quant/Huffman tables), not just our encoder's
+output.
 
-Scope: grayscale, no subsampling, no restart markers, no progressive —
-deliberate: the point is a real end-to-end codec-format path for the
-Spark multimodal plumbing (feature-extract / resize over opaque binary
-columns), not a libjpeg replacement. Color JPEG stays on the
-``decoder=`` hook (PIL at deploy time).
+Scope: no restart markers, no progressive (SOF2), no multi-scan
+non-interleaved color, no 2-/4-component (CMYK) — those stay on the
+``decoder=`` hook (PIL at deploy time). The point is a real
+end-to-end codec-format path for the Spark multimodal plumbing
+(feature-extract / resize over opaque binary columns), not a libjpeg
+replacement.
 
 Pure per-payload Python is acceptable here: decode runs INSIDE
 Arrow-batched ``mapInPandas`` tasks (one payload at a time is the unit
@@ -61,6 +65,36 @@ _AC_VALS = [
     0xF9, 0xFA,
 ]
 
+# standard chrominance DC table (Annex K.3.2)
+_DCC_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DCC_VALS = list(range(12))
+
+# standard chrominance AC table
+_ACC_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_ACC_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
 # near-lossless quant table (all ones): error comes only from DCT
 # coefficient rounding (~±2 levels) — tight decode-parity fixtures
 _QUANT_UNITY = np.ones(64, dtype=np.int64)
@@ -100,6 +134,8 @@ def _canonical_codes(bits: list[int], vals: list[int]):
 
 _DC_CODES = _canonical_codes(_DC_BITS, _DC_VALS)
 _AC_CODES = _canonical_codes(_AC_BITS, _AC_VALS)
+_DCC_CODES = _canonical_codes(_DCC_BITS, _DCC_VALS)
+_ACC_CODES = _canonical_codes(_ACC_BITS, _ACC_VALS)
 
 
 def _category(v: int) -> int:
@@ -137,6 +173,50 @@ def _dht_segment(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
+def _fdct_zz(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (multiples of 8) → (nbh, nbw, 64) zigzagged
+    int coefficients (unity quantization), all blocks batched."""
+    ph, pw = plane.shape
+    blocks = (plane.reshape(ph // 8, 8, pw // 8, 8)
+              .transpose(0, 2, 1, 3) - 128.0)
+    coefs = np.einsum("ux,bixy,vy->biuv", _C, blocks, _C)
+    return (np.round(coefs).astype(np.int64).reshape(-1, 64)[:, _ZZ_IDX]
+            .reshape(ph // 8, pw // 8, 64))
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, prev_dc: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    """Entropy-code one zigzagged block; returns the new DC
+    predictor."""
+    diff = int(zz[0]) - prev_dc
+    size = _category(diff)
+    code, ln = dc_codes[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    nz = np.flatnonzero(zz[1:])
+    last = int(nz[-1]) + 1 if nz.size else 0
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        size = _category(v)
+        code, ln = ac_codes[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return int(zz[0])
+
+
 def encode_jpeg_gray(img: np.ndarray) -> bytes:
     """(H, W) or (H, W, 3) uint8 → baseline grayscale JFIF bytes.
     RGB input is converted via BT.601 luma (rounded)."""
@@ -148,43 +228,14 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
     if h == 0 or w == 0:
         raise ValueError("empty image")
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
-    # all 8×8 blocks at once: (nbh, nbw, 8, 8) → batched orthonormal DCT
-    blocks = (padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
-              .astype(np.float64) - 128.0)
-    coefs = np.einsum("ux,bixy,vy->biuv", _C, blocks, _C)
-    q = np.round(coefs).astype(np.int64).reshape(-1, 64)[:, _ZZ_IDX]
+    padded = np.pad(img, ((0, ph - h), (0, pw - w)),
+                    mode="edge").astype(np.float64)
+    q = _fdct_zz(padded).reshape(-1, 64)
 
     bw = _BitWriter()
     prev_dc = 0
     for zz in q:
-        diff = int(zz[0]) - prev_dc
-        prev_dc = int(zz[0])
-        size = _category(diff)
-        code, ln = _DC_CODES[size]
-        bw.write(code, ln)
-        if size:
-            bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
-        run = 0
-        nz = np.flatnonzero(zz[1:])
-        last = int(nz[-1]) + 1 if nz.size else 0
-        for i in range(1, last + 1):
-            v = int(zz[i])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = _AC_CODES[0xF0]  # ZRL
-                bw.write(code, ln)
-                run -= 16
-            size = _category(v)
-            code, ln = _AC_CODES[(run << 4) | size]
-            bw.write(code, ln)
-            bw.write(v if v > 0 else v + (1 << size) - 1, size)
-            run = 0
-        if last < 63:
-            code, ln = _AC_CODES[0x00]  # EOB
-            bw.write(code, ln)
+        prev_dc = _encode_block(bw, zz, prev_dc, _DC_CODES, _AC_CODES)
     bw.flush()
 
     parts = [
@@ -201,6 +252,80 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
         + b"\x00\x3f\x00",  # SOS
         bytes(bw.out),
         b"\xff\xd9",  # EOI
+    ]
+    return b"".join(parts)
+
+
+_SUBSAMPLING = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+
+
+def encode_jpeg_color(img: np.ndarray,
+                      subsampling: str = "4:2:0") -> bytes:
+    """(H, W, 3) uint8 RGB → baseline color JFIF bytes: JFIF/BT.601
+    YCbCr, chroma box-subsampled per ``subsampling`` (4:4:4 / 4:2:2 /
+    4:2:0), MCU-interleaved scan, standard luminance tables for Y and
+    standard chrominance tables for Cb/Cr (Annex K), unity
+    quantization (tables 0/1) for tight decode-parity fixtures."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected (H, W, 3) RGB")
+    sh, sv = _SUBSAMPLING[subsampling]
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    r, g, b = (img[..., c].astype(np.float64) for c in range(3))
+    planes_full = {
+        "y": 0.299 * r + 0.587 * g + 0.114 * b,
+        "cb": 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b,
+        "cr": 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b,
+    }
+    mh, mw = 8 * sv, 8 * sh  # MCU pixel size
+    ph, pw = -(-h // mh) * mh, -(-w // mw) * mw
+    pad = {k: np.pad(v, ((0, ph - h), (0, pw - w)), mode="edge")
+           for k, v in planes_full.items()}
+    # chroma box-average to the subsampled grid (multiples of 8 by
+    # construction of the MCU padding)
+    sub = {"y": pad["y"]}
+    for k in ("cb", "cr"):
+        c = pad[k]
+        sub[k] = c.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+    zz = {k: _fdct_zz(v) for k, v in sub.items()}
+
+    bw = _BitWriter()
+    prev = {"y": 0, "cb": 0, "cr": 0}
+    mcuy, mcux = ph // mh, pw // mw
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(sv):
+                for bx in range(sh):
+                    prev["y"] = _encode_block(
+                        bw, zz["y"][my * sv + by, mx * sh + bx],
+                        prev["y"], _DC_CODES, _AC_CODES)
+            for k in ("cb", "cr"):
+                prev[k] = _encode_block(bw, zz[k][my, mx], prev[k],
+                                        _DCC_CODES, _ACC_CODES)
+    bw.flush()
+
+    samp_y = (sh << 4) | sv
+    parts = [
+        b"\xff\xd8",
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00",
+        b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+        + bytes(int(x) for x in _QUANT_UNITY),  # DQT table 0 (Y)
+        b"\xff\xdb" + struct.pack(">H", 67) + b"\x01"
+        + bytes(int(x) for x in _QUANT_UNITY),  # DQT table 1 (chroma)
+        b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", h, w) + b"\x03"
+        + bytes([1, samp_y, 0]) + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),  # SOF0, 3 components
+        _dht_segment(0x00, _DC_BITS, _DC_VALS),
+        _dht_segment(0x10, _AC_BITS, _AC_VALS),
+        _dht_segment(0x01, _DCC_BITS, _DCC_VALS),
+        _dht_segment(0x11, _ACC_BITS, _ACC_VALS),
+        b"\xff\xda" + struct.pack(">H", 12) + b"\x03"
+        + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00",
+        bytes(bw.out),
+        b"\xff\xd9",
     ]
     return b"".join(parts)
 
@@ -273,9 +398,46 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Baseline single-component JPEG → (H, W) uint8. Accepts any
-    single-scan grayscale baseline JPEG (not just ours)."""
+def _decode_block(br: _BitReader, dc_t: _HuffDecoder, ac_t: _HuffDecoder,
+                  prev_dc: int) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.int64)
+    size = dc_t.decode(br)
+    diff = _extend(br.bits(size), size) if size else 0
+    dc = prev_dc + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = ac_t.decode(br)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        zz[k] = _extend(br.bits(size), size)
+        k += 1
+    return zz, dc
+
+
+def _idct_plane(zz_blocks: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(nbh, nbw, 64) zigzag ints × quant table → (nbh*8, nbw*8)
+    float pixel plane, all blocks batched."""
+    nbh, nbw = zz_blocks.shape[:2]
+    coefs = ((zz_blocks.reshape(-1, 64) * q)[:, _INV_ZZ]
+             .reshape(nbh, nbw, 8, 8).astype(np.float64))
+    pixels = np.einsum("xu,biuv,yv->bixy", _C.T, coefs, _C.T) + 128.0
+    return pixels.transpose(0, 2, 1, 3).reshape(nbh * 8, nbw * 8)
+
+
+def _decode_baseline(payload: bytes):
+    """Any single-scan baseline (SOF0) JPEG → (h, w, [(comp, plane)])
+    where comp = {id, hs, vs} and plane is the component's own-grid
+    uint8 raster (not yet upsampled). Multi-component scans decode
+    MCU-interleaved per T.81 A.2.3; a single-component scan is a plain
+    8×8 raster regardless of declared sampling factors (A.2.2)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     i = 2
@@ -283,7 +445,8 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     dc_tabs: dict[int, _HuffDecoder] = {}
     ac_tabs: dict[int, _HuffDecoder] = {}
     h = w = None
-    comp_q = comp_dc = comp_ac = 0
+    comps: list[dict] = []
+    scan: list[dict] = []
     while i < len(payload):
         if payload[i] != 0xFF:
             raise ValueError("marker expected")
@@ -315,13 +478,22 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                     j += 64
         elif marker == 0xC0:  # SOF0 baseline
             h, w = struct.unpack_from(">HH", seg, 1)
-            if seg[5] != 1:
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "only single-component (grayscale) baseline JPEG; "
-                    "pass decoder= (e.g. PIL) for color")
-            comp_q = seg[8]
+                    f"{ncomp}-component JPEG (CMYK?) unsupported; "
+                    "pass decoder= (e.g. PIL)")
+            comps = [{"id": seg[6 + 3 * c],
+                      "hs": seg[7 + 3 * c] >> 4,
+                      "vs": seg[7 + 3 * c] & 0x0F,
+                      "tq": seg[8 + 3 * c]} for c in range(ncomp)]
+            for c in comps:
+                if c["hs"] < 1 or c["vs"] < 1:
+                    raise ValueError("invalid sampling factor")
         elif marker in (0xC1, 0xC2, 0xC3):
-            raise NotImplementedError("only baseline (SOF0) JPEG")
+            raise NotImplementedError(
+                "only baseline (SOF0) JPEG; pass decoder= (e.g. PIL) "
+                "for progressive/extended")
         elif marker == 0xC4:  # DHT (possibly several tables)
             j = 0
             while j < len(seg):
@@ -336,50 +508,96 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             if struct.unpack_from(">H", seg, 0)[0] != 0:
                 raise NotImplementedError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS — entropy data follows
-            comp_dc, comp_ac = seg[2] >> 4, seg[2] & 0x0F
+            ns = seg[0]
+            by_id = {c["id"]: c for c in comps}
+            for s in range(ns):
+                cid, tt = seg[1 + 2 * s], seg[2 + 2 * s]
+                if cid not in by_id:
+                    raise ValueError("scan references unknown component")
+                scan.append({**by_id[cid], "td": tt >> 4, "ta": tt & 0x0F})
             break
         # APPn/COM: skipped
     else:
         raise ValueError("no SOS marker")
     if h is None:
         raise ValueError("no SOF before SOS")
+    if len(scan) != len(comps):
+        raise NotImplementedError(
+            "multi-scan (non-interleaved) baseline unsupported")
 
     br = _BitReader(payload[i:])
-    dc_t, ac_t = dc_tabs[comp_dc], ac_tabs[comp_ac]
-    q = quant[comp_q]
-    nbh, nbw = -(-h // 8), -(-w // 8)
-    out = np.empty((nbh * nbw, 64), dtype=np.int64)
-    prev_dc = 0
-    for b in range(nbh * nbw):
-        zz = np.zeros(64, dtype=np.int64)
-        size = dc_t.decode(br)
-        diff = _extend(br.bits(size), size) if size else 0
-        prev_dc += diff
-        zz[0] = prev_dc
-        k = 1
-        while k < 64:
-            rs = ac_t.decode(br)
-            run, size = rs >> 4, rs & 0x0F
-            if size == 0:
-                if run == 15:  # ZRL
-                    k += 16
-                    continue
-                break  # EOB
-            k += run
-            if k > 63:
-                raise ValueError("AC run overflows block")
-            zz[k] = _extend(br.bits(size), size)
-            k += 1
-        out[b] = zz
-    coefs = (out * q)[:, _INV_ZZ].reshape(nbh, nbw, 8, 8).astype(np.float64)
-    pixels = np.einsum("xu,biuv,yv->bixy", _C.T, coefs, _C.T) + 128.0
-    img = (pixels.transpose(0, 2, 1, 3)
-           .reshape(nbh * 8, nbw * 8))[:h, :w]
-    return np.round(img).clip(0, 255).astype(np.uint8)
+    if len(scan) == 1:  # non-interleaved: plain 8×8 raster (A.2.2)
+        c = scan[0]
+        nbh, nbw = -(-h // 8), -(-w // 8)
+        blocks = np.empty((nbh, nbw, 64), dtype=np.int64)
+        prev = 0
+        dc_t, ac_t = dc_tabs[c["td"]], ac_tabs[c["ta"]]
+        for b in range(nbh * nbw):
+            zz, prev = _decode_block(br, dc_t, ac_t, prev)
+            blocks[b // nbw, b % nbw] = zz
+        plane = _idct_plane(blocks, quant[c["tq"]])[:h, :w]
+        return h, w, [(c, np.round(plane).clip(0, 255).astype(np.uint8))]
+
+    hmax = max(c["hs"] for c in scan)
+    vmax = max(c["vs"] for c in scan)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    blocks = {c["id"]: np.zeros((mcuy * c["vs"], mcux * c["hs"], 64),
+                                dtype=np.int64) for c in scan}
+    prev = {c["id"]: 0 for c in scan}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in scan:
+                dc_t, ac_t = dc_tabs[c["td"]], ac_tabs[c["ta"]]
+                for by in range(c["vs"]):
+                    for bx in range(c["hs"]):
+                        zz, prev[c["id"]] = _decode_block(
+                            br, dc_t, ac_t, prev[c["id"]])
+                        blocks[c["id"]][my * c["vs"] + by,
+                                        mx * c["hs"] + bx] = zz
+    planes = []
+    for c in scan:
+        plane = _idct_plane(blocks[c["id"]], quant[c["tq"]])
+        cw = -(-w * c["hs"] // hmax)
+        ch = -(-h * c["vs"] // vmax)
+        planes.append((c, np.round(plane[:ch, :cw])
+                       .clip(0, 255).astype(np.uint8)))
+    return h, w, planes
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Baseline single-component JPEG → (H, W) uint8. Accepts any
+    single-scan grayscale baseline JPEG (not just ours); color JPEG
+    decodes via :func:`decode_jpeg` and converts to BT.601 luma."""
+    h, w, planes = _decode_baseline(payload)
+    if len(planes) == 1:
+        return planes[0][1]
+    rgb = decode_jpeg(payload).astype(np.float64)
+    return np.round(rgb @ [0.299, 0.587, 0.114]).clip(0, 255) \
+             .astype(np.uint8)
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """JPEG → (H, W, 3) uint8 (gray replicated to the RGB shape the
-    multimodal feature/resize operators expect)."""
-    g = decode_jpeg_gray(payload)
-    return np.repeat(g[:, :, None], 3, axis=2)
+    """JPEG → (H, W, 3) uint8 RGB: grayscale baseline replicates the
+    luma plane; 3-component baseline (4:4:4 / 4:2:2 / 4:2:0 and any
+    other integer-ratio sampling) upsamples chroma to the luma grid
+    (sample replication) and converts JFIF/BT.601 YCbCr → RGB."""
+    h, w, planes = _decode_baseline(payload)
+    if len(planes) == 1:
+        g = planes[0][1]
+        return np.repeat(g[:, :, None], 3, axis=2)
+    hmax = max(c["hs"] for c, _ in planes)
+    vmax = max(c["vs"] for c, _ in planes)
+    up = []
+    for c, p in planes:
+        if hmax % c["hs"] or vmax % c["vs"]:
+            raise NotImplementedError(
+                "non-integer chroma sampling ratio unsupported")
+        rep = np.repeat(np.repeat(p, vmax // c["vs"], axis=0),
+                        hmax // c["hs"], axis=1)[:h, :w]
+        up.append(rep.astype(np.float64))
+    y, cb, cr = up  # SOF component order is Y, Cb, Cr (JFIF)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return (np.round(np.stack([r, g, b], axis=-1))
+            .clip(0, 255).astype(np.uint8))

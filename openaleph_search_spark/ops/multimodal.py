@@ -125,8 +125,9 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if payload[:2] == b"\xff\xd8":
         # real baseline-JPEG path (ops/jpeg.py, numpy+stdlib):
-        # grayscale baseline decodes natively; color JPEG raises
-        # NotImplementedError inside with the decoder= hint
+        # grayscale AND 3-component YCbCr baseline (4:4:4/4:2:2/4:2:0)
+        # decode natively; progressive/CMYK raise NotImplementedError
+        # inside with the decoder= hint
         from .jpeg import decode_jpeg
         return decode_jpeg(payload)
     raise NotImplementedError(
@@ -276,9 +277,13 @@ def synthesize_media(spark, n: int = 64) -> DataFrame:
                     if int(mid) % 2:
                         # every other image row is a REAL baseline
                         # JPEG (ops/jpeg.py) so the default decode
-                        # path covers a codec format end-to-end
-                        from .jpeg import encode_jpeg_gray
-                        payloads.append(encode_jpeg_gray(img))
+                        # path covers a codec format end-to-end —
+                        # alternating color 4:2:0 and grayscale
+                        from .jpeg import (encode_jpeg_color,
+                                           encode_jpeg_gray)
+                        enc = (encode_jpeg_color if int(mid) % 4 == 1
+                               else encode_jpeg_gray)
+                        payloads.append(enc(img))
                         mimes.append("image/jpeg")
                     else:
                         payloads.append(encode_ppm(img))

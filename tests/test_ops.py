@@ -393,6 +393,70 @@ def test_jpeg_codec_parity(spark):
             decode_jpeg_gray(bad)
 
 
+def test_jpeg_color_codec(spark):
+    """3-component YCbCr baseline JPEG: 4:4:4 round-trips within
+    DCT+colorspace rounding on arbitrary images; 4:2:2/4:2:0 stay
+    faithful on chroma-smooth content; payloads decode through the
+    default multimodal path and feed feature extraction."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+    from openaleph_search_spark.ops.jpeg import (decode_jpeg,
+                                                 decode_jpeg_gray,
+                                                 encode_jpeg_color)
+    from openaleph_search_spark.ops.multimodal import (
+        decode_image, extract_features, image_features, synthesize_media)
+    rs = np.random.RandomState(11)
+    # 4:4:4: every pixel within a few levels even on random noise
+    for shape in [(8, 8), (24, 17), (33, 41), (7, 9)]:
+        src = rs.randint(0, 256, (*shape, 3)).astype(np.uint8)
+        pay = encode_jpeg_color(src, subsampling="4:4:4")
+        dec = decode_jpeg(pay)
+        assert dec.shape == src.shape
+        assert int(np.abs(dec.astype(int) - src.astype(int)).max()) <= 4
+    # subsampled variants: smooth gradient survives chroma decimation
+    yy, xx = np.mgrid[0:33, 0:41]
+    grad = np.stack([xx * 255 // 40, yy * 255 // 32,
+                     (xx + yy) * 255 // 72], axis=-1).astype(np.uint8)
+    for sub in ("4:2:2", "4:2:0"):
+        pay = encode_jpeg_color(grad, subsampling=sub)
+        dec = decode_jpeg(pay)
+        assert dec.shape == grad.shape
+        err = np.abs(dec.astype(int) - grad.astype(int))
+        assert err.mean() < 3 and err.max() <= 16, (sub, err.max())
+    # 4:2:0 payload is smaller than 4:4:4 on the same image (headers
+    # are fixed-size, so compare whole payloads only directionally)
+    assert len(encode_jpeg_color(grad, "4:2:0")) < \
+        len(encode_jpeg_color(grad, "4:4:4"))
+    # color payload through the generic dispatch + luma projection
+    pay = encode_jpeg_color(grad, "4:2:0")
+    assert pay[:3] == b"\xff\xd8\xff" and pay[-2:] == b"\xff\xd9"
+    assert decode_image(pay).shape == (33, 41, 3)
+    lum = decode_jpeg_gray(pay)
+    want = np.round(grad.astype(np.float64) @ [0.299, 0.587, 0.114])
+    assert np.abs(lum.astype(np.float64) - want).mean() < 3
+    # CMYK-ish component counts stay gated with the decoder= hint
+    sof = pay.index(b"\xff\xc0")
+    bad = bytearray(pay)
+    bad[sof + 9] = 4  # ncomp byte of SOF0
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))
+    # synthesized media now carries color JPEG rows; features flow
+    media = synthesize_media(spark, 40)
+    jpgs = media.filter(F.col("mime") == "image/jpeg").collect()
+    n_color = 0
+    for r in jpgs:
+        img = decode_jpeg(bytes(r["payload"]))
+        if not (img[..., 0] == img[..., 1]).all():
+            n_color += 1
+    assert n_color > 0  # at least one payload decodes as true color
+    feats = {r["media_id"]: r["features"] for r in extract_features(
+        media.filter(F.col("mime") == "image/jpeg")).collect()}
+    for r in jpgs:
+        want = image_features(decode_jpeg(bytes(r["payload"])))
+        assert np.allclose(feats[r["media_id"]], want, atol=1e-6)
+
+
 def test_embedding_near_dup_pairs(spark):
     """Embedding-cosine near-dup: identical vectors always pair; the
     verify step is exact cosine."""
