@@ -29,7 +29,7 @@ OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/BENCH_r05_local.json"
 STATE = "/tmp/scaling_watch_state"
 TARGET_ROUNDS = 5
 AMBIENT_MIN = 10.0      # sorts/s; healthy ≈ 20-40, storms < 1
-LOAD_MAX = 4.0          # our own fg jobs push loadavg >> this
+LOAD_MAX = 2.0          # our own fg jobs push loadavg >> this
 PAIR = (1, 4)
 MAX_WALL = float(os.environ.get("SCALING_WATCH_MAX_S", 4 * 3600))
 
@@ -61,10 +61,17 @@ def main() -> None:
     partitions = 8 * bench.CPUS
     n_tasks = max(32, 4 * n4)
     rounds: list[dict] = []
-    if os.path.exists(OUT):  # resume: keep rounds already collected
-        try:
+    if os.path.exists(OUT):  # resume: keep rounds already collected,
+        try:                 # re-grading them against current gates
             with open(OUT) as f:
                 rounds = json.load(f).get("rounds", [])
+            for r in rounds:
+                if r.get("clean"):
+                    r["clean"] = (
+                        r.get("ambient_before", 0) >= AMBIENT_MIN
+                        and r.get("ambient_after", 0) >= AMBIENT_MIN
+                        and r.get("load_before", 99) <= LOAD_MAX
+                        and r.get("load_after", 0) <= LOAD_MAX + n + n4)
         except Exception:
             pass
     t_start = time.time()
