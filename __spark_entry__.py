@@ -1358,6 +1358,120 @@ ORDER BY round(c, 6) DESC, vec_id LIMIT {k}
 """
 
 
+_V_CATS: dict[str, object] = {}
+
+
+def _versions_cat(spark: SparkSession, sf_dir: str):
+    """Two-version index catalog for S12 (the reference's read-over-
+    versions alias, index/indexes.py:76-97): v1 = the full corpus;
+    v2 = a mid-reindex snapshot where docs with did%3==0 are not yet
+    reindexed (dropped) and docs with did%5==0 changed (' versiontwo'
+    appended) — did = the source documents.doc_id from the path."""
+    import shutil
+    from openaleph_search_spark.index.build import (LAYOUT_VERSION,
+                                                    build_index)
+    from openaleph_search_spark.index.versions import IndexVersions
+    from openaleph_search_spark.sources.code_table import load_docs
+    key = os.path.abspath(sf_dir)
+    if key not in _V_CATS:
+        root = os.path.join(
+            "/tmp", "oa_idxv_" + os.path.basename(key.rstrip("/")))
+        cfg = {"layout_version": LAYOUT_VERSION,
+               "v2_rule": "drop did%3==0; append ' versiontwo' "
+                          "for did%5==0",
+               "num_partitions": 4, "num_shards": 2}
+        cat = IndexVersions(spark, root)
+        if (_cache_stale(cat.path("v1"), cfg)
+                or _cache_stale(cat.path("v2"), cfg)):
+            shutil.rmtree(root, ignore_errors=True)
+            docs = load_docs(spark, sf_dir)
+            did = F.regexp_extract("path", r"mod_(\d+)\.", 1) \
+                .cast("long")
+            build_index(spark, docs, cat.path("v1"),
+                        num_partitions=4, num_shards=2)
+            docs2 = (docs.filter(did % 3 != 0)
+                     .withColumn(
+                         "content",
+                         F.when(did % 5 == 0,
+                                F.concat("content",
+                                         F.lit(" versiontwo")))
+                         .otherwise(F.col("content"))))
+            build_index(spark, docs2, cat.path("v2"),
+                        num_partitions=4, num_shards=2)
+            _mark_built(cat.path("v1"), cfg)
+            _mark_built(cat.path("v2"), cfg)
+        cat.set_alias(read=["v1", "v2"], write="v2")
+        _V_CATS[key] = cat
+    return _V_CATS[key]
+
+
+def s12_versions_union(spark, sf_dir):
+    """S12: query the union of two index versions mid-cutover —
+    per-version BM25 statistics (ES scores each physical index with
+    its own idf/avgdl), newest-wins on the logical doc key for docs
+    matching in both versions, v1-only matches still served."""
+    cat = _versions_cat(spark, sf_dir)
+    res = cat.search({"q": "merge join", "limit": 9999})
+    out = _orig_id(res.hits).select(
+        "doc_id", F.round("score", 4).alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+def _s12_sql(k: int = 20) -> str:
+    """Two-corpus BM25 with newest-wins merge, mirroring
+    _versions_cat's v2 derivation on the documents view."""
+    def ver(tag: str, rel: str) -> str:
+        return f"""
+tok{tag} AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM {rel}
+),
+tf{tag} AS (
+  SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+  FROM tok{tag} GROUP BY doc_id, term
+),
+st{tag} AS (
+  SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl
+  FROM {rel}
+),
+df{tag} AS (
+  SELECT term, count(*) AS df FROM tf{tag} GROUP BY term
+),
+s{tag} AS (
+  SELECT tf{tag}.doc_id,
+         sum( ln(1 + (st{tag}.n - df{tag}.df + 0.5)
+                 / (df{tag}.df + 0.5))
+              * tf{tag}.tf
+              / (tf{tag}.tf + {K1} * (1 - {B} + {B} * tf{tag}.dl
+                                      / st{tag}.avgdl))
+         ) AS score
+  FROM tf{tag} JOIN df{tag} USING (term) CROSS JOIN st{tag}
+  WHERE tf{tag}.term IN ('join', 'merge')
+  GROUP BY tf{tag}.doc_id
+  HAVING count(*) = 2
+)"""
+    return f"""
+WITH v2docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' versiontwo'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 3 <> 0
+),
+{ver('1', 'documents')},
+{ver('2', 'v2docs')},
+merged AS (
+  SELECT doc_id, score FROM s2
+  UNION ALL
+  SELECT doc_id, score FROM s1
+  WHERE doc_id NOT IN (SELECT doc_id FROM s2)
+)
+SELECT doc_id, round(score, 4) AS score FROM merged
+ORDER BY round(score, 4) DESC, doc_id
+LIMIT {k}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 match top-k over the sf0.001 code table."""
     return q28_bm25_match_topk(spark, "/root/testdata/sf0.001")
@@ -1373,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02/r03.json) lead; the 50 that just recorded r4
     # rows follow in their r4 order. Rotate again next round.
     return {
+        "s12_versions_union": s12_versions_union,
         "a1_terms_facet": a1_terms_facet,
         "a2_cardinality": a2_cardinality,
         "a3_date_histogram": a3_date_histogram,
@@ -1581,6 +1696,7 @@ SELECT doc_id, md5(norm) AS fingerprint_md5,
 FROM t
 """
     return {
+        "s12_versions_union": _s12_sql(20),
         "q28_bm25_match_topk": _bm25_sql(
             ["spark", "query", "join"], 20, "and"),
         "q9_bool_or": _bm25_sql(["merge", "window", "vector"], 20, "or"),
