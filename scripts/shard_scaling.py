@@ -29,6 +29,8 @@ import bench  # noqa: E402
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/BENCH_shards.json"
 S_BASE = max(4, bench.CPUS // 2)
 REPS = 15
+REPLICATE = int(os.environ.get("SPARK_GRAFT_SHARDS_REPLICATE",
+                               str(bench.REPLICATE)))
 
 QUERIES = [
     ("q_match_and", {"q": "spark query join", "limit": 10}),
@@ -39,13 +41,13 @@ QUERIES = [
 
 def build(tag: str, shards: int, spark) -> str:
     from openaleph_search_spark.index.build import build_index
-    out = f"/tmp/bench_idx_shards_{shards}"
+    out = f"/tmp/bench_idx_shards_{REPLICATE}_{shards}"
     if os.path.exists(os.path.join(out, "meta.json")):
         return out
-    docs_dir = f"/tmp/bench_docs_r{bench.REPLICATE}"
+    docs_dir = f"/tmp/bench_docs_r{REPLICATE}"
     if not os.path.exists(os.path.join(docs_dir, "_SUCCESS")):
         from openaleph_search_spark.sources.code_table import load_docs
-        (load_docs(spark, bench.SF_DIR, replicate=bench.REPLICATE)
+        (load_docs(spark, bench.SF_DIR, replicate=REPLICATE)
          .write.mode("overwrite").parquet(docs_dir))
     docs = spark.read.parquet(docs_dir)
     t0 = time.time()
@@ -64,7 +66,8 @@ def main() -> None:
         engines[s] = Engine(spark, build(f"s{s}", s, spark))
         engines[s].doc_meta.cache().count()
 
-    result = {"cpus": bench.CPUS, "shards_base": S_BASE,
+    result = {"cpus": bench.CPUS, "replicate": REPLICATE,
+              "shards_base": S_BASE,
               "shards_2x": 2 * S_BASE, "reps": REPS, "queries": {}}
     for name, args in QUERIES:
         # rank/score identity across shard counts (determinism)
