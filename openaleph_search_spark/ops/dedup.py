@@ -672,9 +672,44 @@ def _strip_boiler_batches():
     return fn
 
 
+def strip_boilerplate_broadcast_kernel(pdf: pd.DataFrame,
+                                       hashes: frozenset
+                                       ) -> pd.DataFrame:
+    """Batch kernel behind the broadcast path of
+    :func:`strip_boilerplate_lines` (module level so tests can fuzz
+    it without Spark). Hashes each (space-trimmed, matching Spark's
+    ``F.trim``) line with md5 inside the Arrow batch and masks
+    members of ``hashes``. NULL text behaves like empty text."""
+    import hashlib
+
+    pdf = pdf.reset_index(drop=True)
+    ex = pdf["_text"].fillna("").str.split("\n").explode()
+    row = ex.index.to_numpy(np.int64)
+    flat = ex.to_numpy(object)
+    lens = np.bincount(row, minlength=len(pdf)).astype(np.int64)
+    if len(flat) and hashes:
+        keep = np.fromiter(
+            (hashlib.md5(s.strip(" ").encode()).hexdigest()
+             not in hashes for s in flat),
+            dtype=bool, count=len(flat))
+    else:
+        keep = np.ones(len(flat), dtype=bool)
+    kept_row = row[keep]
+    kept = pd.Series(flat[keep]).groupby(kept_row).agg("\n".join)
+    kept_n = np.bincount(kept_row, minlength=len(pdf))
+    return pd.DataFrame({
+        "doc_id": pdf["doc_id"],
+        "text_clean": kept.reindex(
+            np.arange(len(pdf))).fillna("").to_numpy(),
+        "n_lines": lens,
+        "n_lines_removed": lens - kept_n})
+
+
 def strip_boilerplate_lines(df: DataFrame, boiler: DataFrame,
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
+                            text_col: str = "text",
+                            max_broadcast_lines: int = 2_000_000
+                            ) -> DataFrame:
     """Remove every line whose hash is in ``boiler`` (the output of
     :func:`boilerplate_lines`, pre-filtered to the caller's removal
     policy) from each doc. → (doc_id, text_clean, n_lines,
@@ -683,13 +718,35 @@ def strip_boilerplate_lines(df: DataFrame, boiler: DataFrame,
     Every input doc appears in the output — NULL text yields
     ``text_clean = ''`` (same as empty text).
 
-    Shape (the :func:`cut_spans` pattern — corpus text never
-    shuffles): the (doc_id, pos, line_hash) stream is joined against
-    the vocabulary-sized ``boiler`` set (AQE broadcasts it, so the
-    stream itself is not exchanged), leaving only boilerplate HIT
-    positions — tiny int rows — to shuffle into a per-doc sorted
-    array; that array joins back to the docs (again broadcast-sized)
-    and one mapInPandas pass masks the flagged lines per doc."""
+    Shape: the boilerplate set is VOCABULARY-sized (distinct lines
+    repeated across ≥ min_docs docs — license headers, banners), so
+    its hashes are collected and broadcast, and one mapInPandas pass
+    over the docs hashes + masks lines in place: the corpus text is
+    scanned once and NEVER shuffles, not even to local shuffle files
+    (plan asserted in tests/test_plans.py). If the set exceeds
+    ``max_broadcast_lines`` (degenerate corpus), it falls back to the
+    join shape: (doc_id, pos, line_hash) stream ⋈ boiler → per-doc
+    hit positions joined back to the docs — the text then takes one
+    exchange, still never the pre-r4 two."""
+    base = (rebalance_small(df)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("_text")))
+    hash_rows = (boiler.select("line_hash")
+                 .limit(max_broadcast_lines + 1).collect())
+    if len(hash_rows) <= max_broadcast_lines:
+        hset = frozenset(r[0] for r in hash_rows)
+        bc = df.sparkSession.sparkContext.broadcast(hset)
+
+        def fn(it):
+            for pdf in it:
+                if len(pdf):
+                    yield strip_boilerplate_broadcast_kernel(
+                        pdf, bc.value)
+
+        return base.mapInPandas(
+            fn, schema=("doc_id long, text_clean string, "
+                        "n_lines long, n_lines_removed long"))
+
     pos_hash = (df.select(F.col(id_col).alias("doc_id"),
                           F.posexplode(F.split(F.col(text_col), "\n"))
                           .alias("pos", "_raw"))
@@ -698,12 +755,9 @@ def strip_boilerplate_lines(df: DataFrame, boiler: DataFrame,
     rm = (pos_hash.join(boiler.select("line_hash"), "line_hash")
           .groupBy(F.col("doc_id").alias("_rid"))
           .agg(F.sort_array(F.collect_list("pos")).alias("_rm")))
-    base = (rebalance_small(df)
-            .select(F.col(id_col).alias("doc_id"),
-                    F.col(text_col).alias("_text"))
-            .join(rm, F.col("doc_id") == F.col("_rid"), "left")
-            .drop("_rid"))
-    return base.mapInPandas(
+    joined = (base.join(rm, F.col("doc_id") == F.col("_rid"), "left")
+              .drop("_rid"))
+    return joined.mapInPandas(
         _strip_boiler_batches(),
         schema=("doc_id long, text_clean string, "
                 "n_lines long, n_lines_removed long"))

@@ -13,10 +13,17 @@ single-scan baseline JPEG (grayscale or color, any integer-ratio
 sampling, multiple quant/Huffman tables), not just our encoder's
 output.
 
-Scope: no restart markers, no progressive (SOF2), no multi-scan
-non-interleaved color, no 2-/4-component (CMYK) — those stay on the
-``decoder=`` hook (PIL at deploy time). The point is a real
-end-to-end codec-format path for the Spark multimodal plumbing
+Progressive (SOF2) is also supported end-to-end (T.81 Annex G,
+Huffman coding): spectral selection + successive approximation on
+both the encode side (libjpeg-style default scan script, EOB-run
+accumulation, buffered correction bits) and the decode side (DC
+first/refine, AC first/refine with EOB runs), interleaved DC scans
+and non-interleaved AC scans, grayscale and color.
+
+Scope: no restart markers, no multi-scan non-interleaved *baseline*,
+no 2-/4-component (CMYK), no arithmetic coding, no 12-bit — those
+stay on the ``decoder=`` hook (PIL at deploy time). The point is a
+real end-to-end codec-format path for the Spark multimodal plumbing
 (feature-extract / resize over opaque binary columns), not a libjpeg
 replacement.
 
@@ -259,13 +266,11 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
 _SUBSAMPLING = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
 
 
-def encode_jpeg_color(img: np.ndarray,
-                      subsampling: str = "4:2:0") -> bytes:
-    """(H, W, 3) uint8 RGB → baseline color JFIF bytes: JFIF/BT.601
-    YCbCr, chroma box-subsampled per ``subsampling`` (4:4:4 / 4:2:2 /
-    4:2:0), MCU-interleaved scan, standard luminance tables for Y and
-    standard chrominance tables for Cb/Cr (Annex K), unity
-    quantization (tables 0/1) for tight decode-parity fixtures."""
+def _ycbcr_zz(img: np.ndarray, subsampling: str):
+    """(H, W, 3) uint8 RGB → (h, w, sh, sv, {y/cb/cr: zigzag block
+    array}): JFIF/BT.601 YCbCr, MCU padding, chroma box-averaged to
+    the subsampled grid, forward DCT. Shared by the baseline and
+    progressive color encoders."""
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("expected (H, W, 3) RGB")
     sh, sv = _SUBSAMPLING[subsampling]
@@ -288,11 +293,21 @@ def encode_jpeg_color(img: np.ndarray,
     for k in ("cb", "cr"):
         c = pad[k]
         sub[k] = c.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
-    zz = {k: _fdct_zz(v) for k, v in sub.items()}
+    return h, w, sh, sv, {k: _fdct_zz(v) for k, v in sub.items()}
+
+
+def encode_jpeg_color(img: np.ndarray,
+                      subsampling: str = "4:2:0") -> bytes:
+    """(H, W, 3) uint8 RGB → baseline color JFIF bytes: JFIF/BT.601
+    YCbCr, chroma box-subsampled per ``subsampling`` (4:4:4 / 4:2:2 /
+    4:2:0), MCU-interleaved scan, standard luminance tables for Y and
+    standard chrominance tables for Cb/Cr (Annex K), unity
+    quantization (tables 0/1) for tight decode-parity fixtures."""
+    h, w, sh, sv, zz = _ycbcr_zz(img, subsampling)
 
     bw = _BitWriter()
     prev = {"y": 0, "cb": 0, "cr": 0}
-    mcuy, mcux = ph // mh, pw // mw
+    mcuy, mcux = zz["y"].shape[0] // sv, zz["y"].shape[1] // sh
     for my in range(mcuy):
         for mx in range(mcux):
             for by in range(sv):
@@ -490,10 +505,12 @@ def _decode_baseline(payload: bytes):
             for c in comps:
                 if c["hs"] < 1 or c["vs"] < 1:
                     raise ValueError("invalid sampling factor")
-        elif marker in (0xC1, 0xC2, 0xC3):
+        elif marker == 0xC2:
+            raise _Progressive()  # handled by _decode_any
+        elif marker in (0xC1, 0xC3):
             raise NotImplementedError(
-                "only baseline (SOF0) JPEG; pass decoder= (e.g. PIL) "
-                "for progressive/extended")
+                "only baseline (SOF0) / progressive (SOF2) JPEG; pass "
+                "decoder= (e.g. PIL) for extended/lossless")
         elif marker == 0xC4:  # DHT (possibly several tables)
             j = 0
             while j < len(seg):
@@ -564,11 +581,540 @@ def _decode_baseline(payload: bytes):
     return h, w, planes
 
 
+class _Progressive(Exception):
+    """Internal: baseline parser hit SOF2 — reroute to the
+    progressive decoder."""
+
+
+def _decode_any(payload: bytes):
+    """Dispatch on the frame type: SOF0 → baseline path, SOF2 →
+    progressive path. Both return the same (h, w, planes) shape."""
+    try:
+        return _decode_baseline(payload)
+    except _Progressive:
+        return _decode_progressive(payload)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2, T.81 Annex G, Huffman)
+# ---------------------------------------------------------------------------
+
+# fixed encoder-side Huffman table covering every progressive symbol
+# (EOBn codes 0x10..0xE0 are NOT in the Annex K baseline tables): one
+# 8-bit code + 255 9-bit codes — Kraft 2^-8 + 255·2^-9 ≈ 0.50, and the
+# largest 9-bit code is 0b100000000, so no all-ones codeword. Poor
+# compression, exact parity — these are codec-plumbing fixtures, not a
+# rate-optimized encoder.
+_FLAT_BITS = [0, 0, 0, 0, 0, 0, 0, 1, 255, 0, 0, 0, 0, 0, 0, 0]
+_FLAT_VALS = list(range(256))
+_FLAT_CODES = _canonical_codes(_FLAT_BITS, _FLAT_VALS)
+
+# libjpeg's default scan scripts: spectral selection + two-level
+# successive approximation, every coefficient refined down to Al=0
+# (so the entropy stage stays lossless and decode parity is exact).
+_PROG_SCRIPT_GRAY = (
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+_PROG_SCRIPT_COLOR = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+class _ScanState:
+    """Per-scan progressive entropy-encoder state: the EOB-run
+    accumulator plus the correction bits of completed-run blocks,
+    which must be emitted right after the EOBn symbol (G.1.2.3)."""
+
+    def __init__(self, bw: _BitWriter):
+        self.bw = bw
+        self.eobrun = 0
+        self.be: list[int] = []
+
+    def sym(self, s: int):
+        code, ln = _FLAT_CODES[s]
+        self.bw.write(code, ln)
+
+    def flush_bits(self, bits: list[int]):
+        for b in bits:
+            self.bw.write(b, 1)
+
+    def emit_eobrun(self):
+        if self.eobrun:
+            n = self.eobrun.bit_length() - 1
+            self.sym(n << 4)
+            if n:
+                self.bw.write(self.eobrun & ((1 << n) - 1), n)
+            self.eobrun = 0
+            self.flush_bits(self.be)
+            self.be = []
+
+
+def _enc_dc_prog(st: _ScanState, dc: int, cid: int, pred: dict,
+                 ah: int, al: int):
+    if ah == 0:  # first scan: diff-code the point-transformed DC
+        shifted = dc >> al  # arithmetic shift, matches decode << al
+        diff = shifted - pred[cid]
+        pred[cid] = shifted
+        size = _category(diff)
+        st.sym(size)
+        if size:
+            st.bw.write(diff if diff > 0 else diff + (1 << size) - 1,
+                        size)
+    else:  # refinement: one low-order bit per block
+        st.bw.write((dc >> al) & 1, 1)
+
+
+def _enc_ac_first_block(st: _ScanState, zz: np.ndarray, ss: int,
+                        se: int, al: int):
+    """AC first scan for one block (G.1.2.2): run/size coding of the
+    point-transformed band with cross-block EOB runs."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        m = abs(v) >> al
+        if m == 0:
+            r += 1
+            continue
+        st.emit_eobrun()
+        while r > 15:
+            st.sym(0xF0)
+            r -= 16
+        size = m.bit_length()
+        st.sym((r << 4) | size)
+        st.bw.write(m if v > 0 else (1 << size) - 1 - m, size)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.emit_eobrun()
+
+
+def _enc_ac_refine_block(st: _ScanState, zz: np.ndarray, ss: int,
+                         se: int, al: int):
+    """AC refinement scan for one block (G.1.2.3): newly-nonzero
+    coefficients carry run/1 + sign; already-nonzero ones contribute
+    buffered correction bits emitted after the next symbol."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob_k = ss - 1  # position of the last newly-nonzero coefficient
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob_k = ss + i
+    r = 0
+    br: list[int] = []  # correction bits since the last symbol
+    for k in range(ss, se + 1):
+        a = absv[k - ss]
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob_k:
+            st.emit_eobrun()
+            st.sym(0xF0)
+            r -= 16
+            st.flush_bits(br)
+            br = []
+        if a > 1:  # history coefficient: buffer its low-order bit
+            br.append(a & 1)
+            continue
+        st.emit_eobrun()
+        st.sym((r << 4) | 1)
+        st.bw.write(1 if int(zz[k]) > 0 else 0, 1)
+        st.flush_bits(br)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.be.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.emit_eobrun()
+
+
+def encode_jpeg_progressive(img: np.ndarray,
+                            subsampling: str = "4:2:0",
+                            scans=None) -> bytes:
+    """(H, W) grayscale or (H, W, 3) RGB uint8 → progressive (SOF2)
+    JFIF bytes. Same color model, padding, and unity quantization as
+    the baseline encoders — only the entropy stage differs, so the
+    decoded coefficients are bit-identical to the baseline encoding
+    of the same image. ``scans`` overrides the libjpeg-style default
+    scan script: a sequence of (comp_indices, Ss, Se, Ah, Al)."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        h, w = img.shape
+        if h == 0 or w == 0:
+            raise ValueError("empty image")
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        padded = np.pad(img, ((0, ph - h), (0, pw - w)),
+                        mode="edge").astype(np.float64)
+        zzs = [_fdct_zz(padded)]
+        samp = [(1, 1)]
+        script = scans or _PROG_SCRIPT_GRAY
+    else:
+        h, w, sh, sv, zzd = _ycbcr_zz(img, subsampling)
+        zzs = [zzd["y"], zzd["cb"], zzd["cr"]]
+        samp = [(sh, sv), (1, 1), (1, 1)]
+        script = scans or _PROG_SCRIPT_COLOR
+    ncomp = len(zzs)
+    hmax = max(s for s, _ in samp)
+    vmax = max(v for _, v in samp)
+    nb = []  # per-component non-interleaved block dims (A.2.2)
+    for cs_h, cs_v in samp:
+        cw, ch = -(-w * cs_h // hmax), -(-h * cs_v // vmax)
+        nb.append((-(-ch // 8), -(-cw // 8)))
+
+    parts = [
+        b"\xff\xd8",
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00",
+    ]
+    for t in range(1 if ncomp == 1 else 2):
+        parts.append(b"\xff\xdb" + struct.pack(">H", 67) + bytes([t])
+                     + bytes(int(x) for x in _QUANT_UNITY))
+    sof = b"\x08" + struct.pack(">HH", h, w) + bytes([ncomp])
+    for c in range(ncomp):
+        cs_h, cs_v = samp[c]
+        sof += bytes([c + 1, (cs_h << 4) | cs_v, min(c, 1)])
+    parts.append(b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof)
+    parts.append(_dht_segment(0x00, _FLAT_BITS, _FLAT_VALS))
+    parts.append(_dht_segment(0x10, _FLAT_BITS, _FLAT_VALS))
+
+    for cs, ss, se, ah, al in script:
+        bw = _BitWriter()
+        st = _ScanState(bw)
+        if ss == 0:  # DC scan (interleaved when multi-component)
+            if se != 0:
+                raise ValueError("DC scan must have Se == 0")
+            pred = {c: 0 for c in cs}
+            if len(cs) > 1:
+                mcuy = zzs[0].shape[0] // samp[0][1]
+                mcux = zzs[0].shape[1] // samp[0][0]
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for c in cs:
+                            cs_h, cs_v = samp[c]
+                            for by in range(cs_v):
+                                for bx in range(cs_h):
+                                    _enc_dc_prog(
+                                        st,
+                                        int(zzs[c][my * cs_v + by,
+                                                   mx * cs_h + bx, 0]),
+                                        c, pred, ah, al)
+            else:
+                c = cs[0]
+                nbh, nbw = nb[c]
+                for b in range(nbh * nbw):
+                    _enc_dc_prog(st, int(zzs[c][b // nbw, b % nbw, 0]),
+                                 c, pred, ah, al)
+        else:  # AC scan: single component, non-interleaved
+            if len(cs) != 1:
+                raise ValueError("AC scan must be single-component")
+            c = cs[0]
+            nbh, nbw = nb[c]
+            for b in range(nbh * nbw):
+                blk = zzs[c][b // nbw, b % nbw]
+                if ah == 0:
+                    _enc_ac_first_block(st, blk, ss, se, al)
+                else:
+                    _enc_ac_refine_block(st, blk, ss, se, al)
+            st.emit_eobrun()
+        bw.flush()
+        sos = bytes([len(cs)])
+        for c in cs:
+            sos += bytes([c + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        parts.append(b"\xff\xda" + struct.pack(">H", len(sos) + 2)
+                     + sos)
+        parts.append(bytes(bw.out))
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)
+
+
+def _dec_dc_prog(br: _BitReader, blk: np.ndarray, c: dict, pred: dict,
+                 ah: int, al: int, dc_tabs: dict):
+    if ah == 0:
+        size = dc_tabs[c["td"]].decode(br)
+        diff = _extend(br.bits(size), size) if size else 0
+        pred[c["id"]] += diff
+        blk[0] = pred[c["id"]] << al
+    else:
+        if br.bit():
+            blk[0] |= 1 << al  # two's-complement OR, sign preserved
+
+
+def _dec_ac_first_block(br: _BitReader, ac_t: _HuffDecoder,
+                        blk: np.ndarray, ss: int, se: int, al: int,
+                        eobrun: int) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac_t.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:  # EOBn: run of (1<<r)+bits(r) all-zero bands
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.bits(r)
+                return eobrun - 1
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run overflows band")
+        blk[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _dec_ac_refine_block(br: _BitReader, ac_t: _HuffDecoder,
+                         blk: np.ndarray, ss: int, se: int, al: int,
+                         eobrun: int) -> int:
+    """One block of an AC successive-approximation refinement scan
+    (T.81 G.2 / the standard decode_mcu_AC_refine control flow)."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac_t.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("AC refine size must be 1")
+                val = p1 if br.bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.bits(r)
+                break
+            # advance over r zero-history coefficients, reading a
+            # correction bit at every nonzero-history one passed
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if br.bit() and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("AC refine overflows band")
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # rest of the band: corrections only
+            v = int(blk[k])
+            if v != 0:
+                if br.bit() and (v & p1) == 0:
+                    blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _find_scan_end(payload: bytes, i: int) -> int:
+    """First offset ≥ i holding a real marker (not stuffed 0x00, not
+    a 0xFF fill byte). Restart markers are out of scope."""
+    n = len(payload)
+    j = i
+    while j < n - 1:
+        if payload[j] == 0xFF:
+            nxt = payload[j + 1]
+            if nxt == 0x00:
+                j += 2
+                continue
+            if nxt == 0xFF:
+                j += 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                raise NotImplementedError(
+                    "restart markers unsupported; pass decoder=")
+            return j
+        j += 1
+    return n
+
+
+def _decode_progressive(payload: bytes):
+    """Progressive (SOF2, Huffman) JPEG → (h, w, [(comp, plane)]) in
+    the same shape `_decode_baseline` returns: coefficients are
+    accumulated across every scan (DC/AC, first/refine, interleaved
+    DC and non-interleaved AC), then dequantized + IDCT'd once."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    quant: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _HuffDecoder] = {}
+    ac_tabs: dict[int, _HuffDecoder] = {}
+    h = w = None
+    comps: list[dict] = []
+    coef: dict[int, np.ndarray] = {}
+    dims: dict[int, tuple[int, int]] = {}
+    mcuy = mcux = 0
+    saw_scan = False
+    while i < len(payload) - 1:
+        if payload[i] != 0xFF:
+            raise ValueError("marker expected")
+        if payload[i + 1] == 0xFF:  # fill byte
+            i += 1
+            continue
+        marker = payload[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack_from(">H", payload, i)[0]
+        if seglen < 2:
+            raise ValueError("invalid JPEG segment length")
+        seg = payload[i + 2:i + seglen]
+        i += seglen
+        if marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if pq:
+                    quant[tq] = np.frombuffer(
+                        seg, dtype=">u2", count=64, offset=j
+                    ).astype(np.int64)
+                    j += 128
+                else:
+                    quant[tq] = np.frombuffer(
+                        seg, dtype=np.uint8, count=64, offset=j
+                    ).astype(np.int64)
+                    j += 64
+        elif marker == 0xC4:
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1:j + 17])
+                n = sum(bits)
+                vals = list(seg[j + 17:j + 17 + n])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffDecoder(
+                    bits, vals)
+                j += 17 + n
+        elif marker == 0xDD:
+            if struct.unpack_from(">H", seg, 0)[0] != 0:
+                raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xC2:
+            h, w = struct.unpack_from(">HH", seg, 1)
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"{ncomp}-component JPEG unsupported; pass decoder=")
+            comps = [{"id": seg[6 + 3 * c],
+                      "hs": seg[7 + 3 * c] >> 4,
+                      "vs": seg[7 + 3 * c] & 0x0F,
+                      "tq": seg[8 + 3 * c]} for c in range(ncomp)]
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            if any(c["hs"] < 1 or c["vs"] < 1 for c in comps):
+                raise ValueError("invalid sampling factor")
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            for c in comps:
+                # interleaved-padded storage; non-interleaved scans
+                # cover the top-left dims[c] sub-grid (A.2.2)
+                coef[c["id"]] = np.zeros(
+                    (mcuy * c["vs"], mcux * c["hs"], 64), dtype=np.int64)
+                cw = -(-w * c["hs"] // hmax)
+                ch = -(-h * c["vs"] // vmax)
+                dims[c["id"]] = (-(-ch // 8), -(-cw // 8))
+        elif marker in (0xC0, 0xC1, 0xC3):
+            raise ValueError("mixed frame types")
+        elif marker == 0xDA:
+            if h is None:
+                raise ValueError("no SOF before SOS")
+            ns = seg[0]
+            by_id = {c["id"]: c for c in comps}
+            scan = []
+            for s in range(ns):
+                cid, tt = seg[1 + 2 * s], seg[2 + 2 * s]
+                if cid not in by_id:
+                    raise ValueError("scan references unknown component")
+                scan.append({**by_id[cid], "td": tt >> 4,
+                             "ta": tt & 0x0F})
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            j = _find_scan_end(payload, i)
+            br = _BitReader(payload[i:j])
+            i = j
+            saw_scan = True
+            if ss == 0:  # DC scan
+                if se != 0:
+                    raise ValueError("DC scan with Se != 0")
+                pred = {c["id"]: 0 for c in scan}
+                if len(scan) > 1:
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            for c in scan:
+                                arr = coef[c["id"]]
+                                for by in range(c["vs"]):
+                                    for bx in range(c["hs"]):
+                                        _dec_dc_prog(
+                                            br,
+                                            arr[my * c["vs"] + by,
+                                                mx * c["hs"] + bx],
+                                            c, pred, ah, al, dc_tabs)
+                else:
+                    c = scan[0]
+                    nbh, nbw = dims[c["id"]]
+                    arr = coef[c["id"]]
+                    for b in range(nbh * nbw):
+                        _dec_dc_prog(br, arr[b // nbw, b % nbw], c,
+                                     pred, ah, al, dc_tabs)
+            else:  # AC scan: always non-interleaved
+                if len(scan) != 1:
+                    raise ValueError("AC scan must be single-component")
+                c = scan[0]
+                nbh, nbw = dims[c["id"]]
+                arr = coef[c["id"]]
+                ac_t = ac_tabs[c["ta"]]
+                eobrun = 0
+                for b in range(nbh * nbw):
+                    blk = arr[b // nbw, b % nbw]
+                    if ah == 0:
+                        eobrun = _dec_ac_first_block(
+                            br, ac_t, blk, ss, se, al, eobrun)
+                    else:
+                        eobrun = _dec_ac_refine_block(
+                            br, ac_t, blk, ss, se, al, eobrun)
+    if not saw_scan:
+        raise ValueError("no scan data")
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    planes = []
+    for c in comps:
+        nbh, nbw = dims[c["id"]]
+        plane = _idct_plane(coef[c["id"]][:nbh, :nbw], quant[c["tq"]])
+        cw = -(-w * c["hs"] // hmax)
+        ch = -(-h * c["vs"] // vmax)
+        planes.append((c, np.round(plane[:ch, :cw])
+                       .clip(0, 255).astype(np.uint8)))
+    return h, w, planes
+
+
 def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Baseline single-component JPEG → (H, W) uint8. Accepts any
-    single-scan grayscale baseline JPEG (not just ours); color JPEG
-    decodes via :func:`decode_jpeg` and converts to BT.601 luma."""
-    h, w, planes = _decode_baseline(payload)
+    """Single-component JPEG (baseline or progressive) → (H, W)
+    uint8. Accepts any single-scan grayscale baseline JPEG (not just
+    ours); color JPEG decodes via :func:`decode_jpeg` and converts to
+    BT.601 luma."""
+    h, w, planes = _decode_any(payload)
     if len(planes) == 1:
         return planes[0][1]
     rgb = decode_jpeg(payload).astype(np.float64)
@@ -577,11 +1123,12 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """JPEG → (H, W, 3) uint8 RGB: grayscale baseline replicates the
-    luma plane; 3-component baseline (4:4:4 / 4:2:2 / 4:2:0 and any
-    other integer-ratio sampling) upsamples chroma to the luma grid
-    (sample replication) and converts JFIF/BT.601 YCbCr → RGB."""
-    h, w, planes = _decode_baseline(payload)
+    """JPEG (baseline SOF0 or progressive SOF2) → (H, W, 3) uint8
+    RGB: grayscale replicates the luma plane; 3-component (4:4:4 /
+    4:2:2 / 4:2:0 and any other integer-ratio sampling) upsamples
+    chroma to the luma grid (sample replication) and converts
+    JFIF/BT.601 YCbCr → RGB."""
+    h, w, planes = _decode_any(payload)
     if len(planes) == 1:
         g = planes[0][1]
         return np.repeat(g[:, :, None], 3, axis=2)

@@ -275,15 +275,28 @@ def synthesize_media(spark, n: int = 64) -> DataFrame:
                         np.full((h, w), int(mid) * 37 % 256)],
                         axis=-1).astype(np.uint8)
                     if int(mid) % 2:
-                        # every other image row is a REAL baseline
-                        # JPEG (ops/jpeg.py) so the default decode
-                        # path covers a codec format end-to-end —
-                        # alternating color 4:2:0 and grayscale
+                        # every other image row is a REAL JPEG
+                        # (ops/jpeg.py) so the default decode path
+                        # covers the codec formats end-to-end —
+                        # rotating baseline color 4:2:0 / grayscale /
+                        # progressive color / progressive grayscale
                         from .jpeg import (encode_jpeg_color,
-                                           encode_jpeg_gray)
-                        enc = (encode_jpeg_color if int(mid) % 4 == 1
-                               else encode_jpeg_gray)
-                        payloads.append(enc(img))
+                                           encode_jpeg_gray,
+                                           encode_jpeg_progressive)
+                        m8 = int(mid) % 8
+                        if m8 == 3:
+                            payloads.append(encode_jpeg_progressive(img))
+                        elif m8 == 7:
+                            lum = np.round(
+                                img.astype(np.float64)
+                                @ [0.299, 0.587, 0.114]
+                            ).clip(0, 255).astype(np.uint8)
+                            payloads.append(
+                                encode_jpeg_progressive(lum))
+                        elif m8 == 1:
+                            payloads.append(encode_jpeg_color(img))
+                        else:  # m8 == 5
+                            payloads.append(encode_jpeg_gray(img))
                         mimes.append("image/jpeg")
                     else:
                         payloads.append(encode_ppm(img))

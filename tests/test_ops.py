@@ -457,6 +457,64 @@ def test_jpeg_color_codec(spark):
         assert np.allclose(feats[r["media_id"]], want, atol=1e-6)
 
 
+def test_jpeg_progressive_codec(spark):
+    """Progressive (SOF2) JPEG: same coefficients as the baseline
+    encoders, different entropy stage — so decoding the progressive
+    encoding must be BIT-IDENTICAL to decoding the baseline encoding
+    of the same image. Covers DC first/refine (interleaved and not),
+    AC first/refine with cross-block EOB runs and ZRL, all chroma
+    subsamplings, and the synthesized-media path."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+    from openaleph_search_spark.ops.jpeg import (
+        decode_jpeg, decode_jpeg_gray, encode_jpeg_color,
+        encode_jpeg_gray, encode_jpeg_progressive)
+    from openaleph_search_spark.ops.multimodal import (
+        extract_features, image_features, synthesize_media)
+    rs = np.random.RandomState(7)
+    # grayscale: random + odd sizes (padding) + flat (long EOB runs)
+    for src in [rs.randint(0, 256, (17, 23)).astype(np.uint8),
+                rs.randint(0, 256, (8, 8)).astype(np.uint8),
+                np.full((64, 80), 128, np.uint8)]:
+        pay = encode_jpeg_progressive(src)
+        assert b"\xff\xc2" in pay[:256]  # really SOF2
+        assert pay.count(b"\xff\xda") >= 6  # multi-scan script
+        assert np.array_equal(decode_jpeg_gray(pay),
+                              decode_jpeg_gray(encode_jpeg_gray(src)))
+    # color: every subsampling, exact parity with the baseline path
+    col = rs.randint(0, 256, (21, 19, 3)).astype(np.uint8)
+    for sub in ("4:4:4", "4:2:2", "4:2:0"):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(col, subsampling=sub)),
+            decode_jpeg(encode_jpeg_color(col, subsampling=sub))), sub
+    # custom scan script: single-component DC scans + narrow bands
+    script = (((0,), 0, 0, 0, 0), ((0,), 1, 1, 0, 0),
+              ((0,), 2, 63, 0, 0))
+    g = rs.randint(0, 256, (16, 16)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg_gray(encode_jpeg_progressive(g, scans=script)),
+        decode_jpeg_gray(encode_jpeg_gray(g)))
+    # restart markers stay honestly gated
+    pay = encode_jpeg_progressive(g)
+    sos = pay.index(b"\xff\xda")  # header is 10 bytes; DC entropy ≥ 4
+    broken = pay[:sos + 12] + b"\xff\xd0" + pay[sos + 12:]
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_jpeg_gray(broken)
+    # synthesized media rotates progressive payloads in; features flow
+    media = synthesize_media(spark, 40).filter(
+        F.col("mime") == "image/jpeg")
+    rows = media.collect()
+    n_prog = sum(1 for r in rows
+                 if b"\xff\xc2" in bytes(r["payload"])[:256])
+    assert n_prog > 0
+    feats = {r["media_id"]: r["features"]
+             for r in extract_features(media).collect()}
+    for r in rows:
+        want = image_features(decode_jpeg(bytes(r["payload"])))
+        assert np.allclose(feats[r["media_id"]], want, atol=1e-6)
+
+
 def test_embedding_near_dup_pairs(spark):
     """Embedding-cosine near-dup: identical vectors always pair; the
     verify step is exact cosine."""
@@ -774,6 +832,14 @@ def test_boilerplate_lines_detect_and_strip(spark):
     assert out[4]["text_clean"] == "no header\njust code"
     # NULL text -> doc survives with empty clean text (ADVICE r4)
     assert out[5]["text_clean"] == "" and out[5]["n_lines_removed"] == 0
+    # the guarded join fallback (huge boiler sets) is result-identical
+    fb = {r["doc_id"]: r for r in strip_boilerplate_lines(
+        df, bp, max_broadcast_lines=0).collect()}
+    for d in out:
+        assert (fb[d]["text_clean"], fb[d]["n_lines"],
+                fb[d]["n_lines_removed"]) == \
+               (out[d]["text_clean"], out[d]["n_lines"],
+                out[d]["n_lines_removed"])
 
 
 def test_bpe_learn_and_encode(spark):

@@ -168,6 +168,48 @@ def test_duplicate_spans_plan_shape(spark):
     assert plan.count("Exchange") <= 4
 
 
+def test_strip_boilerplate_text_never_shuffles(spark):
+    """The cut_spans-shaped strip (VERDICT r4 #5): only (doc_id, pos,
+    line_hash) int rows and the boilerplate hit arrays shuffle — no
+    Exchange in the plan may carry the corpus text column. (Input is
+    pre-spread so the small-batch rebalance no-op branch is taken,
+    matching the at-scale shape.)"""
+    import re
+    from openaleph_search_spark.ops.dedup import (boilerplate_lines,
+                                                  strip_boilerplate_lines)
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.createDataFrame(
+        [(i, "common header line for many documents\nbody %d" % i)
+         for i in range(40)],
+        "doc_id long, text string")
+    assert docs.rdd.getNumPartitions() >= par  # rebalance no-op shape
+    boiler = boilerplate_lines(docs, min_docs=3)
+    # the boilerplate detection itself shuffles hashes, never text
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    btxt = boiler._jdf.queryExecution().explainString(mode)
+    bblocks = re.findall(r"\(\d+\) (\w+[\w ]*)\n((?:[A-Z][\w ]*"
+                         r" \[\d+\]: \[[^\]]*\]\n?)*)", btxt)
+    bex = [body for name, body in bblocks
+           if name.startswith("Exchange")]
+    assert bex  # the line-hash aggregation shuffle must exist
+    for body in bex:
+        assert not re.search(r"[\[, ]_?text#", body), body
+    # the strip itself: broadcast-set path — scan + mapInPandas with
+    # NO exchange anywhere (text never even hits shuffle files)
+    out = strip_boilerplate_lines(docs, boiler)
+    assert "Exchange" not in _plan(out)
+    # fallback join path (forced): text takes exactly one exchange
+    fb = strip_boilerplate_lines(docs, boiler, max_broadcast_lines=0)
+    ftxt = fb._jdf.queryExecution().explainString(mode)
+    fblocks = re.findall(r"\(\d+\) (\w+[\w ]*)\n((?:[A-Z][\w ]*"
+                         r" \[\d+\]: \[[^\]]*\]\n?)*)", ftxt)
+    n_text_ex = sum(1 for name, body in fblocks
+                    if name.startswith("Exchange")
+                    and re.search(r"[\[, ]_?text#", body))
+    assert n_text_ex <= 1
+
+
 def test_split_and_mixture_stay_in_scan_stage(spark):
     """with_split / mixture_sample are pure Column exprs — their plans
     must contain no Exchange at all (single projection/filter pass
