@@ -538,3 +538,39 @@ def test_bpe_roundtrip_property(vocab, n_merges, words):
         assert pieces and all(pieces)
         joined = "".join(pieces)
         assert joined == w + EOW
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2 ** 31),
+       st.sampled_from(["gray", "4:4:4", "4:2:2", "4:2:0"]),
+       st.sampled_from(["noise", "flat", "gradient"]))
+@settings(max_examples=40, deadline=None)
+def test_jpeg_progressive_parity_property(h, w, seed, mode, kind):
+    """For ANY size/content/subsampling, decoding the progressive
+    (SOF2) encoding is BIT-IDENTICAL to decoding the baseline (SOF0)
+    encoding — the two entropy stages must be lossless over the same
+    DCT coefficients. Covers ragged MCU padding, long EOB runs (flat
+    content), and refinement bits on dense spectra (noise)."""
+    import numpy as np
+    from openaleph_search_spark.ops.jpeg import (
+        decode_jpeg, decode_jpeg_gray, encode_jpeg_color,
+        encode_jpeg_gray, encode_jpeg_progressive)
+    rs = np.random.RandomState(seed % (2 ** 32))
+    if kind == "noise":
+        img = rs.randint(0, 256, (h, w, 3))
+    elif kind == "flat":
+        img = np.full((h, w, 3), int(rs.randint(0, 256)))
+        img[0, 0] = rs.randint(0, 256)
+    else:
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([(xx * 7) % 256, (yy * 5) % 256,
+                        (xx + yy) % 256], axis=-1)
+    img = img.astype(np.uint8)
+    if mode == "gray":
+        g = img[..., 0]
+        assert np.array_equal(
+            decode_jpeg_gray(encode_jpeg_progressive(g)),
+            decode_jpeg_gray(encode_jpeg_gray(g)))
+    else:
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(img, subsampling=mode)),
+            decode_jpeg(encode_jpeg_color(img, subsampling=mode)))
