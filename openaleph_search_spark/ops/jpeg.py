@@ -20,10 +20,14 @@ accumulation, buffered correction bits) and the decode side (DC
 first/refine, AC first/refine with EOB runs), interleaved DC scans
 and non-interleaved AC scans, grayscale and color.
 
-Scope: no restart markers, no multi-scan non-interleaved *baseline*,
-no 2-/4-component (CMYK), no arithmetic coding, no 12-bit — those
-stay on the ``decoder=`` hook (PIL at deploy time). The point is a
-real end-to-end codec-format path for the Spark multimodal plumbing
+Restart markers (DRI/RSTn, common in camera streams) are supported
+in both directions for baseline and progressive: predictors and EOB
+runs reset at each byte-aligned RSTn (F.2.1.3.1).
+
+Scope: no multi-scan non-interleaved *baseline*, no 2-/4-component
+(CMYK), no arithmetic coding, no 12-bit — those stay on the
+``decoder=`` hook (PIL at deploy time). The point is a real
+end-to-end codec-format path for the Spark multimodal plumbing
 (feature-extract / resize over opaque binary columns), not a libjpeg
 replacement.
 
@@ -224,9 +228,22 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, prev_dc: int,
     return int(zz[0])
 
 
-def encode_jpeg_gray(img: np.ndarray) -> bytes:
+def _rst_marker(bw: _BitWriter, n: int):
+    """Flush to a byte boundary and splice in the RSTn marker."""
+    bw.flush()
+    bw.out += bytes([0xFF, 0xD0 + n % 8])
+
+
+def _dri_segment(ri: int) -> bytes:
+    return b"\xff\xdd" + struct.pack(">HH", 4, ri)
+
+
+def encode_jpeg_gray(img: np.ndarray, restart_interval: int = 0
+                     ) -> bytes:
     """(H, W) or (H, W, 3) uint8 → baseline grayscale JFIF bytes.
-    RGB input is converted via BT.601 luma (rounded)."""
+    RGB input is converted via BT.601 luma (rounded).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that-many MCUs (error-resilient streams; camera-style)."""
     if img.ndim == 3:
         img = np.round(
             img.astype(np.float64) @ [0.299, 0.587, 0.114]
@@ -241,7 +258,10 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
 
     bw = _BitWriter()
     prev_dc = 0
-    for zz in q:
+    for b, zz in enumerate(q):
+        if restart_interval and b and b % restart_interval == 0:
+            _rst_marker(bw, b // restart_interval - 1)
+            prev_dc = 0
         prev_dc = _encode_block(bw, zz, prev_dc, _DC_CODES, _AC_CODES)
     bw.flush()
 
@@ -260,6 +280,8 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
         bytes(bw.out),
         b"\xff\xd9",  # EOI
     ]
+    if restart_interval:
+        parts.insert(-3, _dri_segment(restart_interval))
     return b"".join(parts)
 
 
@@ -297,12 +319,14 @@ def _ycbcr_zz(img: np.ndarray, subsampling: str):
 
 
 def encode_jpeg_color(img: np.ndarray,
-                      subsampling: str = "4:2:0") -> bytes:
+                      subsampling: str = "4:2:0",
+                      restart_interval: int = 0) -> bytes:
     """(H, W, 3) uint8 RGB → baseline color JFIF bytes: JFIF/BT.601
     YCbCr, chroma box-subsampled per ``subsampling`` (4:4:4 / 4:2:2 /
     4:2:0), MCU-interleaved scan, standard luminance tables for Y and
     standard chrominance tables for Cb/Cr (Annex K), unity
-    quantization (tables 0/1) for tight decode-parity fixtures."""
+    quantization (tables 0/1) for tight decode-parity fixtures.
+    ``restart_interval`` > 0 emits DRI + RSTn every that-many MCUs."""
     h, w, sh, sv, zz = _ycbcr_zz(img, subsampling)
 
     bw = _BitWriter()
@@ -310,6 +334,10 @@ def encode_jpeg_color(img: np.ndarray,
     mcuy, mcux = zz["y"].shape[0] // sv, zz["y"].shape[1] // sh
     for my in range(mcuy):
         for mx in range(mcux):
+            m = my * mcux + mx
+            if restart_interval and m and m % restart_interval == 0:
+                _rst_marker(bw, m // restart_interval - 1)
+                prev = {"y": 0, "cb": 0, "cr": 0}
             for by in range(sv):
                 for bx in range(sh):
                     prev["y"] = _encode_block(
@@ -342,6 +370,8 @@ def encode_jpeg_color(img: np.ndarray,
         bytes(bw.out),
         b"\xff\xd9",
     ]
+    if restart_interval:
+        parts.insert(-3, _dri_segment(restart_interval))
     return b"".join(parts)
 
 
@@ -378,6 +408,16 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self):
+        """Byte-align and consume one RSTn marker (F.2.1.3.1). The
+        caller resets its DC predictors / EOB-run state."""
+        self.nbits = 0
+        if (self.i + 1 < len(self.data) and self.data[self.i] == 0xFF
+                and 0xD0 <= self.data[self.i + 1] <= 0xD7):
+            self.i += 2
+        else:
+            raise ValueError("expected restart marker")
 
 
 class _HuffDecoder:
@@ -460,6 +500,7 @@ def _decode_baseline(payload: bytes):
     dc_tabs: dict[int, _HuffDecoder] = {}
     ac_tabs: dict[int, _HuffDecoder] = {}
     h = w = None
+    ri = 0  # restart interval in MCUs (0 = none)
     comps: list[dict] = []
     scan: list[dict] = []
     while i < len(payload):
@@ -522,8 +563,7 @@ def _decode_baseline(payload: bytes):
                     bits, vals)
                 j += 17 + n
         elif marker == 0xDD:
-            if struct.unpack_from(">H", seg, 0)[0] != 0:
-                raise NotImplementedError("restart intervals unsupported")
+            ri = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
             by_id = {c["id"]: c for c in comps}
@@ -550,6 +590,9 @@ def _decode_baseline(payload: bytes):
         prev = 0
         dc_t, ac_t = dc_tabs[c["td"]], ac_tabs[c["ta"]]
         for b in range(nbh * nbw):
+            if ri and b and b % ri == 0:
+                br.restart()
+                prev = 0
             zz, prev = _decode_block(br, dc_t, ac_t, prev)
             blocks[b // nbw, b % nbw] = zz
         plane = _idct_plane(blocks, quant[c["tq"]])[:h, :w]
@@ -563,6 +606,10 @@ def _decode_baseline(payload: bytes):
     prev = {c["id"]: 0 for c in scan}
     for my in range(mcuy):
         for mx in range(mcux):
+            m = my * mcux + mx
+            if ri and m and m % ri == 0:
+                br.restart()
+                prev = {c["id"]: 0 for c in scan}
             for c in scan:
                 dc_t, ac_t = dc_tabs[c["td"]], ac_tabs[c["ta"]]
                 for by in range(c["vs"]):
@@ -744,13 +791,17 @@ def _enc_ac_refine_block(st: _ScanState, zz: np.ndarray, ss: int,
 
 def encode_jpeg_progressive(img: np.ndarray,
                             subsampling: str = "4:2:0",
-                            scans=None) -> bytes:
+                            scans=None,
+                            restart_interval: int = 0) -> bytes:
     """(H, W) grayscale or (H, W, 3) RGB uint8 → progressive (SOF2)
     JFIF bytes. Same color model, padding, and unity quantization as
     the baseline encoders — only the entropy stage differs, so the
     decoded coefficients are bit-identical to the baseline encoding
     of the same image. ``scans`` overrides the libjpeg-style default
-    scan script: a sequence of (comp_indices, Ss, Se, Ah, Al)."""
+    scan script: a sequence of (comp_indices, Ss, Se, Ah, Al).
+    ``restart_interval`` > 0 emits DRI + RSTn every that-many MCUs
+    (interleaved DC scans) / blocks (non-interleaved scans), flushing
+    the EOB run at each boundary (G.1.2.3)."""
     img = np.asarray(img)
     if img.ndim == 2:
         h, w = img.shape
@@ -790,10 +841,20 @@ def encode_jpeg_progressive(img: np.ndarray,
     parts.append(b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof)
     parts.append(_dht_segment(0x00, _FLAT_BITS, _FLAT_VALS))
     parts.append(_dht_segment(0x10, _FLAT_BITS, _FLAT_VALS))
+    if restart_interval:
+        parts.append(_dri_segment(restart_interval))
 
     for cs, ss, se, ah, al in script:
         bw = _BitWriter()
         st = _ScanState(bw)
+
+        def maybe_restart(m, pred):
+            if restart_interval and m and m % restart_interval == 0:
+                st.emit_eobrun()
+                _rst_marker(bw, m // restart_interval - 1)
+                for c in pred:
+                    pred[c] = 0
+
         if ss == 0:  # DC scan (interleaved when multi-component)
             if se != 0:
                 raise ValueError("DC scan must have Se == 0")
@@ -803,6 +864,7 @@ def encode_jpeg_progressive(img: np.ndarray,
                 mcux = zzs[0].shape[1] // samp[0][0]
                 for my in range(mcuy):
                     for mx in range(mcux):
+                        maybe_restart(my * mcux + mx, pred)
                         for c in cs:
                             cs_h, cs_v = samp[c]
                             for by in range(cs_v):
@@ -816,6 +878,7 @@ def encode_jpeg_progressive(img: np.ndarray,
                 c = cs[0]
                 nbh, nbw = nb[c]
                 for b in range(nbh * nbw):
+                    maybe_restart(b, pred)
                     _enc_dc_prog(st, int(zzs[c][b // nbw, b % nbw, 0]),
                                  c, pred, ah, al)
         else:  # AC scan: single component, non-interleaved
@@ -823,7 +886,9 @@ def encode_jpeg_progressive(img: np.ndarray,
                 raise ValueError("AC scan must be single-component")
             c = cs[0]
             nbh, nbw = nb[c]
+            pred = {}
             for b in range(nbh * nbw):
+                maybe_restart(b, pred)
                 blk = zzs[c][b // nbw, b % nbw]
                 if ah == 0:
                     _enc_ac_first_block(st, blk, ss, se, al)
@@ -930,21 +995,18 @@ def _dec_ac_refine_block(br: _BitReader, ac_t: _HuffDecoder,
 
 def _find_scan_end(payload: bytes, i: int) -> int:
     """First offset ≥ i holding a real marker (not stuffed 0x00, not
-    a 0xFF fill byte). Restart markers are out of scope."""
+    a 0xFF fill byte, not an in-scan RSTn restart marker)."""
     n = len(payload)
     j = i
     while j < n - 1:
         if payload[j] == 0xFF:
             nxt = payload[j + 1]
-            if nxt == 0x00:
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
                 j += 2
                 continue
             if nxt == 0xFF:
                 j += 1
                 continue
-            if 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError(
-                    "restart markers unsupported; pass decoder=")
             return j
         j += 1
     return n
@@ -962,6 +1024,7 @@ def _decode_progressive(payload: bytes):
     dc_tabs: dict[int, _HuffDecoder] = {}
     ac_tabs: dict[int, _HuffDecoder] = {}
     h = w = None
+    ri = 0  # restart interval (MCUs / blocks per scan unit)
     comps: list[dict] = []
     coef: dict[int, np.ndarray] = {}
     dims: dict[int, tuple[int, int]] = {}
@@ -1010,8 +1073,7 @@ def _decode_progressive(payload: bytes):
                     bits, vals)
                 j += 17 + n
         elif marker == 0xDD:
-            if struct.unpack_from(">H", seg, 0)[0] != 0:
-                raise NotImplementedError("restart intervals unsupported")
+            ri = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xC2:
             h, w = struct.unpack_from(">HH", seg, 1)
             ncomp = seg[5]
@@ -1062,6 +1124,10 @@ def _decode_progressive(payload: bytes):
                 if len(scan) > 1:
                     for my in range(mcuy):
                         for mx in range(mcux):
+                            m = my * mcux + mx
+                            if ri and m and m % ri == 0:
+                                br.restart()
+                                pred = {c["id"]: 0 for c in scan}
                             for c in scan:
                                 arr = coef[c["id"]]
                                 for by in range(c["vs"]):
@@ -1076,6 +1142,9 @@ def _decode_progressive(payload: bytes):
                     nbh, nbw = dims[c["id"]]
                     arr = coef[c["id"]]
                     for b in range(nbh * nbw):
+                        if ri and b and b % ri == 0:
+                            br.restart()
+                            pred = {c["id"]: 0 for c in scan}
                         _dec_dc_prog(br, arr[b // nbw, b % nbw], c,
                                      pred, ah, al, dc_tabs)
             else:  # AC scan: always non-interleaved
@@ -1087,6 +1156,9 @@ def _decode_progressive(payload: bytes):
                 ac_t = ac_tabs[c["ta"]]
                 eobrun = 0
                 for b in range(nbh * nbw):
+                    if ri and b and b % ri == 0:
+                        br.restart()
+                        eobrun = 0
                     blk = arr[b // nbw, b % nbw]
                     if ah == 0:
                         eobrun = _dec_ac_first_block(

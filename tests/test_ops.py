@@ -495,11 +495,26 @@ def test_jpeg_progressive_codec(spark):
     assert np.array_equal(
         decode_jpeg_gray(encode_jpeg_progressive(g, scans=script)),
         decode_jpeg_gray(encode_jpeg_gray(g)))
-    # restart markers stay honestly gated
+    # restart markers (DRI/RSTn): decode parity holds with restarts
+    # every 1 / 2 / 5 MCUs, baseline and progressive, gray and color
+    big = rs.randint(0, 256, (40, 56)).astype(np.uint8)
+    want_g = decode_jpeg_gray(encode_jpeg_gray(big))
+    want_c = decode_jpeg(encode_jpeg_color(col))
+    for ri in (1, 2, 5):
+        pay = encode_jpeg_gray(big, restart_interval=ri)
+        assert b"\xff\xdd" in pay and b"\xff\xd0" in pay
+        assert np.array_equal(decode_jpeg_gray(pay), want_g)
+        assert np.array_equal(decode_jpeg_gray(
+            encode_jpeg_progressive(big, restart_interval=ri)), want_g)
+        assert np.array_equal(decode_jpeg(
+            encode_jpeg_color(col, restart_interval=ri)), want_c)
+        assert np.array_equal(decode_jpeg(
+            encode_jpeg_progressive(col, restart_interval=ri)), want_c)
+    # a stray restart marker mid-block is still rejected
     pay = encode_jpeg_progressive(g)
     sos = pay.index(b"\xff\xda")  # header is 10 bytes; DC entropy ≥ 4
     broken = pay[:sos + 12] + b"\xff\xd0" + pay[sos + 12:]
-    with pytest.raises((NotImplementedError, ValueError)):
+    with pytest.raises(ValueError):
         decode_jpeg_gray(broken)
     # synthesized media rotates progressive payloads in; features flow
     media = synthesize_media(spark, 40).filter(

@@ -542,14 +542,16 @@ def test_bpe_roundtrip_property(vocab, n_merges, words):
 
 @given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2 ** 31),
        st.sampled_from(["gray", "4:4:4", "4:2:2", "4:2:0"]),
-       st.sampled_from(["noise", "flat", "gradient"]))
+       st.sampled_from(["noise", "flat", "gradient"]),
+       st.sampled_from([0, 1, 3]))
 @settings(max_examples=40, deadline=None)
-def test_jpeg_progressive_parity_property(h, w, seed, mode, kind):
-    """For ANY size/content/subsampling, decoding the progressive
-    (SOF2) encoding is BIT-IDENTICAL to decoding the baseline (SOF0)
-    encoding — the two entropy stages must be lossless over the same
-    DCT coefficients. Covers ragged MCU padding, long EOB runs (flat
-    content), and refinement bits on dense spectra (noise)."""
+def test_jpeg_progressive_parity_property(h, w, seed, mode, kind, ri):
+    """For ANY size/content/subsampling/restart-interval, decoding
+    the progressive (SOF2) encoding is BIT-IDENTICAL to decoding the
+    baseline (SOF0) encoding — the two entropy stages must be
+    lossless over the same DCT coefficients. Covers ragged MCU
+    padding, long EOB runs (flat content), refinement bits on dense
+    spectra (noise), and RSTn predictor/EOB-run resets."""
     import numpy as np
     from openaleph_search_spark.ops.jpeg import (
         decode_jpeg, decode_jpeg_gray, encode_jpeg_color,
@@ -568,9 +570,18 @@ def test_jpeg_progressive_parity_property(h, w, seed, mode, kind):
     if mode == "gray":
         g = img[..., 0]
         assert np.array_equal(
-            decode_jpeg_gray(encode_jpeg_progressive(g)),
+            decode_jpeg_gray(encode_jpeg_progressive(
+                g, restart_interval=ri)),
+            decode_jpeg_gray(encode_jpeg_gray(g)))
+        assert np.array_equal(
+            decode_jpeg_gray(encode_jpeg_gray(g, restart_interval=ri)),
             decode_jpeg_gray(encode_jpeg_gray(g)))
     else:
         assert np.array_equal(
-            decode_jpeg(encode_jpeg_progressive(img, subsampling=mode)),
+            decode_jpeg(encode_jpeg_progressive(
+                img, subsampling=mode, restart_interval=ri)),
+            decode_jpeg(encode_jpeg_color(img, subsampling=mode)))
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_color(
+                img, subsampling=mode, restart_interval=ri)),
             decode_jpeg(encode_jpeg_color(img, subsampling=mode)))
