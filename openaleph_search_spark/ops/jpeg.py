@@ -22,14 +22,15 @@ and non-interleaved AC scans, grayscale and color.
 
 Restart markers (DRI/RSTn, common in camera streams) are supported
 in both directions for baseline and progressive: predictors and EOB
-runs reset at each byte-aligned RSTn (F.2.1.3.1).
+runs reset at each byte-aligned RSTn (F.2.1.3.1). Sequential
+NON-interleaved baseline (one scan per component, A.2.2) decodes and
+encodes too (``encode_jpeg_color(interleaved=False)``).
 
-Scope: no multi-scan non-interleaved *baseline*, no 2-/4-component
-(CMYK), no arithmetic coding, no 12-bit — those stay on the
-``decoder=`` hook (PIL at deploy time). The point is a real
-end-to-end codec-format path for the Spark multimodal plumbing
-(feature-extract / resize over opaque binary columns), not a libjpeg
-replacement.
+Scope: no 2-/4-component (CMYK), no arithmetic coding, no 12-bit —
+those stay on the ``decoder=`` hook (PIL at deploy time). The point
+is a real end-to-end codec-format path for the Spark multimodal
+plumbing (feature-extract / resize over opaque binary columns), not
+a libjpeg replacement.
 
 Pure per-payload Python is acceptable here: decode runs INSIDE
 Arrow-batched ``mapInPandas`` tasks (one payload at a time is the unit
@@ -320,33 +321,64 @@ def _ycbcr_zz(img: np.ndarray, subsampling: str):
 
 def encode_jpeg_color(img: np.ndarray,
                       subsampling: str = "4:2:0",
-                      restart_interval: int = 0) -> bytes:
+                      restart_interval: int = 0,
+                      interleaved: bool = True) -> bytes:
     """(H, W, 3) uint8 RGB → baseline color JFIF bytes: JFIF/BT.601
     YCbCr, chroma box-subsampled per ``subsampling`` (4:4:4 / 4:2:2 /
-    4:2:0), MCU-interleaved scan, standard luminance tables for Y and
-    standard chrominance tables for Cb/Cr (Annex K), unity
-    quantization (tables 0/1) for tight decode-parity fixtures.
-    ``restart_interval`` > 0 emits DRI + RSTn every that-many MCUs."""
+    4:2:0), standard luminance tables for Y and standard chrominance
+    tables for Cb/Cr (Annex K), unity quantization (tables 0/1) for
+    tight decode-parity fixtures. ``restart_interval`` > 0 emits DRI
+    + RSTn every that-many MCUs (interleaved) / blocks (sequential).
+    ``interleaved=False`` writes the sequential NON-interleaved
+    layout instead: one full scan per component (A.2.2)."""
     h, w, sh, sv, zz = _ycbcr_zz(img, subsampling)
-
-    bw = _BitWriter()
-    prev = {"y": 0, "cb": 0, "cr": 0}
     mcuy, mcux = zz["y"].shape[0] // sv, zz["y"].shape[1] // sh
-    for my in range(mcuy):
-        for mx in range(mcux):
-            m = my * mcux + mx
-            if restart_interval and m and m % restart_interval == 0:
-                _rst_marker(bw, m // restart_interval - 1)
-                prev = {"y": 0, "cb": 0, "cr": 0}
-            for by in range(sv):
-                for bx in range(sh):
-                    prev["y"] = _encode_block(
-                        bw, zz["y"][my * sv + by, mx * sh + bx],
-                        prev["y"], _DC_CODES, _AC_CODES)
-            for k in ("cb", "cr"):
-                prev[k] = _encode_block(bw, zz[k][my, mx], prev[k],
-                                        _DCC_CODES, _ACC_CODES)
-    bw.flush()
+
+    scans: list[bytes] = []  # (SOS header + entropy) per scan
+    if interleaved:
+        bw = _BitWriter()
+        prev = {"y": 0, "cb": 0, "cr": 0}
+        for my in range(mcuy):
+            for mx in range(mcux):
+                m = my * mcux + mx
+                if restart_interval and m and m % restart_interval == 0:
+                    _rst_marker(bw, m // restart_interval - 1)
+                    prev = {"y": 0, "cb": 0, "cr": 0}
+                for by in range(sv):
+                    for bx in range(sh):
+                        prev["y"] = _encode_block(
+                            bw, zz["y"][my * sv + by, mx * sh + bx],
+                            prev["y"], _DC_CODES, _AC_CODES)
+                for k in ("cb", "cr"):
+                    prev[k] = _encode_block(bw, zz[k][my, mx], prev[k],
+                                            _DCC_CODES, _ACC_CODES)
+        bw.flush()
+        scans.append(b"\xff\xda" + struct.pack(">H", 12) + b"\x03"
+                     + bytes([1, 0x00, 2, 0x11, 3, 0x11])
+                     + b"\x00\x3f\x00" + bytes(bw.out))
+    else:
+        ch, cw = -(-h // sv), -(-w // sh)  # chroma sample dims
+        comp_dims = {"y": (-(-h // 8), -(-w // 8)),
+                     "cb": (-(-ch // 8), -(-cw // 8)),
+                     "cr": (-(-ch // 8), -(-cw // 8))}
+        tabs = {"y": (_DC_CODES, _AC_CODES, 1, 0x00),
+                "cb": (_DCC_CODES, _ACC_CODES, 2, 0x11),
+                "cr": (_DCC_CODES, _ACC_CODES, 3, 0x11)}
+        for k in ("y", "cb", "cr"):
+            dc_c, ac_c, cid, tt = tabs[k]
+            nbh, nbw = comp_dims[k]
+            bw = _BitWriter()
+            prev_dc = 0
+            for b in range(nbh * nbw):
+                if restart_interval and b and b % restart_interval == 0:
+                    _rst_marker(bw, b // restart_interval - 1)
+                    prev_dc = 0
+                prev_dc = _encode_block(bw, zz[k][b // nbw, b % nbw],
+                                        prev_dc, dc_c, ac_c)
+            bw.flush()
+            scans.append(b"\xff\xda" + struct.pack(">H", 8) + b"\x01"
+                         + bytes([cid, tt]) + b"\x00\x3f\x00"
+                         + bytes(bw.out))
 
     samp_y = (sh << 4) | sv
     parts = [
@@ -365,13 +397,11 @@ def encode_jpeg_color(img: np.ndarray,
         _dht_segment(0x10, _AC_BITS, _AC_VALS),
         _dht_segment(0x01, _DCC_BITS, _DCC_VALS),
         _dht_segment(0x11, _ACC_BITS, _ACC_VALS),
-        b"\xff\xda" + struct.pack(">H", 12) + b"\x03"
-        + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00",
-        bytes(bw.out),
-        b"\xff\xd9",
     ]
     if restart_interval:
-        parts.insert(-3, _dri_segment(restart_interval))
+        parts.append(_dri_segment(restart_interval))
+    parts += scans
+    parts.append(b"\xff\xd9")
     return b"".join(parts)
 
 
@@ -488,11 +518,12 @@ def _idct_plane(zz_blocks: np.ndarray, q: np.ndarray) -> np.ndarray:
 
 
 def _decode_baseline(payload: bytes):
-    """Any single-scan baseline (SOF0) JPEG → (h, w, [(comp, plane)])
-    where comp = {id, hs, vs} and plane is the component's own-grid
-    uint8 raster (not yet upsampled). Multi-component scans decode
-    MCU-interleaved per T.81 A.2.3; a single-component scan is a plain
-    8×8 raster regardless of declared sampling factors (A.2.2)."""
+    """Baseline (SOF0) JPEG → (h, w, [(comp, plane)]) where comp =
+    {id, hs, vs} and plane is the component's own-grid uint8 raster
+    (not yet upsampled). Handles the interleaved single-scan layout
+    (T.81 A.2.3), single-component frames / scans as a plain 8×8
+    raster (A.2.2), sequential NON-interleaved multi-scan color (one
+    scan per component), and restart markers."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     i = 2
@@ -502,16 +533,24 @@ def _decode_baseline(payload: bytes):
     h = w = None
     ri = 0  # restart interval in MCUs (0 = none)
     comps: list[dict] = []
-    scan: list[dict] = []
-    while i < len(payload):
+    blocks: dict[int, np.ndarray] = {}
+    dims: dict[int, tuple[int, int]] = {}
+    mcuy = mcux = 0
+    decoded: set[int] = set()
+    saw_eoi = False
+    while i < len(payload) - 1:
         if payload[i] != 0xFF:
             raise ValueError("marker expected")
+        if payload[i + 1] == 0xFF:  # fill byte
+            i += 1
+            continue
         marker = payload[i + 1]
         i += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:  # EOI before scan
-            raise ValueError("no scan data")
+        if marker == 0xD9:
+            saw_eoi = True
+            break
         seglen = struct.unpack_from(">H", payload, i)[0]
         if seglen < 2:  # malformed length would loop forever
             raise ValueError("invalid JPEG segment length")
@@ -546,6 +585,18 @@ def _decode_baseline(payload: bytes):
             for c in comps:
                 if c["hs"] < 1 or c["vs"] < 1:
                     raise ValueError("invalid sampling factor")
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            for c in comps:
+                # interleaved-padded storage; non-interleaved scans
+                # cover the top-left dims[c] sub-grid (A.2.2)
+                blocks[c["id"]] = np.zeros(
+                    (mcuy * c["vs"], mcux * c["hs"], 64),
+                    dtype=np.int64)
+                cw = -(-w * c["hs"] // hmax)
+                ch = -(-h * c["vs"] // vmax)
+                dims[c["id"]] = (-(-ch // 8), -(-cw // 8))
         elif marker == 0xC2:
             raise _Progressive()  # handled by _decode_any
         elif marker in (0xC1, 0xC3):
@@ -565,62 +616,69 @@ def _decode_baseline(payload: bytes):
         elif marker == 0xDD:
             ri = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows
+            if h is None:
+                raise ValueError("no SOF before SOS")
             ns = seg[0]
             by_id = {c["id"]: c for c in comps}
+            scan = []
             for s in range(ns):
                 cid, tt = seg[1 + 2 * s], seg[2 + 2 * s]
                 if cid not in by_id:
                     raise ValueError("scan references unknown component")
-                scan.append({**by_id[cid], "td": tt >> 4, "ta": tt & 0x0F})
-            break
-        # APPn/COM: skipped
-    else:
-        raise ValueError("no SOS marker")
-    if h is None:
-        raise ValueError("no SOF before SOS")
-    if len(scan) != len(comps):
-        raise NotImplementedError(
-            "multi-scan (non-interleaved) baseline unsupported")
-
-    br = _BitReader(payload[i:])
-    if len(scan) == 1:  # non-interleaved: plain 8×8 raster (A.2.2)
-        c = scan[0]
-        nbh, nbw = -(-h // 8), -(-w // 8)
-        blocks = np.empty((nbh, nbw, 64), dtype=np.int64)
-        prev = 0
-        dc_t, ac_t = dc_tabs[c["td"]], ac_tabs[c["ta"]]
-        for b in range(nbh * nbw):
-            if ri and b and b % ri == 0:
-                br.restart()
-                prev = 0
-            zz, prev = _decode_block(br, dc_t, ac_t, prev)
-            blocks[b // nbw, b % nbw] = zz
-        plane = _idct_plane(blocks, quant[c["tq"]])[:h, :w]
-        return h, w, [(c, np.round(plane).clip(0, 255).astype(np.uint8))]
-
-    hmax = max(c["hs"] for c in scan)
-    vmax = max(c["vs"] for c in scan)
-    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-    blocks = {c["id"]: np.zeros((mcuy * c["vs"], mcux * c["hs"], 64),
-                                dtype=np.int64) for c in scan}
-    prev = {c["id"]: 0 for c in scan}
-    for my in range(mcuy):
-        for mx in range(mcux):
-            m = my * mcux + mx
-            if ri and m and m % ri == 0:
-                br.restart()
-                prev = {c["id"]: 0 for c in scan}
+                scan.append({**by_id[cid], "td": tt >> 4,
+                             "ta": tt & 0x0F})
             for c in scan:
+                if c["id"] in decoded:
+                    raise ValueError("component coded twice")
+                decoded.add(c["id"])
+            j = _find_scan_end(payload, i)
+            br = _BitReader(payload[i:j])
+            i = j
+            if len(scan) > 1:  # MCU-interleaved (A.2.3)
+                if len(scan) != len(comps):
+                    raise NotImplementedError(
+                        "partially-interleaved scans unsupported")
+                prev = {c["id"]: 0 for c in scan}
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        m = my * mcux + mx
+                        if ri and m and m % ri == 0:
+                            br.restart()
+                            prev = {c["id"]: 0 for c in scan}
+                        for c in scan:
+                            dc_t = dc_tabs[c["td"]]
+                            ac_t = ac_tabs[c["ta"]]
+                            for by in range(c["vs"]):
+                                for bx in range(c["hs"]):
+                                    zz, prev[c["id"]] = _decode_block(
+                                        br, dc_t, ac_t, prev[c["id"]])
+                                    blocks[c["id"]][my * c["vs"] + by,
+                                                    mx * c["hs"] + bx] \
+                                        = zz
+            else:  # non-interleaved: plain 8×8 raster (A.2.2)
+                c = scan[0]
+                nbh, nbw = dims[c["id"]]
+                arr = blocks[c["id"]]
+                prev_dc = 0
                 dc_t, ac_t = dc_tabs[c["td"]], ac_tabs[c["ta"]]
-                for by in range(c["vs"]):
-                    for bx in range(c["hs"]):
-                        zz, prev[c["id"]] = _decode_block(
-                            br, dc_t, ac_t, prev[c["id"]])
-                        blocks[c["id"]][my * c["vs"] + by,
-                                        mx * c["hs"] + bx] = zz
+                for b in range(nbh * nbw):
+                    if ri and b and b % ri == 0:
+                        br.restart()
+                        prev_dc = 0
+                    zz, prev_dc = _decode_block(br, dc_t, ac_t, prev_dc)
+                    arr[b // nbw, b % nbw] = zz
+        # APPn/COM: skipped
+    if not decoded:
+        raise ValueError("no scan data" if saw_eoi or h is not None
+                         else "no SOS marker")
+    if decoded != {c["id"] for c in comps}:
+        raise ValueError("missing component scans")
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
     planes = []
-    for c in scan:
-        plane = _idct_plane(blocks[c["id"]], quant[c["tq"]])
+    for c in comps:
+        nbh, nbw = dims[c["id"]]
+        plane = _idct_plane(blocks[c["id"]][:nbh, :nbw], quant[c["tq"]])
         cw = -(-w * c["hs"] // hmax)
         ch = -(-h * c["vs"] // vmax)
         planes.append((c, np.round(plane[:ch, :cw])

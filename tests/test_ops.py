@@ -516,6 +516,16 @@ def test_jpeg_progressive_codec(spark):
     broken = pay[:sos + 12] + b"\xff\xd0" + pay[sos + 12:]
     with pytest.raises(ValueError):
         decode_jpeg_gray(broken)
+    # sequential non-interleaved baseline (one scan per component)
+    for sub in ("4:4:4", "4:2:0"):
+        want = decode_jpeg(encode_jpeg_color(col, subsampling=sub))
+        seq = encode_jpeg_color(col, subsampling=sub,
+                                interleaved=False)
+        assert seq.count(b"\xff\xda") == 3
+        assert np.array_equal(decode_jpeg(seq), want)
+        assert np.array_equal(decode_jpeg(encode_jpeg_color(
+            col, subsampling=sub, interleaved=False,
+            restart_interval=2)), want)
     # synthesized media rotates progressive payloads in; features flow
     media = synthesize_media(spark, 40).filter(
         F.col("mime") == "image/jpeg")
