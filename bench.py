@@ -219,9 +219,42 @@ def run_queries(cores: int, index_dir: str) -> tuple[dict, dict]:
     while time.time() - t0 < 1.5:
         np.sort(a)
         k += 1
-    p95["ambient_sorts_per_sec"] = round(k / (time.time() - t0), 1)
+    single = k / (time.time() - t0)
+    p95["ambient_sorts_per_sec"] = round(single, 1)
+    # MULTICORE ambient probe: the single-thread probe is blind to
+    # neighbor contention on the other vCPUs, but every query above
+    # runs 16 shard tasks — a window can read "healthy" single-thread
+    # while 8-way parallel throughput collapses 10-30x (observed
+    # round 5: q_match p50 0.59s -> 1.5s with IDENTICAL plans and a
+    # bit-identical index, 8-way efficiency 0.03-0.43 at the time).
+    # Record it so artifact readers can tell engine from hypervisor.
+    p95["ambient_multicore_eff8"] = round(
+        _multicore_ambient(8, single), 2)
     spark.stop()
     return timings, p95, rep_detail
+
+
+def _multicore_ambient(n: int, single_rate: float) -> float:
+    """Aggregate n-process sort throughput / (n × single-thread rate).
+    ≈1.0 on an idle box; collapses when neighbors hold the cores."""
+    from concurrent.futures import ProcessPoolExecutor
+    try:
+        with ProcessPoolExecutor(n) as pool:
+            rates = list(pool.map(_sort_rate, [1.0] * n))
+        return sum(rates) / (n * single_rate) if single_rate else 0.0
+    except Exception:
+        return -1.0  # probe failure must never sink the bench
+
+
+def _sort_rate(secs: float) -> float:
+    import numpy as np
+    a = np.random.RandomState(0).randint(0, 1 << 40, 2_000_000)
+    t0 = time.time()
+    k = 0
+    while time.time() - t0 < secs:
+        np.sort(a)
+        k += 1
+    return k / (time.time() - t0)
 
 
 def _hw_spin(kind, q):
