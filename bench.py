@@ -117,6 +117,11 @@ def run_queries(cores: int, index_dir: str) -> tuple[dict, dict]:
 
     timings = {}
     rep_detail = {}
+    # bracket the query window with multicore probes (see the eff8
+    # note at the end of this function): noise can arrive or leave
+    # MID-RUN, so one end-of-run reading under-describes the window
+    eff8_pre = round(_multicore_ambient(8, _sort_rate(1.0)), 2)
+    log(f"  multicore eff8 before queries: {eff8_pre}")
 
     def bench(name, fn, warm=True, reps=3):
         if warm:
@@ -230,6 +235,7 @@ def run_queries(cores: int, index_dir: str) -> tuple[dict, dict]:
     # Record it so artifact readers can tell engine from hypervisor.
     p95["ambient_multicore_eff8"] = round(
         _multicore_ambient(8, single), 2)
+    p95["ambient_multicore_eff8_pre"] = eff8_pre
     spark.stop()
     return timings, p95, rep_detail
 
