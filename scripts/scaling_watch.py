@@ -85,7 +85,14 @@ def main() -> None:
             time.sleep(45)
             continue
         _state(f"measuring clean={sum(r['clean'] for r in rounds)}")
-        rnd = {"ambient_before": amb0, "load_before": round(load1, 2)}
+        # multicore probe: single-thread ambient is blind to neighbor
+        # contention on the other vCPUs (round-5 finding, BENCH.md) —
+        # record 4-way efficiency so readers can grade the window for
+        # the 4-core side of the pair too (recorded, not gated: the
+        # gates' thresholds were fixed before the r5 artifact)
+        rnd = {"ambient_before": amb0, "load_before": round(load1, 2),
+               "multicore_eff4_before": round(
+                   bench._multicore_ambient(4, amb0), 2)}
         try:
             m1 = bench.build_at(n, partitions, f"w{n}", reps=1,
                                 num_tasks=n_tasks)

@@ -24,7 +24,7 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
-import bench  # noqa: E402
+import bench  # noqa: E402  (repo-root; also provides ambient probes)
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/BENCH_shards.json"
 S_BASE = max(4, bench.CPUS // 2)
