@@ -3,12 +3,13 @@ with typed metadata, processed by Arrow-batched UDFs.
 
 The decode layer is REAL for formats the standard library + numpy can
 parse — P6 PPM and 24-bit BMP images (pure byte parsing), 16-bit PCM
-WAV audio (stdlib ``wave``), and baseline grayscale JPEG (a full
-T.81 DCT+Huffman codec in ``ops/jpeg.py``) — with real feature
-extraction (channel stats + luminance histogram for images; RMS,
-zero-crossing rate and FFT band energies for audio) and a real
+plus G.711 μ-law/A-law WAV audio (stdlib ``wave`` + LUT decode), and
+JPEG (full T.81 codec in ``ops/jpeg.py``: baseline gray/color,
+progressive, restart markers, non-interleaved scans) — with real
+feature extraction (channel stats + luminance histogram for images;
+RMS, zero-crossing rate and FFT band energies for audio) and a real
 nearest-neighbor resize that re-encodes PPM. Remaining codec-heavy
-formats (color JPEG/MP3/video containers) raise
+formats (CMYK JPEG/MP3/video containers) raise
 ``NotImplementedError`` unless a ``decoder=`` hook is supplied
 (PIL/torchaudio/ffmpeg at deploy time) — the Spark plumbing (schemas,
 Arrow batch shapes, partition-preserving ``mapInPandas``) is
@@ -93,15 +94,71 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img[::-1] if flip else img
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(ulaw, alaw) decode LUTs: uint8 code → int16 linear, built from
+    the ITU-T G.711 reference formulas (the telephony codecs a real
+    speech corpus arrives in)."""
+    codes = np.arange(256)
+    u = (~codes) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    a = codes ^ 0x55
+    seg = (a & 0x70) >> 4
+    mant = a & 0x0F
+    t = np.where(seg == 0, (mant << 4) + 8,
+                 ((mant << 4) + 0x108) << np.maximum(seg - 1, 0))
+    alaw = np.where(a & 0x80, t, -t).astype(np.int16)
+    return ulaw, alaw
+
+
+_ULAW_DEC, _ALAW_DEC = _g711_tables()
+
+
+def _wav_chunks(payload: bytes) -> dict[bytes, bytes]:
+    """Minimal RIFF/WAVE chunk walk (for non-PCM formats the stdlib
+    ``wave`` module refuses)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    out: dict[bytes, bytes] = {}
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        size = struct.unpack_from("<I", payload, i + 4)[0]
+        out.setdefault(cid, payload[i + 8:i + 8 + size])
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    return out
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """16-bit PCM WAV → (float64 mono samples in [-1, 1], sample_rate)."""
-    with wave.open(io.BytesIO(payload), "rb") as f:
-        if f.getsampwidth() != 2:
-            raise ValueError("only 16-bit PCM WAV supported")
-        rate = f.getframerate()
-        n_ch = f.getnchannels()
-        raw = f.readframes(f.getnframes())
-    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    """WAV → (float64 mono samples in [-1, 1], sample_rate). Formats:
+    16-bit PCM (stdlib ``wave``) plus G.711 μ-law / A-law (format
+    tags 7 / 6, LUT decode). Anything else raises with the
+    ``decoder=`` hint."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as f:
+            if f.getsampwidth() != 2:
+                raise ValueError("only 16-bit PCM WAV supported")
+            rate = f.getframerate()
+            n_ch = f.getnchannels()
+            raw = f.readframes(f.getnframes())
+        samples = (np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                   / 32768.0)
+    except wave.Error:
+        chunks = _wav_chunks(payload)
+        if b"fmt " not in chunks or b"data" not in chunks:
+            raise ValueError("WAV missing fmt/data chunks")
+        fmt = chunks[b"fmt "]
+        audio_format, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+        if audio_format == 7:
+            table = _ULAW_DEC
+        elif audio_format == 6:
+            table = _ALAW_DEC
+        else:
+            raise NotImplementedError(
+                f"WAV format tag {audio_format} unsupported — pass "
+                "decoder= (e.g. torchaudio)")
+        codes = np.frombuffer(chunks[b"data"], dtype=np.uint8)
+        samples = table[codes].astype(np.float64) / 32768.0
     if n_ch > 1:
         samples = samples.reshape(-1, n_ch).mean(axis=1)
     return samples, rate
@@ -116,6 +173,29 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
         f.writeframes((np.clip(samples, -1, 1) * 32767)
                       .astype("<i2").tobytes())
     return buf.getvalue()
+
+
+def encode_wav_g711(samples: np.ndarray, rate: int = 8000,
+                    law: str = "ulaw") -> bytes:
+    """Mono float64 [-1, 1] → G.711 μ-law / A-law WAV bytes. Codes
+    are chosen as the nearest value of the DECODE table (vectorized
+    searchsorted), so decode(encode(x)) is the optimal G.711
+    quantization of x by construction."""
+    table = _ULAW_DEC if law == "ulaw" else _ALAW_DEC
+    order = np.argsort(table)
+    srt = table[order].astype(np.float64)
+    lin = np.clip(samples, -1, 1) * 32767.0
+    pos = np.searchsorted(srt, lin).clip(1, 255)
+    left, right = srt[pos - 1], srt[np.minimum(pos, 255)]
+    pick = np.where(np.abs(lin - left) <= np.abs(right - lin),
+                    pos - 1, np.minimum(pos, 255))
+    codes = order[pick].astype(np.uint8)
+    fmt = struct.pack("<HHIIHH", 7 if law == "ulaw" else 6, 1, rate,
+                      rate, 1, 8)
+    data = codes.tobytes()
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_image(payload: bytes) -> np.ndarray:
@@ -305,7 +385,15 @@ def synthesize_media(spark, n: int = 64) -> DataFrame:
                     t = np.arange(int(8000 * dur / 1000)) / 8000.0
                     tone = 0.5 * np.sin(
                         2 * np.pi * (220 + 20 * (int(mid) % 10)) * t)
-                    payloads.append(encode_wav(tone))
+                    m3 = int(mid) % 3  # rotate PCM / μ-law / A-law
+                    if m3 == 1:
+                        payloads.append(encode_wav_g711(tone,
+                                                        law="ulaw"))
+                    elif m3 == 2:
+                        payloads.append(encode_wav_g711(tone,
+                                                        law="alaw"))
+                    else:
+                        payloads.append(encode_wav(tone))
                     mimes.append("audio/wav")
                 else:
                     payloads.append(b"FAKEVIDEO" + bytes([int(mid) % 256]))

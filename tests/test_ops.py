@@ -217,6 +217,27 @@ def test_multimodal_features(spark):
         dict((r["media_id"], r["features"]) for r in rows)[
             wav["media_id"]],
         audio_features(samples, rate), atol=1e-6)
+    # G.711 telephony WAVs (format tags 7/6) decode natively and the
+    # synth rotation emits both; quantization stays ≥30 dB SNR
+    from openaleph_search_spark.ops.multimodal import encode_wav_g711
+    t = np.arange(4000) / 8000.0
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    n_g711 = 0
+    for r in media.filter(F.col("kind") == "audio").collect():
+        if bytes(r["payload"])[20:22] in (b"\x07\x00", b"\x06\x00"):
+            n_g711 += 1
+    assert n_g711 > 0
+    for law in ("ulaw", "alaw"):
+        got, r2 = decode_wav(encode_wav_g711(tone, law=law))
+        assert r2 == 8000 and len(got) == len(tone)
+        snr = 10 * np.log10(np.mean(tone ** 2)
+                            / np.mean((got - tone) ** 2))
+        assert snr > 30, (law, snr)
+    # unknown format tags keep the decoder= hint
+    bad = bytearray(encode_wav_g711(tone))
+    bad[20] = 0x55
+    with pytest.raises(NotImplementedError, match="decoder"):
+        decode_wav(bytes(bad))
     # video: no stdlib codec → explicit NotImplementedError w/o hook
     with pytest.raises(Exception, match="decoder"):
         extract_features(media.filter(F.col("kind") == "video")).collect()
