@@ -26,11 +26,15 @@ runs reset at each byte-aligned RSTn (F.2.1.3.1). Sequential
 NON-interleaved baseline (one scan per component, A.2.2) decodes and
 encodes too (``encode_jpeg_color(interleaved=False)``).
 
-Scope: no 2-/4-component (CMYK), no arithmetic coding, no 12-bit —
-those stay on the ``decoder=`` hook (PIL at deploy time). The point
-is a real end-to-end codec-format path for the Spark multimodal
-plumbing (feature-extract / resize over opaque binary columns), not
-a libjpeg replacement.
+4-component Adobe CMYK / YCCK (APP14 transform 0/2, inverted
+storage — the scanned-document / PDF-extract shape) decodes to RGB
+through the ink model, and ``encode_jpeg_cmyk`` produces fixtures.
+
+Scope: no 2-component, no arithmetic coding, no 12-bit — those stay
+on the ``decoder=`` hook (PIL at deploy time). The point is a real
+end-to-end codec-format path for the Spark multimodal plumbing
+(feature-extract / resize over opaque binary columns), not a libjpeg
+replacement.
 
 Pure per-payload Python is acceptable here: decode runs INSIDE
 Arrow-batched ``mapInPandas`` tasks (one payload at a time is the unit
@@ -538,6 +542,7 @@ def _decode_baseline(payload: bytes):
     mcuy = mcux = 0
     decoded: set[int] = set()
     saw_eoi = False
+    adobe = None  # APP14 color-transform byte (CMYK=0 / YCCK=2)
     while i < len(payload) - 1:
         if payload[i] != 0xFF:
             raise ValueError("marker expected")
@@ -574,9 +579,9 @@ def _decode_baseline(payload: bytes):
         elif marker == 0xC0:  # SOF0 baseline
             h, w = struct.unpack_from(">HH", seg, 1)
             ncomp = seg[5]
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise NotImplementedError(
-                    f"{ncomp}-component JPEG (CMYK?) unsupported; "
+                    f"{ncomp}-component JPEG unsupported; "
                     "pass decoder= (e.g. PIL)")
             comps = [{"id": seg[6 + 3 * c],
                       "hs": seg[7 + 3 * c] >> 4,
@@ -667,7 +672,9 @@ def _decode_baseline(payload: bytes):
                         prev_dc = 0
                     zz, prev_dc = _decode_block(br, dc_t, ac_t, prev_dc)
                     arr[b // nbw, b % nbw] = zz
-        # APPn/COM: skipped
+        elif marker == 0xEE and seg[:5] == b"Adobe":
+            adobe = seg[11]  # APP14 transform: 0 CMYK, 1 YCbCr, 2 YCCK
+        # other APPn/COM: skipped
     if not decoded:
         raise ValueError("no scan data" if saw_eoi or h is not None
                          else "no SOS marker")
@@ -683,7 +690,7 @@ def _decode_baseline(payload: bytes):
         ch = -(-h * c["vs"] // vmax)
         planes.append((c, np.round(plane[:ch, :cw])
                        .clip(0, 255).astype(np.uint8)))
-    return h, w, planes
+    return h, w, planes, adobe
 
 
 class _Progressive(Exception):
@@ -1088,6 +1095,7 @@ def _decode_progressive(payload: bytes):
     dims: dict[int, tuple[int, int]] = {}
     mcuy = mcux = 0
     saw_scan = False
+    adobe = None
     while i < len(payload) - 1:
         if payload[i] != 0xFF:
             raise ValueError("marker expected")
@@ -1135,7 +1143,7 @@ def _decode_progressive(payload: bytes):
         elif marker == 0xC2:
             h, w = struct.unpack_from(">HH", seg, 1)
             ncomp = seg[5]
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise NotImplementedError(
                     f"{ncomp}-component JPEG unsupported; pass decoder=")
             comps = [{"id": seg[6 + 3 * c],
@@ -1224,6 +1232,8 @@ def _decode_progressive(payload: bytes):
                     else:
                         eobrun = _dec_ac_refine_block(
                             br, ac_t, blk, ss, se, al, eobrun)
+        elif marker == 0xEE and seg[:5] == b"Adobe":
+            adobe = seg[11]
     if not saw_scan:
         raise ValueError("no scan data")
     hmax = max(c["hs"] for c in comps)
@@ -1236,7 +1246,7 @@ def _decode_progressive(payload: bytes):
         ch = -(-h * c["vs"] // vmax)
         planes.append((c, np.round(plane[:ch, :cw])
                        .clip(0, 255).astype(np.uint8)))
-    return h, w, planes
+    return h, w, planes, adobe
 
 
 def decode_jpeg_gray(payload: bytes) -> np.ndarray:
@@ -1244,7 +1254,7 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     uint8. Accepts any single-scan grayscale baseline JPEG (not just
     ours); color JPEG decodes via :func:`decode_jpeg` and converts to
     BT.601 luma."""
-    h, w, planes = _decode_any(payload)
+    h, w, planes, _ = _decode_any(payload)
     if len(planes) == 1:
         return planes[0][1]
     rgb = decode_jpeg(payload).astype(np.float64)
@@ -1252,13 +1262,22 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
              .astype(np.uint8)
 
 
+def _ycbcr_to_rgb(y, cb, cr):
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return r, g, b
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """JPEG (baseline SOF0 or progressive SOF2) → (H, W, 3) uint8
     RGB: grayscale replicates the luma plane; 3-component (4:4:4 /
     4:2:2 / 4:2:0 and any other integer-ratio sampling) upsamples
     chroma to the luma grid (sample replication) and converts
-    JFIF/BT.601 YCbCr → RGB."""
-    h, w, planes = _decode_any(payload)
+    JFIF/BT.601 YCbCr → RGB; 4-component Adobe CMYK / YCCK (APP14
+    transform 0 / 2, inverted storage) converts through the ink
+    model (R = c'·k'/255)."""
+    h, w, planes, adobe = _decode_any(payload)
     if len(planes) == 1:
         g = planes[0][1]
         return np.repeat(g[:, :, None], 3, axis=2)
@@ -1272,9 +1291,86 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         rep = np.repeat(np.repeat(p, vmax // c["vs"], axis=0),
                         hmax // c["hs"], axis=1)[:h, :w]
         up.append(rep.astype(np.float64))
+    if len(up) == 4:  # Adobe CMYK (stored inverted, the common case)
+        if adobe == 2:  # YCCK: first 3 channels are YCbCr of c,m,y
+            c_, m_, y_ = _ycbcr_to_rgb(*up[:3])
+        else:  # transform 0 / absent: plain inverted CMY
+            c_, m_, y_ = up[0], up[1], up[2]
+        k_ = up[3]
+        rgb = np.stack([ch * k_ / 255.0 for ch in (c_, m_, y_)],
+                       axis=-1)
+        return np.round(rgb).clip(0, 255).astype(np.uint8)
     y, cb, cr = up  # SOF component order is Y, Cb, Cr (JFIF)
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r, g, b = _ycbcr_to_rgb(y, cb, cr)
     return (np.round(np.stack([r, g, b], axis=-1))
             .clip(0, 255).astype(np.uint8))
+
+
+def encode_jpeg_cmyk(img: np.ndarray, transform: int = 0,
+                     restart_interval: int = 0) -> bytes:
+    """(H, W, 3) uint8 RGB → 4-component Adobe CMYK (transform=0) or
+    YCCK (transform=2) baseline JPEG, inverted storage per Adobe
+    convention: k' = max(R,G,B), c' = 255·R/k' (so R = c'·k'/255).
+    All components full-resolution, luminance tables, unity quant —
+    the fixture path for the scanned-document corpora (PDF-extracted
+    images) that arrive as CMYK JPEG."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected (H, W, 3) RGB")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    rgb = img.astype(np.float64)
+    k_ = rgb.max(axis=2)
+    safe_k = np.where(k_ == 0, 1.0, k_)
+    cmy = np.where(k_[..., None] == 0, 0.0,
+                   rgb * 255.0 / safe_k[..., None])
+    if transform == 2:
+        c_, m_, y_ = (cmy[..., i] for i in range(3))
+        ch0 = 0.299 * c_ + 0.587 * m_ + 0.114 * y_
+        ch1 = 128.0 - 0.168735892 * c_ - 0.331264108 * m_ + 0.5 * y_
+        ch2 = 128.0 + 0.5 * c_ - 0.418687589 * m_ - 0.081312411 * y_
+        chans = [ch0, ch1, ch2, k_]
+    elif transform == 0:
+        chans = [cmy[..., 0], cmy[..., 1], cmy[..., 2], k_]
+    else:
+        raise ValueError("transform must be 0 (CMYK) or 2 (YCCK)")
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    zzs = [_fdct_zz(np.pad(np.clip(ch, 0, 255), ((0, ph - h),
+                                                 (0, pw - w)),
+                           mode="edge")) for ch in chans]
+
+    bw = _BitWriter()
+    prev = [0, 0, 0, 0]
+    nbh, nbw_ = ph // 8, pw // 8
+    for b in range(nbh * nbw_):
+        if restart_interval and b and b % restart_interval == 0:
+            _rst_marker(bw, b // restart_interval - 1)
+            prev = [0, 0, 0, 0]
+        for ci in range(4):
+            prev[ci] = _encode_block(bw, zzs[ci][b // nbw_, b % nbw_],
+                                     prev[ci], _DC_CODES, _AC_CODES)
+    bw.flush()
+
+    sof = b"\x08" + struct.pack(">HH", h, w) + b"\x04"
+    for ci in range(4):
+        sof += bytes([ci + 1, 0x11, 0])
+    sos = b"\x04"
+    for ci in range(4):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    parts = [
+        b"\xff\xd8",
+        # Adobe APP14: version 100, flags 0/0, transform byte
+        b"\xff\xee" + struct.pack(">H", 14) + b"Adobe"
+        + struct.pack(">HHHB", 100, 0, 0, transform),
+        b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+        + bytes(int(x) for x in _QUANT_UNITY),
+        b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof,
+        _dht_segment(0x00, _DC_BITS, _DC_VALS),
+        _dht_segment(0x10, _AC_BITS, _AC_VALS),
+    ]
+    if restart_interval:
+        parts.append(_dri_segment(restart_interval))
+    parts += [b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos,
+              bytes(bw.out), b"\xff\xd9"]
+    return b"".join(parts)

@@ -456,10 +456,12 @@ def test_jpeg_color_codec(spark):
     lum = decode_jpeg_gray(pay)
     want = np.round(grad.astype(np.float64) @ [0.299, 0.587, 0.114])
     assert np.abs(lum.astype(np.float64) - want).mean() < 3
-    # CMYK-ish component counts stay gated with the decoder= hint
+    # unsupported component counts stay gated with the decoder= hint
+    # (4-component CMYK is now a real decode path — see the
+    # progressive/CMYK test below)
     sof = pay.index(b"\xff\xc0")
     bad = bytearray(pay)
-    bad[sof + 9] = 4  # ncomp byte of SOF0
+    bad[sof + 9] = 2  # ncomp byte of SOF0
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(bad))
     # synthesized media now carries color JPEG rows; features flow
@@ -547,6 +549,20 @@ def test_jpeg_progressive_codec(spark):
         assert np.array_equal(decode_jpeg(encode_jpeg_color(
             col, subsampling=sub, interleaved=False,
             restart_interval=2)), want)
+    # Adobe CMYK / YCCK (APP14 transforms 0 / 2, inverted storage):
+    # the PDF-extract shape — decodes through the ink model
+    from openaleph_search_spark.ops.jpeg import encode_jpeg_cmyk
+    for tr in (0, 2):
+        pay = encode_jpeg_cmyk(col, transform=tr)
+        assert b"Adobe" in pay[:64]
+        dec = decode_jpeg(pay)
+        assert dec.shape == col.shape
+        assert int(np.abs(dec.astype(int) - col.astype(int)).max()) <= 4
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_cmyk(col, restart_interval=2)),
+        decode_jpeg(encode_jpeg_cmyk(col)))
+    # luma projection flows through the 4-component path too
+    assert decode_jpeg_gray(encode_jpeg_cmyk(col)).shape == col.shape[:2]
     # synthesized media rotates progressive payloads in; features flow
     media = synthesize_media(spark, 40).filter(
         F.col("mime") == "image/jpeg")
