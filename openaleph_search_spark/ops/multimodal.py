@@ -360,11 +360,15 @@ def synthesize_media(spark, n: int = 64) -> DataFrame:
                         # covers the codec formats end-to-end —
                         # rotating baseline color 4:2:0 / grayscale /
                         # progressive color / progressive grayscale
-                        from .jpeg import (encode_jpeg_color,
+                        from .jpeg import (encode_jpeg_cmyk,
+                                           encode_jpeg_color,
                                            encode_jpeg_gray,
                                            encode_jpeg_progressive)
                         m8 = int(mid) % 8
-                        if m8 == 3:
+                        if int(mid) % 16 == 15:  # Adobe YCCK
+                            payloads.append(
+                                encode_jpeg_cmyk(img, transform=2))
+                        elif m8 == 3:
                             payloads.append(encode_jpeg_progressive(img))
                         elif m8 == 7:
                             lum = np.round(

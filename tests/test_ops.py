@@ -563,13 +563,16 @@ def test_jpeg_progressive_codec(spark):
         decode_jpeg(encode_jpeg_cmyk(col)))
     # luma projection flows through the 4-component path too
     assert decode_jpeg_gray(encode_jpeg_cmyk(col)).shape == col.shape[:2]
-    # synthesized media rotates progressive payloads in; features flow
+    # synthesized media rotates progressive + CMYK payloads in;
+    # features flow for every variant
     media = synthesize_media(spark, 40).filter(
         F.col("mime") == "image/jpeg")
     rows = media.collect()
     n_prog = sum(1 for r in rows
                  if b"\xff\xc2" in bytes(r["payload"])[:256])
     assert n_prog > 0
+    n_cmyk = sum(1 for r in rows if b"Adobe" in bytes(r["payload"])[:64])
+    assert n_cmyk > 0
     feats = {r["media_id"]: r["features"]
              for r in extract_features(media).collect()}
     for r in rows:
