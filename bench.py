@@ -166,16 +166,38 @@ def run_queries(cores: int, index_dir: str) -> tuple[dict, dict]:
     # p50/p95 of the headline match query over 20 runs — measured HERE,
     # before the dedup/percolate ops put sustained load on the box (the
     # r3 driver run sampled latency last and recorded a host-noise tail)
-    lat = []
-    for _ in range(20):
-        t0 = time.time()
-        eng.search({"q": "spark query join", "limit": 10}).hits.collect()
-        lat.append(time.time() - t0)
-    lat.sort()
-    p95 = {"q_match_p50_sec": round(lat[len(lat) // 2], 3),
-           "q_match_p95_sec": round(lat[int(len(lat) * 0.95) - 1], 3)}
+    def _q_match_attempt():
+        pre = round(_multicore_ambient(8, _sort_rate(1.0)), 2)
+        lat = []
+        for _ in range(20):
+            t0 = time.time()
+            eng.search({"q": "spark query join",
+                        "limit": 10}).hits.collect()
+            lat.append(time.time() - t0)
+        lat.sort()
+        post = round(_multicore_ambient(8, _sort_rate(1.0)), 2)
+        return {"p50": round(lat[len(lat) // 2], 3),
+                "p95": round(lat[int(len(lat) * 0.95) - 1], 3),
+                "eff8_pre": pre, "eff8_post": post,
+                "health": min(pre, post)}
+
+    # storm-retry: if a neighbor held the cores during the window
+    # (either bracketing probe < 0.5), measure once more and report
+    # the attempt taken in the healthier window — both attempts stay
+    # in the artifact. Objective health gate, not best-of-latency.
+    attempts = [_q_match_attempt()]
+    if attempts[0]["health"] < 0.5:
+        log(f"  q_match window contended (eff8 "
+            f"{attempts[0]['eff8_pre']}->{attempts[0]['eff8_post']}); "
+            "retrying once")
+        attempts.append(_q_match_attempt())
+    best = max(attempts, key=lambda a: a["health"])
+    p95 = {"q_match_p50_sec": best["p50"],
+           "q_match_p95_sec": best["p95"],
+           "q_match_attempts": attempts}
     log(f"  q_match p50={p95['q_match_p50_sec']}s "
-        f"p95={p95['q_match_p95_sec']}s")
+        f"p95={p95['q_match_p95_sec']}s (window eff8 "
+        f"{best['eff8_pre']}->{best['eff8_post']})")
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
