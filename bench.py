@@ -224,18 +224,36 @@ def run_queries(cores: int, index_dir: str) -> tuple[dict, dict]:
         percolate_docs(docs, watch, id_cols=["doc_id"], text_col="text",
                        slop=2).count()
     _perc()  # warm (first run pays Arrow/py-worker spin-up)
-    reps = []
-    for _ in range(5):  # 5 draws: single-thread throughput on this
-        t0 = time.time()  # host swings up to 18x within one process
-        _perc()           # (measured on identical input)
-        reps.append(round(time.time() - t0, 2))
-    srt = sorted(reps)  # headline = MEDIAN of the 5 (all reps kept)
-    dt = srt[len(srt) // 2]
+
+    def _perc_attempt():
+        pre = round(_multicore_ambient(8, _sort_rate(1.0)), 2)
+        reps = []
+        for _ in range(5):  # 5 draws: host swings up to 18x within
+            t0 = time.time()  # one process (measured on identical
+            _perc()           # input)
+            reps.append(round(time.time() - t0, 2))
+        post = round(_multicore_ambient(8, _sort_rate(1.0)), 2)
+        srt = sorted(reps)  # headline = MEDIAN (all reps kept)
+        return {"median": srt[len(srt) // 2], "reps": reps,
+                "eff8_pre": pre, "eff8_post": post,
+                "health": min(pre, post)}
+
+    # same storm-retry policy as q_match: objective health gate
+    pattempts = [_perc_attempt()]
+    if pattempts[0]["health"] < 0.5:
+        log(f"  percolate window contended (eff8 "
+            f"{pattempts[0]['eff8_pre']}->"
+            f"{pattempts[0]['eff8_post']}); retrying once")
+        pattempts.append(_perc_attempt())
+    pbest = max(pattempts, key=lambda a: a["health"])
+    dt = pbest["median"]
     timings["op_percolate_200q"] = round(dt, 3)
     log(f"  percolate 200q x {n_docs_p} docs: median {dt:.2f}s "
-        f"(reps {reps})")
+        f"(reps {pbest['reps']}, window eff8 {pbest['eff8_pre']}->"
+        f"{pbest['eff8_post']})")
     p95["op_percolate_docs_per_sec"] = round(n_docs_p / dt, 1)
-    p95["op_percolate_rep_secs"] = reps
+    p95["op_percolate_rep_secs"] = pbest["reps"]
+    p95["op_percolate_attempts"] = pattempts
     # ambient probe: single-threaded numpy sorts/sec right now — the
     # reader can judge whether a slow percolate number is the engine
     # or the hypervisor (healthy box ~20/s; degraded windows <5/s)
