@@ -27,7 +27,7 @@ import bench  # noqa: E402  (repo-root bench.py; main() is guarded)
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/BENCH_r05_local.json"
 STATE = "/tmp/scaling_watch_state"
-TARGET_ROUNDS = 5
+TARGET_ROUNDS = int(os.environ.get("SCALING_WATCH_TARGET", "5"))
 AMBIENT_MIN = 10.0      # sorts/s; healthy ≈ 20-40, storms < 1
 LOAD_MAX = 2.0          # our own fg jobs push loadavg >> this
 PAIR = (1, 4)
