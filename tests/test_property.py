@@ -576,6 +576,18 @@ def test_jpeg_progressive_parity_property(h, w, seed, mode, kind, ri):
         assert np.array_equal(
             decode_jpeg_gray(encode_jpeg_gray(g, restart_interval=ri)),
             decode_jpeg_gray(encode_jpeg_gray(g)))
+        # CMYK path: restart variant is bit-identical to plain, and
+        # both transforms reconstruct within codec rounding
+        from openaleph_search_spark.ops.jpeg import encode_jpeg_cmyk
+        for tr in (0, 2):
+            plain = decode_jpeg(encode_jpeg_cmyk(img, transform=tr))
+            assert np.abs(plain.astype(int)
+                          - img.astype(int)).max() <= 4
+            if ri:
+                assert np.array_equal(
+                    decode_jpeg(encode_jpeg_cmyk(
+                        img, transform=tr, restart_interval=ri)),
+                    plain)
     else:
         assert np.array_equal(
             decode_jpeg(encode_jpeg_progressive(
