@@ -1477,6 +1477,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return q28_bm25_match_topk(spark, "/root/testdata/sf0.001")
 
 
+
+def pipe_temperature(spark, sf_dir):
+    """Temperature / alpha-sampling rebalance (the mT5/XLM-R
+    multilingual-mixing rule) over the documents table's sources:
+    target share q proportional to p^alpha (alpha=0.5), downsampling
+    keep-fractions against the natural-size budget
+    (ops/mixing.temperature_fractions — one tiny partial-aggregated
+    groupBy, then window math on the #groups-sized relation)."""
+    from openaleph_search_spark.ops.mixing import temperature_fractions
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = temperature_fractions(df, group_col="source", alpha=0.5)
+    return out.select("group", "n",
+                      F.round("p", 6).alias("p"),
+                      F.round("q", 6).alias("q"),
+                      F.round("weight", 6).alias("weight"),
+                      F.round("fraction", 6).alias("fraction"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate records only the
     # FIRST 50 entries, so entries that have never (or least recently)
@@ -1566,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_sort_q27_paging": q26_sort_q27_paging,
         "q27_search_after": q27_search_after,
         "q10_post_filter_facet": q10_post_filter_facet,
+        "pipe_temperature": pipe_temperature,
     }
 
 
@@ -1931,6 +1950,24 @@ SELECT doc_id, path FROM d
 WHERE text LIKE '%vector%'
   AND (path > 'src/src5' OR (path = 'src/src5' AND doc_id > 0))
 ORDER BY path, doc_id LIMIT 15
+""",
+        "pipe_temperature": """
+WITH c AS (
+  SELECT source AS "group", count(*) AS n FROM documents GROUP BY 1
+),
+t AS (
+  SELECT "group", n,
+         n::DOUBLE / (SUM(n) OVER ())::DOUBLE AS p,
+         pow(n::DOUBLE / (SUM(n) OVER ())::DOUBLE, 0.5) AS q0,
+         (SUM(n) OVER ())::DOUBLE AS tot
+  FROM c
+)
+SELECT "group", n,
+       round(p, 6) AS p,
+       round(q0 / SUM(q0) OVER (), 6) AS q,
+       round(q0 / SUM(q0) OVER () * tot / n, 6) AS weight,
+       round(least(1.0, q0 / SUM(q0) OVER () * tot / n), 6) AS fraction
+FROM t ORDER BY "group"
 """,
         "q10_post_filter_facet": """
 WITH m AS (

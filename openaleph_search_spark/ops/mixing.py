@@ -62,6 +62,51 @@ def mixture_sample(df: DataFrame, fractions: dict[str, float],
 
 
 
+def temperature_fractions(df: DataFrame, group_col: str = "source",
+                          alpha: float = 0.3,
+                          budget: int | None = None) -> DataFrame:
+    """Temperature / α-sampling rebalance (the mT5 / XLM-R /
+    CCNet-style multilingual-mixing rule): target share per group
+    q_g ∝ p_g^α where p_g is the group's corpus share. α=1 keeps the
+    natural distribution, α→0 flattens toward uniform — low-resource
+    groups are up-weighted. → one row per group:
+    (group, n, p, q, fraction) where fraction = min(1, q·B/n) is the
+    DOWNSAMPLING keep-rate against a ``budget`` B of output docs
+    (default: the corpus size, so high-resource groups shrink and
+    low-resource groups keep fraction 1.0; true up-sampling is a
+    replication decision left to the caller — ``q·B/n`` is exposed
+    unclamped as ``weight`` for it).
+
+    Scale shape: one partial-aggregated groupBy over the corpus (the
+    counts relation is #groups-sized), then pure window/Column math on
+    that tiny relation. Feed the result straight into
+    :func:`mixture_sample`::
+
+        fr = {r["group"]: r["fraction"]
+              for r in temperature_fractions(df, alpha=0.3).collect()}
+        sampled = mixture_sample(df, fr)
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0: {alpha}")
+    from pyspark.sql import Window
+    w = Window.partitionBy()
+    counts = (df.groupBy(F.col(group_col).cast("string").alias("group"))
+              .agg(F.count("*").alias("n")))
+    p = F.col("n") / F.sum("n").over(w)
+    q = F.pow(p, F.lit(float(alpha)))
+    q = q / F.sum(q).over(w)
+    b = (F.lit(int(budget)) if budget is not None
+         else F.sum("n").over(w))
+    weight = q * b / F.col("n")
+    return (counts.select(
+        "group", "n",
+        p.alias("p"),
+        q.alias("q"),
+        weight.alias("weight"),
+        F.least(F.lit(1.0), weight).alias("fraction"))
+        .orderBy("group"))
+
+
 def split_edges(weights: dict[str, float]) -> list[int]:
     """Exact integer band edges for :func:`with_split` (len-1 edges
     for len(weights) bands) — inline the SAME ints in any SQL

@@ -346,6 +346,56 @@ def test_mixture_sample_deterministic(spark):
         mixture_sample(df, {"web": 1.5})
 
 
+def test_temperature_fractions(spark):
+    """α-sampling rebalance (mT5/XLM-R): q ∝ p^α checked against
+    numpy; α=1 reproduces the natural shares; α=0 is uniform;
+    low-resource groups get fraction 1.0 and composing with
+    mixture_sample realizes the target mix."""
+    import numpy as np
+    from openaleph_search_spark.ops.mixing import (mixture_sample,
+                                                   temperature_fractions)
+    sizes = {"big": 2400, "mid": 480, "small": 120}
+    rows = []
+    i = 0
+    for g, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, g))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    for alpha in (0.0, 0.3, 1.0):
+        out = {r["group"]: r for r in
+               temperature_fractions(df, alpha=alpha).collect()}
+        n = np.array([sizes[g] for g in sorted(sizes)])
+        p = n / n.sum()
+        q = p ** alpha / (p ** alpha).sum()
+        for gi, g in enumerate(sorted(sizes)):
+            assert abs(out[g]["p"] - p[gi]) < 1e-12
+            assert abs(out[g]["q"] - q[gi]) < 1e-12
+            want_fr = min(1.0, q[gi] * n.sum() / n[gi])
+            assert abs(out[g]["fraction"] - want_fr) < 1e-12
+    # alpha=1 → natural distribution → every fraction is 1.0
+    nat = temperature_fractions(df, alpha=1.0).collect()
+    assert all(abs(r["fraction"] - 1.0) < 1e-12 for r in nat)
+    # flattening run: small keeps everything, big is cut hardest
+    fr = {r["group"]: r["fraction"] for r in
+          temperature_fractions(df, alpha=0.3).collect()}
+    assert fr["small"] == 1.0 and fr["mid"] == 1.0
+    assert fr["big"] < 1.0
+    sampled = mixture_sample(df, fr)
+    got = {r["source"]: r["count"] for r in
+           sampled.groupBy("source").count().collect()}
+    assert got["small"] == sizes["small"]
+    assert abs(got["big"] / sizes["big"] - fr["big"]) < 0.05
+    # an explicit budget scales every weight proportionally
+    full = {r["group"]: r["weight"] for r in
+            temperature_fractions(df, alpha=0.3).collect()}
+    half = {r["group"]: r for r in temperature_fractions(
+        df, alpha=0.3, budget=sum(sizes.values()) // 2).collect()}
+    for g in sizes:
+        assert abs(half[g]["weight"] - full[g] / 2) < 1e-9
+    assert half["big"]["fraction"] < fr["big"]
+
+
 def test_pii_scrub(spark):
     """PII scrubbing: emails/IPs/phones redacted and counted; custom
     pattern extension adds its own count + replace step."""
