@@ -1495,6 +1495,20 @@ def pipe_temperature(spark, sf_dir):
                       F.round("fraction", 6).alias("fraction"))
 
 
+
+def pipe_replicate(spark, sf_dir):
+    """Deterministic weighted replication (the up-sampling half of
+    alpha-sampling): floor(w) copies per row + one more gated on the
+    salted hash fraction (ops/mixing.replicate_by_weight — pure
+    Column gate + explode(sequence()) inside the scan, no shuffle)."""
+    from openaleph_search_spark.ops.mixing import replicate_by_weight
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wts = {"en": 2.0, "de": 1.5, "fr": 0.25, "zh": 3.25}
+    return (replicate_by_weight(df, wts, group_col="lang")
+            .select("doc_id", "lang", F.col("rep").cast("long")
+                    .alias("rep")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate records only the
     # FIRST 50 entries, so entries that have never (or least recently)
@@ -1585,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_search_after": q27_search_after,
         "q10_post_filter_facet": q10_post_filter_facet,
         "pipe_temperature": pipe_temperature,
+        "pipe_replicate": pipe_replicate,
     }
 
 
@@ -1950,6 +1965,26 @@ SELECT doc_id, path FROM d
 WHERE text LIKE '%vector%'
   AND (path > 'src/src5' OR (path = 'src/src5' AND doc_id > 0))
 ORDER BY path, doc_id LIMIT 15
+""",
+        "pipe_replicate": """
+WITH g AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':rep'),
+                         17, 16))::UBIGINT AS u,
+         CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1
+                   WHEN 'fr' THEN 0 WHEN 'zh' THEN 3 END AS n_full,
+         CASE lang WHEN 'en' THEN 0
+                   WHEN 'de' THEN 9223372036854775808
+                   WHEN 'fr' THEN 4611686018427387904
+                   WHEN 'zh' THEN 4611686018427387904 END::UBIGINT AS thr
+  FROM documents WHERE lang IN ('en', 'de', 'fr', 'zh')
+),
+n AS (
+  SELECT doc_id, lang,
+         n_full + CASE WHEN thr > 0 AND u < thr THEN 1 ELSE 0 END AS n
+  FROM g
+)
+SELECT doc_id, lang, unnest(range(n)) AS rep FROM n WHERE n > 0
 """,
         "pipe_temperature": """
 WITH c AS (

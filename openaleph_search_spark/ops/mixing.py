@@ -107,6 +107,45 @@ def temperature_fractions(df: DataFrame, group_col: str = "source",
         .orderBy("group"))
 
 
+def replicate_by_weight(df: DataFrame, weights: dict[str, float],
+                        group_col: str = "source",
+                        key_col: str = "doc_id",
+                        salt: str = "rep") -> DataFrame:
+    """Deterministic weighted replication — the UP-sampling half of
+    α-sampling (feed :func:`temperature_fractions`'s ``weight`` in):
+    each row of group g is emitted ``floor(w_g)`` times plus one more
+    iff its salted hash clears ``frac(w_g)`` (same exact-integer gate
+    as :func:`mixture_sample`, so w<1 degrades to plain downsampling
+    and the realized copy count is reproducible under reruns, appends,
+    and any partitioning). → df + ``rep`` copy-index column; groups
+    not listed are dropped (explicit spec).
+
+    Scale shape: a pure Column gate plus a per-row
+    ``explode(sequence())`` — row expansion happens inside the scan
+    stage, no shuffle, no RNG."""
+    full, thr = {}, {}
+    for g, wt in weights.items():
+        if wt < 0:
+            raise ValueError(f"weight for {g!r} must be >= 0: {wt}")
+        full[g] = int(wt)
+        thr[g] = int((wt - int(wt)) * (1 << 64))
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
+                                      F.lit(salt))), 17, 16),
+        16, 10).cast("decimal(20,0)")
+    n = F.lit(None).cast("int")
+    for g in sorted(weights):
+        extra = (u < F.lit(str(thr[g])).cast("decimal(20,0)")
+                 ).cast("int") if thr[g] else F.lit(0)
+        n = F.when(F.col(group_col) == g,
+                   F.lit(full[g]) + extra).otherwise(n)
+    return (df.withColumn("_n", n)
+            .filter(F.col("_n") > 0)
+            .withColumn("rep", F.explode(
+                F.sequence(F.lit(0), F.col("_n") - 1)))
+            .drop("_n"))
+
+
 def split_edges(weights: dict[str, float]) -> list[int]:
     """Exact integer band edges for :func:`with_split` (len-1 edges
     for len(weights) bands) — inline the SAME ints in any SQL

@@ -396,6 +396,41 @@ def test_temperature_fractions(spark):
     assert half["big"]["fraction"] < fr["big"]
 
 
+def test_replicate_by_weight(spark):
+    """Deterministic up/down-sampling by fractional weights: copy
+    counts are exact for integer parts, hash-gated for the fraction,
+    partition-invariant, and w<1 matches mixture_sample's keep set."""
+    from openaleph_search_spark.ops.mixing import (mixture_sample,
+                                                   replicate_by_weight)
+    rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    wts = {"a": 2.0, "b": 2.5, "c": 0.5}
+    out = replicate_by_weight(df, wts)
+    got = {r["source"]: r["count"] for r in
+           out.groupBy("source").count().collect()}
+    assert got["a"] == 2000                    # exactly 2 copies each
+    assert abs(got["b"] / 1000 - 2.5) < 0.1    # 2 + Bernoulli(.5)
+    assert abs(got["c"] / 1000 - 0.5) < 0.06   # pure downsample
+    assert "d" not in got                      # unlisted dropped
+    # rep index is 0..n-1 per row
+    reps = out.filter("source = 'a'").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("rep")).alias("r")).collect()
+    assert all(r["r"] == [0, 1] for r in reps)
+    # partition invariance
+    a = sorted((r["doc_id"], r["rep"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["rep"]) for r in
+               replicate_by_weight(df.repartition(7), wts).collect())
+    assert a == b
+    # w < 1 keeps the same ROWS as mixture_sample at that fraction
+    # (same hash gate, same salt discipline: different salts differ)
+    kept = sorted(r["doc_id"] for r in out.filter("source='c'")
+                  .collect())
+    mix = sorted(r["doc_id"] for r in mixture_sample(
+        df.filter("source='c'"), {"c": 0.5}).collect())
+    assert kept != mix  # different salts → independent events
+    assert abs(len(kept) - len(mix)) < 80
+
+
 def test_pii_scrub(spark):
     """PII scrubbing: emails/IPs/phones redacted and counted; custom
     pattern extension adds its own count + replace step."""
