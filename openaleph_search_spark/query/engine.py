@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..analysis.analyzer import analyze_text
 from ..index.storage import IndexStorage
 from ..index.build import FIELD_SEP
-from .executor import SearchExecutor
+from .executor import MetaSpec, SearchExecutor
 from .facets import (cardinality, histogram_facet, metric_aggs,
                      significant_terms, terms_facet)
 from .parser import partial_date_bounds
@@ -299,8 +299,17 @@ class Engine:
                 and all(f not in sa.facet_interval
                         and dtypes.get(f) == "string"
                         for f in sa.facets)):
-            partials = self.executor.facet_counts(tree, sa.facets,
-                                                  base_meta)
+            # scatter variant: per-shard tasks read their own doc_meta
+            # slice for the facet values — the meta table no longer
+            # shuffles into a cogroup on every facet query
+            spec = (self._meta_spec(pre_filters, sa, auth)
+                    if self.executor.scatter_ok() else None)
+            if spec is not None:
+                partials = self.executor.scatter_facet_counts(
+                    tree, sa.facets, spec)
+            else:
+                partials = self.executor.facet_counts(tree, sa.facets,
+                                                      base_meta)
             facets = {
                 f: (partials.filter(F.col("field") == f)
                     .select("value", "count")
@@ -327,7 +336,13 @@ class Engine:
             self.doc_meta  # resolve tombstone state
             fdf = base_meta if (pre_pred is not None
                                 or self._has_tombstones) else None
-            ids = self.executor.run(tree, k=None, filter_df=fdf)
+            spec = None
+            if fdf is not None and self.executor.scatter_ok():
+                spec = self._meta_spec(pre_filters, sa, auth)
+                if spec is not None:
+                    fdf = None  # restriction rides inside the scatter
+            ids = self.executor.run(tree, k=None, filter_df=fdf,
+                                    spec=spec)
             matched = base_meta.join(ids, "doc_id")
             if sa.function_score:
                 # Q21 function_score (queries.py:227-277): additive
@@ -338,17 +353,35 @@ class Engine:
                     F.col("score") + F.sqrt(0.5 * F.col("doc_len")))
         else:
             self.doc_meta  # ensure tombstone state resolved
-            filter_df = base_meta if (pre_pred is not None or post_fields
-                                      or self._has_tombstones) else None
-            topk = self.executor.topk(tree, sa.k, filter_df=filter_df)
-            # hydrate: the top-k side is bounded (≤ shards × k rows) —
-            # broadcast it so doc_meta never shuffles for a lookup of
-            # a few hundred ids (without the hint, Catalyst plans a
-            # sort-merge join until AQE maybe converts it at runtime)
-            meta_cols = [c for c in self.doc_meta.columns if c != "doc_id"]
-            hits = (self.doc_meta.join(F.broadcast(topk), "doc_id")
-                    .select("doc_id", "score", *meta_cols)
-                    .orderBy(F.desc("score"), F.asc("doc_id")))
+            filter_needed = (pre_pred is not None or bool(post_fields)
+                             or self._has_tombstones)
+            hits = None
+            if self.executor.scatter_ok():
+                spec = (self._meta_spec(pre_filters, sa, auth)
+                        if filter_needed else None)
+                if spec is not None or not filter_needed:
+                    # one single-stage job: per-group top-k evaluated
+                    # AND hydrated in-task; global cut on ≤ groups×k
+                    # rows — no exchange, no hydrate join
+                    raw = self.executor.scatter_topk_hydrated(
+                        tree, sa.k, spec, self.doc_meta.schema.fields)
+                    hits = (raw.orderBy(F.desc("score"),
+                                        F.asc("doc_id"))
+                            .limit(sa.k))
+            if hits is None:
+                filter_df = base_meta if filter_needed else None
+                topk = self.executor.topk(tree, sa.k,
+                                          filter_df=filter_df)
+                # hydrate: the top-k side is bounded (≤ shards × k
+                # rows) — broadcast it so doc_meta never shuffles for
+                # a lookup of a few hundred ids (without the hint,
+                # Catalyst plans a sort-merge join until AQE maybe
+                # converts it at runtime)
+                meta_cols = [c for c in self.doc_meta.columns
+                             if c != "doc_id"]
+                hits = (self.doc_meta.join(F.broadcast(topk), "doc_id")
+                        .select("doc_id", "score", *meta_cols)
+                        .orderBy(F.desc("score"), F.asc("doc_id")))
             if post_fields:
                 hits = hits.filter(self._post_pred(sa, post_fields))
             hits = hits.limit(sa.k)
@@ -434,7 +467,13 @@ class Engine:
             else self.doc_meta.filter(auth_pred)
         fdf = dm if (auth_pred is not None
                      or self._has_tombstones) else None
-        res = self.executor.run_multi(trees, k, filter_df=fdf)
+        spec = None
+        if fdf is not None and self.executor.scatter_ok():
+            spec = self._auth_spec(auth)
+            if spec is not None:
+                fdf = None  # ACL/tombstones ride inside the scatter
+        res = self.executor.run_multi(trees, k, filter_df=fdf,
+                                      spec=spec)
         return (res.withColumnRenamed("entity_id", "query_id")
                 .join(dm, "doc_id")
                 .withColumn("_rn", F.row_number().over(
@@ -467,7 +506,10 @@ class Engine:
             out = base.join(banned.select("doc_id"), "doc_id",
                             "left_anti")
         else:
-            ids = self.executor.run(tree, k=None, filter_df=base)
+            self.doc_meta  # resolve tombstone state
+            fdf = base if (pred is not None
+                           or self._has_tombstones) else None
+            ids = self.executor.run(tree, k=None, filter_df=fdf)
             out = base.join(ids.select("doc_id"), "doc_id")
         cols = list(out.columns)
         if include_fields:
@@ -493,6 +535,10 @@ class Engine:
             banned = self.executor.run(Bool(should=tree.must_not), k=None)
             return base.join(banned.select("doc_id"), "doc_id",
                              "left_anti").count()
+        if self.executor.scatter_ok():
+            spec = self._meta_spec(sa.filters, sa, auth)
+            if spec is not None:
+                return self.executor.scatter_count(tree, spec)
         return self.executor.run(tree, k=None, filter_df=base).count()
 
     @staticmethod
@@ -561,6 +607,53 @@ class Engine:
         return pred
 
     # -- planning helpers -----------------------------------------------------
+    def _meta_spec(self, filters: dict[str, list[str]], sa: SearchArgs,
+                   auth) -> MetaSpec | None:
+        """Translate the doc_meta restriction (auth + filters +
+        excludes + empties) into a :class:`MetaSpec` for the scatter
+        path — ONLY when the translation is provably exact (string
+        equality/isin and null checks). Ranges, casts and non-string
+        columns return None → the legacy cogrouped plan runs."""
+        if sa.ranges:
+            return None
+        dtypes = dict(self.doc_meta.dtypes)
+        conj: list[tuple] = []
+        if auth is not None and not auth.is_admin:
+            if not auth.datasets:
+                return MetaSpec(match_none=True)
+            if dtypes.get(self.auth_field) != "string":
+                return None
+            conj.append(("in", self.auth_field,
+                         tuple(sorted(auth.datasets))))
+        for f, vals in filters.items():
+            if dtypes.get(f) != "string" or not all(
+                    isinstance(v, str) for v in vals):
+                return None
+            conj.append(("in", f, tuple(vals)))
+        for f, vals in sa.excludes.items():
+            if dtypes.get(f) != "string" or not all(
+                    isinstance(v, str) for v in vals):
+                return None
+            conj.append(("notin_or_null", f, tuple(vals)))
+        for f in sa.empties:
+            if f not in dtypes:
+                return None
+            conj.append(("isnull", f, ()))
+        return MetaSpec(conjuncts=tuple(conj))
+
+    def _auth_spec(self, auth) -> MetaSpec | None:
+        """Auth-only MetaSpec (msearch path — no user filters there)."""
+        if auth is None:
+            return MetaSpec()
+        if auth.is_admin:
+            return MetaSpec()
+        if not auth.datasets:
+            return MetaSpec(match_none=True)
+        if dict(self.doc_meta.dtypes).get(self.auth_field) != "string":
+            return None
+        return MetaSpec(conjuncts=(
+            ("in", self.auth_field, tuple(sorted(auth.datasets))),))
+
     def _plan(self, sa: SearchArgs) -> Node:
         tree = parse_query_string(sa.q)
         if sa.synonyms and self.synonyms is not None \

@@ -45,23 +45,41 @@ def test_doc_meta_column_pruning(spark, fixture_index):
 
 
 def test_positions_column_pruned_for_nonphrase(spark, fixture_engine):
-    """A term query's postings scan must not read pos_payload."""
+    """A term query must not read pos_payload — asserted on the
+    scatter path's planned read set AND on the legacy Catalyst scan."""
     from openaleph_search_spark.query.ir import TermLeaf
     ex = fixture_engine.executor
+    assert ex.scatter_ok()
     res = ex.run(TermLeaf("banana"), k=10)
-    plan = _plan(res)
-    scan = [ln for ln in plan.split("\n") if "FileScan" in ln][0]
-    assert "pos_payload" not in scan
-    assert "docs_payload" in scan
+    assert "MapInPandas" in _plan(res)  # scatter path engaged
+    info = ex._last_scatter
+    assert "pos_payload" not in info["cols"]
+    assert "docs_payload" in info["cols"]
+    assert not info["need_pos"]
+    # legacy fallback keeps the pushed-down pruned scan
+    ex._scatter = None
+    try:
+        plan = _plan(ex.run(TermLeaf("banana"), k=10))
+        scan = [ln for ln in plan.split("\n") if "FileScan" in ln][0]
+        assert "pos_payload" not in scan
+        assert "docs_payload" in scan
+    finally:
+        ex._scatter = False
 
 
 def test_positions_column_read_for_phrase(spark, fixture_engine):
     from openaleph_search_spark.query.ir import PhraseLeaf
     ex = fixture_engine.executor
-    res = ex.run(PhraseLeaf(["banana", "crime"]), k=10)
-    plan = _plan(res)
-    scan = [ln for ln in plan.split("\n") if "FileScan" in ln][0]
-    assert "pos_payload" in scan
+    ex.run(PhraseLeaf(["banana", "crime"]), k=10)
+    assert "pos_payload" in ex._last_scatter["cols"]
+    assert ex._last_scatter["need_pos"]
+    ex._scatter = None
+    try:
+        plan = _plan(ex.run(PhraseLeaf(["banana", "crime"]), k=10))
+        scan = [ln for ln in plan.split("\n") if "FileScan" in ln][0]
+        assert "pos_payload" in scan
+    finally:
+        ex._scatter = False
 
 
 def test_ann_bucket_filter_pushed_to_scan(spark, tmp_path):
@@ -98,17 +116,31 @@ def test_ann_bucket_filter_pushed_to_scan(spark, tmp_path):
     assert got == want
 
 
-def test_topk_hydrate_broadcasts(spark, fixture_engine):
-    """The top-k hydrate join must broadcast the (≤ shards×k row)
-    top-k side — doc_meta never shuffles for a lookup of a few
-    hundred ids."""
+def test_topk_hydrate_zero_exchange(spark, fixture_engine):
+    """The scatter top-k path must be ONE single-stage job: per-group
+    eval + in-task hydrate, global cut as TakeOrdered — no Exchange,
+    no join operator anywhere in the plan."""
     res = fixture_engine.search({"q": "banana crime", "limit": 5})
     plan = _plan(res.hits)
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
     # schema order stays (doc_id, score, ...meta) — the entry/oracle
     # compare and SearchResult docstring both rely on it
     assert res.hits.columns[:2] == ["doc_id", "score"]
+    # results identical to the legacy broadcast-hydrate plan, which
+    # must keep broadcasting (doc_meta never shuffles for k ids)
+    got = [tuple(r) for r in res.hits.collect()]
+    fixture_engine.executor._scatter = None
+    try:
+        res2 = fixture_engine.search({"q": "banana crime", "limit": 5})
+        plan2 = _plan(res2.hits)
+        assert "BroadcastHashJoin" in plan2
+        assert "SortMergeJoin" not in plan2
+        assert got == [tuple(r) for r in res2.hits.collect()]
+    finally:
+        fixture_engine.executor._scatter = False
 
 
 def test_facet_fast_path_single_cogroup(spark, fixture_engine):
@@ -133,8 +165,70 @@ def test_run_multi_single_pass(spark, fixture_engine):
              for i, t in enumerate(["banana", "kwazulu", "crime wave"])}
     df = fixture_engine.executor.run_multi(trees, k=5)
     plan = _plan(df)
-    assert plan.count("FlatMapGroupsInPandas") == 1
-    assert "Union" not in plan
+    assert plan.count("MapInPandas") == 1  # scatter: one operator
+    assert "Union" not in plan and "Exchange" not in plan
+    fixture_engine.executor._scatter = None
+    try:
+        plan2 = _plan(fixture_engine.executor.run_multi(trees, k=5))
+        assert plan2.count("FlatMapGroupsInPandas") == 1
+        assert "Union" not in plan2
+    finally:
+        fixture_engine.executor._scatter = False
+
+
+def test_scatter_matches_legacy_everywhere(spark, fixture_index,
+                                           fixture_docs_df, tmp_path):
+    """The zero-exchange scatter path must be row- and score-identical
+    to the legacy Catalyst path across every engine branch it serves:
+    top-k, filters/excludes/empties, facet fast path, count, msearch —
+    and with tombstones present."""
+    from openaleph_search_spark.index.mutate import delete_by_ids
+    from openaleph_search_spark.index.storage import IndexStorage
+    from openaleph_search_spark.query.engine import Engine
+
+    def pair(idx):
+        new = Engine(spark, idx)
+        old = Engine(spark, idx)
+        old.executor._scatter = None  # force legacy plans
+        assert new.executor.scatter_ok()
+        return new, old
+
+    new, old = pair(fixture_index)
+    argsets = [
+        {"q": "banana crime", "limit": 5},
+        {"q": "banana", "filter:lang": "go", "limit": 5},
+        {"q": "banana OR kwazulu", "exclude:lang": "txt", "limit": 5},
+        {"q": '"banana crime"', "limit": 5},
+        {"q": "crime", "qfields": "content,path^2", "limit": 5},
+    ]
+    for a in argsets:
+        got = [tuple(r) for r in new.search(a).hits.collect()]
+        want = [tuple(r) for r in old.search(a).hits.collect()]
+        assert got == want, a
+    fa = {"q": "banana", "facet": "lang", "limit": 0}
+    assert (new.search(fa).facets["lang"].collect()
+            == old.search(fa).facets["lang"].collect())
+    assert new.count({"q": "banana"}) == old.count({"q": "banana"})
+    ms = {"a": {"q": "banana"}, "b": {"q": "crime wave"}}
+    assert sorted(map(tuple, new.msearch(ms, k=3).collect())) \
+        == sorted(map(tuple, old.msearch(ms, k=3).collect()))
+
+    # tombstoned index: scatter must subtract deletes identically
+    import shutil
+    mdir = str(tmp_path / "idx_tomb")
+    shutil.copytree(fixture_index, mdir)
+    st = IndexStorage(mdir)
+    victim = old.search({"q": "banana", "limit": 1}).hits.collect()[0]
+    delete_by_ids(spark, st, [victim["doc_id"]])
+    tnew, told = pair(mdir)
+    for a in ({"q": "banana crime", "limit": 5},
+              {"q": "banana", "filter:lang": "go", "limit": 5}):
+        assert [tuple(r) for r in tnew.search(a).hits.collect()] \
+            == [tuple(r) for r in told.search(a).hits.collect()], a
+    assert tnew.count({"q": "banana"}) == told.count({"q": "banana"})
+    assert all(r["doc_id"] != victim["doc_id"]
+               for r in tnew.search({"q": "banana", "limit": 5})
+               .hits.collect())
 
 
 def test_ivf_centroid_selection_is_bounded_topn(spark):
