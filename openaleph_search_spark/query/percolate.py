@@ -209,10 +209,24 @@ def _percolate_batch_fn(stored: list[StoredQuery], id_cols: list[str],
             g_name.append(" ".join(tokens))
             g_m.append(len(tokens))
             gid += 1
-    clause_df = pd.DataFrame({
-        "term": np.asarray(c_tok, dtype=object),
-        "gid": np.asarray(c_gid, dtype=np.int64),
-        "slot": np.asarray(c_slot, dtype=np.int64)})
+    c_gid_arr = np.asarray(c_gid, dtype=np.int64)
+    c_slot_arr = np.asarray(c_slot, dtype=np.int64)
+    # term → clause-entry lookup (replaces a per-chunk pandas merge of
+    # the full token table against the clause table: the merge hashed
+    # every token string into a DataFrame join — the dominant kernel
+    # cost. factorize + this LUT hashes each term once and gathers
+    # entries with pure integer numpy; row order differs from the
+    # merge but every consumer below sorts/uniques its keys)
+    _lut: dict[str, list[int]] = {}
+    for i, t in enumerate(c_tok):
+        _lut.setdefault(t, []).append(i)
+    lut_keys = {t: j for j, t in enumerate(_lut)}
+    lut_cnt = np.array([len(v) for v in _lut.values()], dtype=np.int64)
+    lut_off = np.concatenate([[0], np.cumsum(lut_cnt)[:-1]]) \
+        if len(lut_cnt) else np.empty(0, np.int64)
+    lut_flat = (np.concatenate([np.asarray(v, dtype=np.int64)
+                                for v in _lut.values()])
+                if _lut else np.empty(0, np.int64))
     g_entity = np.asarray(g_entity, dtype=object)
     g_boost = np.asarray(g_boost, dtype=np.float64)
     g_name = np.asarray(g_name, dtype=object)
@@ -243,16 +257,28 @@ def _percolate_batch_fn(stored: list[StoredQuery], id_cols: list[str],
                 if not len(terms) or not n_gid:
                     yield empty
                     continue
-                tok_df = pd.DataFrame({
-                    "doc": ridx, "term": terms.to_numpy(), "pos": pos})
-                hits = tok_df.merge(clause_df, on="term", copy=False)
-                if not len(hits):
+                codes, uniq = pd.factorize(terms, sort=False)
+                u_slot = np.fromiter(
+                    (lut_keys.get(u, -1) for u in uniq),
+                    np.int64, count=len(uniq))
+                tok_slot = u_slot[codes]
+                mmask = tok_slot >= 0
+                if not mmask.any():
                     yield empty
                     continue
-                doc = hits["doc"].to_numpy(np.int64)
-                hgid = hits["gid"].to_numpy(np.int64)
-                slot = hits["slot"].to_numpy(np.int64)
-                adj = hits["pos"].to_numpy(np.int64) - slot
+                tslot = tok_slot[mmask]
+                tdoc = ridx[mmask]
+                tpos = pos[mmask]
+                reps = lut_cnt[tslot]
+                cum = np.cumsum(reps)
+                ii = (np.arange(int(cum[-1]), dtype=np.int64)
+                      - np.repeat(cum - reps, reps)
+                      + np.repeat(lut_off[tslot], reps))
+                entries = lut_flat[ii]
+                doc = np.repeat(tdoc, reps)
+                hgid = c_gid_arr[entries]
+                slot = c_slot_arr[entries]
+                adj = np.repeat(tpos, reps) - slot
                 # composite key: (doc, clause) pair base + adjusted pos.
                 # span must exceed TWICE the in-pair key range plus slop so
                 # the nearest key of a NEIGHBORING pair is always farther
@@ -305,7 +331,13 @@ def _percolate_batch_fn(stored: list[StoredQuery], id_cols: list[str],
                     {c: pdf[c].to_numpy()[m_doc[grp]] for c in id_cols})
                 res["entity_id"] = g_entity[m_gid[grp]]
                 res["score"] = np.add.reduceat(g_boost[m_gid], grp)
-                res["matched_names"] = np.split(g_name[m_gid], grp[1:])
+                # plain slice views instead of np.split: array_split
+                # pays a python swapaxes per piece — profiled at ~60%
+                # of the whole kernel on match-heavy batches
+                nv = g_name[m_gid]
+                bounds = np.r_[grp, m_gid.size]
+                res["matched_names"] = [
+                    nv[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
                 yield res
 
     return fn
