@@ -50,7 +50,6 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import replace
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -167,9 +166,10 @@ class IndexVersions:
         read = self.alias()["read"]
         if len(read) == 1:
             return self.engine(read[0]).count(args, auth=auth)
-        sa_all = replace(sa, offset=0, limit=1 << 30)
-        parts = [self.engine(v).search(sa_all, auth=auth).hits
-                 for v in read]
+        # UNCAPPED matched set per version via export() — search() would
+        # clamp k to MAX_PAGE (9999) and silently undercount any
+        # version with more matches than one page
+        parts = [self.engine(v).export(sa, auth=auth) for v in read]
         key = self._doc_key(parts[0])
         ids = [p.select(*key) for p in parts]
         return reduce(DataFrame.unionByName, ids).distinct().count()

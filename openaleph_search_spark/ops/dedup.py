@@ -287,7 +287,12 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     """Near-dup pairs: Hamming(simhash) ≤ max_hamming, found by banding
     the 64 bits into 4 × 16-bit chunks (pigeonhole: any pair within
     Hamming 3 shares ≥1 exact chunk) and verifying with bit_count."""
-    sh = simhash(df, id_col, text_col, hash_fn)
+    from pyspark import StorageLevel
+    # sh feeds both sides of the chunk self-join — persist so the
+    # token+simhash UDF lineage evaluates once (ContextCleaner
+    # unpersists when the plan is released)
+    sh = simhash(df, id_col, text_col, hash_fn).persist(
+        StorageLevel.MEMORY_AND_DISK)
     chunks = sh.select(
         "doc_id", "simhash",
         F.explode(F.expr(
@@ -328,10 +333,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     JVM higher-order-function formulation is interpreted per element
     and measured 20-50x slower (CLAUDE.md perf rule).
     """
+    from pyspark import StorageLevel
     base = (rebalance_small(df)
             .select(F.col(id_col).alias("doc_id"),
                     _shingle_set(text_col, n).alias("shingles"))
-            .filter(F.size("shingles") > 0))
+            .filter(F.size("shingles") > 0)
+            # four consumers (sizes×2 joins, inverted index, hot set):
+            # persist so the shingle UDF lineage evaluates once
+            .persist(StorageLevel.MEMORY_AND_DISK))
     sizes = base.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = base.select("doc_id", F.explode("shingles").alias("sh"))
     if stop_shingle_df is not None:
@@ -744,9 +753,16 @@ def strip_boilerplate_lines(df: DataFrame, boiler: DataFrame,
     base = (rebalance_small(df)
             .select(F.col(id_col).alias("doc_id"),
                     F.col(text_col).alias("_text")))
-    hash_rows = (boiler.select("line_hash")
-                 .limit(max_broadcast_lines + 1).collect())
-    if len(hash_rows) <= max_broadcast_lines:
+    # id dtype follows the caller's id column (string ids must not be
+    # silently cast to long by a hard-coded schema)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (f"doc_id {id_type}, text_clean string, "
+                  "n_lines long, n_lines_removed long")
+    # count BEFORE collecting: a degenerate corpus (millions of
+    # distinct 'boilerplate' lines) must choose the join fallback
+    # without first materializing the oversized set on the driver
+    if boiler.count() <= max_broadcast_lines:
+        hash_rows = boiler.select("line_hash").collect()
         hset = frozenset(r[0] for r in hash_rows)
         bc = df.sparkSession.sparkContext.broadcast(hset)
 
@@ -756,9 +772,7 @@ def strip_boilerplate_lines(df: DataFrame, boiler: DataFrame,
                     yield strip_boilerplate_broadcast_kernel(
                         pdf, bc.value)
 
-        return base.mapInPandas(
-            fn, schema=("doc_id long, text_clean string, "
-                        "n_lines long, n_lines_removed long"))
+        return base.mapInPandas(fn, schema=out_schema)
 
     pos_hash = (df.select(F.col(id_col).alias("doc_id"),
                           F.posexplode(F.split(F.col(text_col), "\n"))
@@ -770,10 +784,8 @@ def strip_boilerplate_lines(df: DataFrame, boiler: DataFrame,
           .agg(F.sort_array(F.collect_list("pos")).alias("_rm")))
     joined = (base.join(rm, F.col("doc_id") == F.col("_rid"), "left")
               .drop("_rid"))
-    return joined.mapInPandas(
-        _strip_boiler_batches(),
-        schema=("doc_id long, text_clean string, "
-                "n_lines long, n_lines_removed long"))
+    return joined.mapInPandas(_strip_boiler_batches(),
+                              schema=out_schema)
 
 
 def keep_one_per_cluster(df: DataFrame, pairs: DataFrame,

@@ -8,8 +8,9 @@ JPEG (full T.81 codec in ``ops/jpeg.py``: baseline gray/color,
 progressive, restart markers, non-interleaved scans) — with real
 feature extraction (channel stats + luminance histogram for images;
 RMS, zero-crossing rate and FFT band energies for audio) and a real
-nearest-neighbor resize that re-encodes PPM. Remaining codec-heavy
-formats (CMYK JPEG/MP3/video containers) raise
+nearest-neighbor resize that re-encodes PPM. JPEG coverage includes
+progressive (SOF2) and Adobe CMYK/YCCK (APP14). Remaining codec-heavy
+formats (arithmetic/12-bit JPEG, MP3, video containers) raise
 ``NotImplementedError`` unless a ``decoder=`` hook is supplied
 (PIL/torchaudio/ffmpeg at deploy time) — the Spark plumbing (schemas,
 Arrow batch shapes, partition-preserving ``mapInPandas``) is
@@ -204,10 +205,11 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"\xff\xd8":
-        # real baseline-JPEG path (ops/jpeg.py, numpy+stdlib):
-        # grayscale AND 3-component YCbCr baseline (4:4:4/4:2:2/4:2:0)
-        # decode natively; progressive/CMYK raise NotImplementedError
-        # inside with the decoder= hint
+        # real JPEG path (ops/jpeg.py, numpy+stdlib): baseline gray +
+        # YCbCr (4:4:4/4:2:2/4:2:0), progressive (SOF2), restart
+        # markers, and Adobe CMYK/YCCK all decode natively; only
+        # non-integer sampling / arithmetic / extended-lossless frames
+        # raise NotImplementedError with the decoder= hint
         from .jpeg import decode_jpeg
         return decode_jpeg(payload)
     raise NotImplementedError(

@@ -39,6 +39,10 @@ from .ir import Bool, TermLeaf
 # that want drop-in parity: more_like_this(..., **REFERENCE_DEFAULTS).
 DEFAULTS = dict(min_tf=1, min_df=1, max_df_ratio=0.9, min_len=3,
                 max_terms=25, min_should_pct=0.1)
+
+# driver-memory guard on the probe doc's term-vector gather (VERDICT
+# r5): far above any real document's vocabulary, so exact in practice
+MAX_VECTOR_TERMS = 200_000
 REFERENCE_DEFAULTS = dict(min_tf=1, min_df=1, max_df=500, min_len=5,
                           max_terms=200, min_should_pct=0.1)
 
@@ -84,8 +88,14 @@ def doc_term_vector(spark: SparkSession, storage: IndexStorage,
                 "term": pdf["term"].to_numpy()[term_idx],
                 "tf": tfs[mask].astype(np.int32)})
 
+    # bounded gather: TakeOrdered keeps the driver-side vector at most
+    # MAX_VECTOR_TERMS rows even for a pathological all-unique-token
+    # doc (ordering by tf desc, term asc is deterministic; any real
+    # doc's vocabulary is far below the cap, so results are exact)
     return [(r["term"], r["tf"]) for r in
-            blocks.mapInPandas(extract, "term string, tf int").collect()]
+            blocks.mapInPandas(extract, "term string, tf int")
+            .orderBy(F.desc("tf"), F.asc("term"))
+            .limit(MAX_VECTOR_TERMS).collect()]
 
 
 def interesting_terms(spark: SparkSession, storage: IndexStorage,
