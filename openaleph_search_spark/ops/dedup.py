@@ -232,6 +232,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     verified = (cand
                 .join(toks.select(F.col("doc_id").alias("id_a"),
                                   F.col("_h").alias("toks_a")), "id_a")
+                # re-hint: a hint does not survive through a join, so
+                # without it the second verify join reverts to SMJ and
+                # sorts the digest arrays
+                .hint("SHUFFLE_HASH")
                 .join(toks.select(F.col("doc_id").alias("id_b"),
                                   F.col("_h").alias("toks_b")), "id_b")
                 .withColumn("inter",
