@@ -189,55 +189,154 @@ def percolate_text(text: str, stored: list[StoredQuery],
     return out
 
 
+class _PercPlan:
+    """Driver-compiled, closure-broadcast percolation tables (tiny —
+    sized by the watchlist, not the corpus)."""
+
+    __slots__ = ("c_gid_arr", "c_slot_arr", "lut_keys", "lut_cnt",
+                 "lut_off", "lut_flat", "g_entity", "g_boost", "g_name",
+                 "g_m", "g_eord", "n_gid", "m_classes")
+
+    def __init__(self, stored: list[StoredQuery]):
+        # flat clause tables (driver-side, tiny)
+        c_tok, c_gid, c_slot = [], [], []
+        g_entity, g_boost, g_name, g_m = [], [], [], []
+        gid = 0
+        for sq in stored:
+            for tokens, boost in sq.clauses:
+                for s, t in enumerate(tokens):
+                    c_tok.append(t)
+                    c_gid.append(gid)
+                    c_slot.append(s)
+                g_entity.append(sq.entity_id)
+                g_boost.append(boost)
+                g_name.append(" ".join(tokens))
+                g_m.append(len(tokens))
+                gid += 1
+        self.c_gid_arr = np.asarray(c_gid, dtype=np.int64)
+        self.c_slot_arr = np.asarray(c_slot, dtype=np.int64)
+        # term → clause-entry lookup (replaces a per-chunk pandas merge
+        # of the full token table against the clause table: the merge
+        # hashed every token string into a DataFrame join — the dominant
+        # kernel cost. factorize + this LUT hashes each term once and
+        # gathers entries with pure integer numpy; row order differs
+        # from the merge but every consumer below sorts/uniques its
+        # keys)
+        _lut: dict[str, list[int]] = {}
+        for i, t in enumerate(c_tok):
+            _lut.setdefault(t, []).append(i)
+        self.lut_keys = {t: j for j, t in enumerate(_lut)}
+        self.lut_cnt = np.array([len(v) for v in _lut.values()],
+                                dtype=np.int64)
+        self.lut_off = (np.concatenate(
+            [[0], np.cumsum(self.lut_cnt)[:-1]])
+            if len(self.lut_cnt) else np.empty(0, np.int64))
+        self.lut_flat = (np.concatenate(
+            [np.asarray(v, dtype=np.int64) for v in _lut.values()])
+            if _lut else np.empty(0, np.int64))
+        self.g_entity = np.asarray(g_entity, dtype=object)
+        self.g_boost = np.asarray(g_boost, dtype=np.float64)
+        self.g_name = np.asarray(g_name, dtype=object)
+        self.g_m = np.asarray(g_m, dtype=np.int64)
+        # entity ordinal per clause: clauses of one entity are
+        # contiguous gids, so (doc, entity) groups are contiguous in
+        # sorted pair order
+        self.g_eord = np.zeros(gid, dtype=np.int64)
+        if gid:
+            self.g_eord[1:] = np.cumsum(
+                self.g_entity[1:] != self.g_entity[:-1])
+        self.n_gid = gid
+        self.m_classes = sorted(set(self.g_m.tolist()))
+
+
+def _percolate_chunk(P: _PercPlan, texts: pd.Series, slop: int):
+    """Evaluate one ≤1k-doc chunk. Returns ``None`` (no hits) or
+    ``(m_doc_grp, ent_idx, scores, m_gid, grp)`` where ``m_doc_grp``
+    indexes rows of the chunk, ``ent_idx = m_gid[grp]`` indexes
+    ``P.g_entity``/group starts, and matched names per group are
+    ``P.g_name[m_gid][grp[i]:grp[i+1]]``."""
+    ridx, terms, pos = tokenize_flat(texts)
+    if not len(terms) or not P.n_gid:
+        return None
+    codes, uniq = pd.factorize(terms, sort=False)
+    u_slot = np.fromiter(
+        (P.lut_keys.get(u, -1) for u in uniq),
+        np.int64, count=len(uniq))
+    tok_slot = u_slot[codes]
+    mmask = tok_slot >= 0
+    if not mmask.any():
+        return None
+    tslot = tok_slot[mmask]
+    tdoc = ridx[mmask]
+    tpos = pos[mmask]
+    reps = P.lut_cnt[tslot]
+    cum = np.cumsum(reps)
+    ii = (np.arange(int(cum[-1]), dtype=np.int64)
+          - np.repeat(cum - reps, reps)
+          + np.repeat(P.lut_off[tslot], reps))
+    entries = P.lut_flat[ii]
+    doc = np.repeat(tdoc, reps)
+    hgid = P.c_gid_arr[entries]
+    slot = P.c_slot_arr[entries]
+    adj = np.repeat(tpos, reps) - slot
+    # composite key: (doc, clause) pair base + adjusted pos.
+    # span must exceed TWICE the in-pair key range plus slop so
+    # the nearest key of a NEIGHBORING pair is always farther
+    # than slop (keys near a pair's top edge sit span-offmax
+    # away from the next pair's bottom edge).
+    offset = np.int64(int(P.g_m.max()) + 1)  # adj ≥ -(m-1)
+    off_max = int(pos.max()) + int(offset)
+    span = np.int64(2 * off_max + slop + 2)
+    pair = doc * np.int64(P.n_gid) + hgid
+    key = pair * span + adj + offset
+    hm = P.g_m[hgid]
+    matched_pairs = []
+    for m in P.m_classes:
+        sel = hm == m
+        if not sel.any():
+            continue
+        if m == 1:
+            matched_pairs.append(np.unique(pair[sel]))
+            continue
+        anchors = np.sort(key[sel & (slot == 0)])
+        for j in range(1, m):
+            if anchors.size == 0:
+                break
+            ref = np.sort(key[sel & (slot == j)])
+            if ref.size == 0:
+                anchors = anchors[:0]
+                break
+            idx = np.searchsorted(ref, anchors)
+            left = ref[np.maximum(idx - 1, 0)]
+            right = ref[np.minimum(idx, ref.size - 1)]
+            dist = np.minimum(np.abs(anchors - left),
+                              np.abs(right - anchors))
+            anchors = anchors[dist <= slop]
+        if anchors.size:
+            matched_pairs.append(np.unique(anchors // span))
+    if not matched_pairs:
+        return None
+    # (doc, entity) groups are contiguous in sorted pair order
+    # (entity clauses have contiguous gids): segment-reduce the
+    # scores — no per-group python aggregation
+    mp = np.unique(np.concatenate(matched_pairs))
+    m_doc = (mp // P.n_gid).astype(np.int64)
+    m_gid = (mp % P.n_gid).astype(np.int64)
+    m_e = P.g_eord[m_gid]
+    grp = np.flatnonzero(np.r_[True, (m_doc[1:] != m_doc[:-1])
+                               | (m_e[1:] != m_e[:-1])])
+    scores = np.add.reduceat(P.g_boost[m_gid], grp)
+    return m_doc[grp], m_gid[grp], scores, m_gid, grp
+
+
 def _percolate_batch_fn(stored: list[StoredQuery], id_cols: list[str],
                         text_col: str, slop: int):
     """The mapInPandas body of :func:`percolate_docs` (module-level so
     the property suite can fuzz it directly against the per-doc
-    ``percolate_text`` reference path)."""
-    # flat clause tables (driver-side, tiny)
-    c_tok, c_gid, c_slot = [], [], []
-    g_entity, g_boost, g_name, g_m = [], [], [], []
-    gid = 0
-    for sq in stored:
-        for tokens, boost in sq.clauses:
-            for s, t in enumerate(tokens):
-                c_tok.append(t)
-                c_gid.append(gid)
-                c_slot.append(s)
-            g_entity.append(sq.entity_id)
-            g_boost.append(boost)
-            g_name.append(" ".join(tokens))
-            g_m.append(len(tokens))
-            gid += 1
-    c_gid_arr = np.asarray(c_gid, dtype=np.int64)
-    c_slot_arr = np.asarray(c_slot, dtype=np.int64)
-    # term → clause-entry lookup (replaces a per-chunk pandas merge of
-    # the full token table against the clause table: the merge hashed
-    # every token string into a DataFrame join — the dominant kernel
-    # cost. factorize + this LUT hashes each term once and gathers
-    # entries with pure integer numpy; row order differs from the
-    # merge but every consumer below sorts/uniques its keys)
-    _lut: dict[str, list[int]] = {}
-    for i, t in enumerate(c_tok):
-        _lut.setdefault(t, []).append(i)
-    lut_keys = {t: j for j, t in enumerate(_lut)}
-    lut_cnt = np.array([len(v) for v in _lut.values()], dtype=np.int64)
-    lut_off = np.concatenate([[0], np.cumsum(lut_cnt)[:-1]]) \
-        if len(lut_cnt) else np.empty(0, np.int64)
-    lut_flat = (np.concatenate([np.asarray(v, dtype=np.int64)
-                                for v in _lut.values()])
-                if _lut else np.empty(0, np.int64))
-    g_entity = np.asarray(g_entity, dtype=object)
-    g_boost = np.asarray(g_boost, dtype=np.float64)
-    g_name = np.asarray(g_name, dtype=object)
-    g_m = np.asarray(g_m, dtype=np.int64)
-    # entity ordinal per clause: clauses of one entity are contiguous
-    # gids, so (doc, entity) groups are contiguous in sorted pair order
-    g_eord = np.zeros(gid, dtype=np.int64)
-    if gid:
-        g_eord[1:] = np.cumsum(g_entity[1:] != g_entity[:-1])
-    n_gid = gid
-    m_classes = sorted(set(g_m.tolist()))
+    ``percolate_text`` reference path). Streaming sources use this
+    path; batch goes through :func:`_percolate_batch_arrow_fn`, which
+    shares :func:`_percolate_chunk` verbatim."""
+    P = _PercPlan(stored)
 
     def fn(it):
         empty = pd.DataFrame({
@@ -253,92 +352,69 @@ def _percolate_batch_fn(stored: list[StoredQuery], id_cols: list[str],
         for whole in it:
             for lo in range(0, len(whole), 1024):
                 pdf = whole.iloc[lo:lo + 1024]
-                ridx, terms, pos = tokenize_flat(pdf[text_col])
-                if not len(terms) or not n_gid:
+                hit = _percolate_chunk(P, pdf[text_col], slop)
+                if hit is None:
                     yield empty
                     continue
-                codes, uniq = pd.factorize(terms, sort=False)
-                u_slot = np.fromiter(
-                    (lut_keys.get(u, -1) for u in uniq),
-                    np.int64, count=len(uniq))
-                tok_slot = u_slot[codes]
-                mmask = tok_slot >= 0
-                if not mmask.any():
-                    yield empty
-                    continue
-                tslot = tok_slot[mmask]
-                tdoc = ridx[mmask]
-                tpos = pos[mmask]
-                reps = lut_cnt[tslot]
-                cum = np.cumsum(reps)
-                ii = (np.arange(int(cum[-1]), dtype=np.int64)
-                      - np.repeat(cum - reps, reps)
-                      + np.repeat(lut_off[tslot], reps))
-                entries = lut_flat[ii]
-                doc = np.repeat(tdoc, reps)
-                hgid = c_gid_arr[entries]
-                slot = c_slot_arr[entries]
-                adj = np.repeat(tpos, reps) - slot
-                # composite key: (doc, clause) pair base + adjusted pos.
-                # span must exceed TWICE the in-pair key range plus slop so
-                # the nearest key of a NEIGHBORING pair is always farther
-                # than slop (keys near a pair's top edge sit span-offmax
-                # away from the next pair's bottom edge).
-                offset = np.int64(int(g_m.max()) + 1)  # adj ≥ -(m-1)
-                off_max = int(pos.max()) + int(offset)
-                span = np.int64(2 * off_max + slop + 2)
-                pair = doc * np.int64(n_gid) + hgid
-                key = pair * span + adj + offset
-                hm = g_m[hgid]
-                matched_pairs = []
-                for m in m_classes:
-                    sel = hm == m
-                    if not sel.any():
-                        continue
-                    if m == 1:
-                        matched_pairs.append(np.unique(pair[sel]))
-                        continue
-                    anchors = np.sort(key[sel & (slot == 0)])
-                    for j in range(1, m):
-                        if anchors.size == 0:
-                            break
-                        ref = np.sort(key[sel & (slot == j)])
-                        if ref.size == 0:
-                            anchors = anchors[:0]
-                            break
-                        idx = np.searchsorted(ref, anchors)
-                        left = ref[np.maximum(idx - 1, 0)]
-                        right = ref[np.minimum(idx, ref.size - 1)]
-                        dist = np.minimum(np.abs(anchors - left),
-                                          np.abs(right - anchors))
-                        anchors = anchors[dist <= slop]
-                    if anchors.size:
-                        matched_pairs.append(np.unique(anchors // span))
-                if not matched_pairs:
-                    yield empty
-                    continue
-                # (doc, entity) groups are contiguous in sorted pair order
-                # (entity clauses have contiguous gids): segment-reduce the
-                # scores and np.split the matched names — no per-group
-                # python aggregation
-                mp = np.unique(np.concatenate(matched_pairs))
-                m_doc = (mp // n_gid).astype(np.int64)
-                m_gid = (mp % n_gid).astype(np.int64)
-                m_e = g_eord[m_gid]
-                grp = np.flatnonzero(np.r_[True, (m_doc[1:] != m_doc[:-1])
-                                           | (m_e[1:] != m_e[:-1])])
+                m_doc_grp, ent_idx, scores, m_gid, grp = hit
                 res = pd.DataFrame(
-                    {c: pdf[c].to_numpy()[m_doc[grp]] for c in id_cols})
-                res["entity_id"] = g_entity[m_gid[grp]]
-                res["score"] = np.add.reduceat(g_boost[m_gid], grp)
+                    {c: pdf[c].to_numpy()[m_doc_grp] for c in id_cols})
+                res["entity_id"] = P.g_entity[ent_idx]
+                res["score"] = scores
                 # plain slice views instead of np.split: array_split
                 # pays a python swapaxes per piece — profiled at ~60%
                 # of the whole kernel on match-heavy batches
-                nv = g_name[m_gid]
+                nv = P.g_name[m_gid]
                 bounds = np.r_[grp, m_gid.size]
                 res["matched_names"] = [
                     nv[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
                 yield res
+
+    return fn
+
+
+def _percolate_batch_arrow_fn(stored: list[StoredQuery],
+                              id_cols: list[str], text_col: str,
+                              slop: int):
+    """mapInArrow body: same :func:`_percolate_chunk` kernel, but the
+    output batch is built directly in Arrow — the name dictionary is
+    converted ONCE per task and every output column is an integer
+    ``take`` on it (or on the input batch), instead of a per-row
+    pandas→Arrow object conversion of ~100k rows/task. Measured 3-7×
+    cheaper on the result shape (guide §4: shrink the Python boundary,
+    not just the kernel)."""
+    import pyarrow as pa
+    P = _PercPlan(stored)
+
+    def fn(it):
+        names_pa = pa.array(P.g_name, type=pa.string())
+        ent_pa = pa.array(P.g_entity, type=pa.string())
+        for rb in it:
+            t_i = rb.schema.get_field_index(text_col)
+            fields = ([rb.schema.field(rb.schema.get_field_index(c))
+                       for c in id_cols] +
+                      [pa.field("entity_id", pa.string()),
+                       pa.field("score", pa.float64()),
+                       pa.field("matched_names", pa.list_(pa.string()))])
+            schema = pa.schema(fields)
+            # same 1k-doc chunk bound as the pandas path (cache-sized
+            # intermediates)
+            for lo in range(0, rb.num_rows, 1024):
+                chunk = rb.slice(lo, 1024)
+                hit = _percolate_chunk(
+                    P, chunk.column(t_i).to_pandas(), slop)
+                if hit is None:
+                    continue
+                m_doc_grp, ent_idx, scores, m_gid, grp = hit
+                doc_take = pa.array(m_doc_grp)
+                cols = [chunk.column(chunk.schema.get_field_index(c))
+                        .take(doc_take) for c in id_cols]
+                cols.append(ent_pa.take(pa.array(ent_idx)))
+                cols.append(pa.array(scores, type=pa.float64()))
+                cols.append(pa.ListArray.from_arrays(
+                    pa.array(np.r_[grp, m_gid.size].astype(np.int32)),
+                    names_pa.take(pa.array(m_gid))))
+                yield pa.RecordBatch.from_arrays(cols, schema=schema)
 
     return fn
 
@@ -362,21 +438,25 @@ def percolate_docs(docs: DataFrame, stored: list[StoredQuery],
     stream through mapInPandas with constant memory.
     """
     id_cols = id_cols or ["repo", "path", "commit"]
-    fn = _percolate_batch_fn(stored, id_cols, text_col, slop)
     id_schema = ", ".join(
         f"{c} {docs.schema[c].dataType.simpleString()}" for c in id_cols)
+    out_schema = (f"{id_schema}, entity_id string, score double, "
+                  f"matched_names array<string>")
     src = docs.select(*id_cols, text_col)
+    if src.isStreaming:  # .rdd / mapInArrow paths are batch-only
+        return src.mapInPandas(
+            _percolate_batch_fn(stored, id_cols, text_col, slop),
+            out_schema)
     # a small input (fewer partitions than cores — e.g. one parquet
     # file) would run the whole kernel on one task; rebalance so every
     # core percolates. At corpus scale partitions >> cores, so this
     # never fires and doc text never takes an extra shuffle.
-    if not src.isStreaming:  # .rdd is illegal on streaming plans
-        par = src.sparkSession.sparkContext.defaultParallelism
-        if src.rdd.getNumPartitions() < par:
-            src = src.repartition(par)
-    return src.mapInPandas(
-        fn, f"{id_schema}, entity_id string, score double, "
-            f"matched_names array<string>")
+    par = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src.mapInArrow(
+        _percolate_batch_arrow_fn(stored, id_cols, text_col, slop),
+        out_schema)
 
 
 # ---------------------------------------------------------------------------
