@@ -113,9 +113,14 @@ def main():
     bench("q_match_or",
           lambda: eng.search({"q": "merge OR window OR vector",
                               "limit": 10}).hits.collect())
+    explain_to("q_match_or",
+               eng.search({"q": "merge OR window OR vector",
+                           "limit": 10}).hits)
     bench("q_phrase",
           lambda: eng.search({"q": '"table scan"', "limit": 10})
           .hits.collect())
+    explain_to("q_phrase",
+               eng.search({"q": '"table scan"', "limit": 10}).hits)
     bench("q_filtered",
           lambda: eng.search({"q": "vector stream", "filter:lang": "de",
                               "limit": 10}).hits.collect())
@@ -132,9 +137,14 @@ def main():
     bench("q_fielded",
           lambda: eng.search({"q": "lang:de vector", "limit": 10})
           .hits.collect())
+    explain_to("q_fielded",
+               eng.search({"q": "lang:de vector", "limit": 10}).hits)
     bench("q_dismax",
           lambda: eng.search({"q": "go", "qfields": "content,path^2",
                               "limit": 10}).hits.collect())
+    explain_to("q_dismax",
+               eng.search({"q": "go", "qfields": "content,path^2",
+                           "limit": 10}).hits)
 
     docs = spark.read.parquet(f"{args.sf}/documents.parquet")
     emb = spark.read.parquet(f"{args.sf}/embeddings.parquet")
