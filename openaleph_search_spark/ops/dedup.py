@@ -182,6 +182,57 @@ def _digest_shingles_batches():
     return fn
 
 
+def _minhash_doc_batches(num_hashes: int, bands: int, seed: int = 7,
+                         hash_fn: str = "fast"):
+    """mapInPandas fn: (doc_id, _toks) → ONE row per doc carrying both
+    LSH products — (doc_id, bh array<long>[bands], _h sorted digest
+    array<long>). Band semantics are bit-identical to
+    :func:`_band_hash_batches` (same affine maps, same FNV fold) and
+    digests to :func:`_digest_shingles_batches`; fusing them means the
+    shingle strings are flattened/hashed in one task and NEVER persist
+    — only the compact int products do."""
+    rows = num_hashes // bands
+    rs = np.random.RandomState(seed)
+    A = ((rs.randint(1, 2**62, size=num_hashes).astype(np.uint64) << 1)
+         | np.uint64(1))
+    Bv = rs.randint(0, 2**62, size=num_hashes).astype(np.uint64)
+
+    def fn(it):
+        with np.errstate(over="ignore"):
+            for pdf in it:
+                counts = pdf["_toks"].str.len().fillna(0).astype(
+                    np.int64).to_numpy()
+                nz = counts > 0
+                if not nz.any():
+                    yield pd.DataFrame({
+                        "doc_id": pd.Series(dtype=np.int64),
+                        "bh": pd.Series(dtype=object),
+                        "_h": pd.Series(dtype=object)})
+                    continue
+                flat = np.concatenate(
+                    [np.asarray(t, dtype=object) for t in pdf["_toks"][nz]])
+                cnz = counts[nz]
+                starts = np.cumsum(cnz) - cnz
+                base = _base_hash64(flat, "minhash000000000", hash_fn)
+                H = base[:, None] * A[None, :] + Bv[None, :]
+                sig = np.minimum.reduceat(H, starts, axis=0)
+                bv = sig.reshape(-1, bands, rows)
+                bh = np.full(bv.shape[:2], 14695981039346656037,
+                             dtype=np.uint64)
+                for r in range(rows):
+                    bh = (bh ^ bv[:, :, r]) * np.uint64(1099511628211)
+                bh = bh.astype(np.int64)
+                dig = pd.util.hash_array(
+                    flat, hash_key="verify0000000000").view(np.int64)
+                parts = np.split(dig, np.cumsum(cnz)[:-1])
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"].to_numpy(np.int64)[nz],
+                    "bh": pd.Series(list(bh), dtype=object),
+                    "_h": pd.Series([np.sort(p) for p in parts],
+                                    dtype=object)})
+    return fn
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 64,
                       bands: int = 16, threshold: float = 0.9,
@@ -197,22 +248,26 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             .select(F.col(id_col).alias("doc_id"),
                       _shingle_set(text_col, shingle).alias("_toks"))
             .filter(F.size("_toks") > 0))
-    # one shingle computation feeds both consumers (banding + digest);
-    # measured: recomputing the lineage costs ~40% of the op at small
-    # scale. MEMORY_AND_DISK spills instead of OOMing at 100-TB scale,
-    # and Spark's ContextCleaner unpersists when the plan is released
+    # ONE fused kernel computes band hashes + verify digests per doc;
+    # only its compact int output persists (the earlier shape persisted
+    # the raw shingle-string arrays and ran two kernels over them —
+    # one full extra pass + object-array storage for nothing).
+    # MEMORY_AND_DISK spills instead of OOMing at 100-TB scale, and
+    # Spark's ContextCleaner unpersists when the plan is released
     from pyspark import StorageLevel
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    banded = base.mapInPandas(
-        _band_hash_batches(num_hashes, bands),
-        "doc_id long, band int, bh long").persist(
-        StorageLevel.MEMORY_AND_DISK)  # feeds both join sides once
+    sig = base.mapInPandas(
+        _minhash_doc_batches(num_hashes, bands),
+        "doc_id long, bh array<long>, _h array<long>").persist(
+        StorageLevel.MEMORY_AND_DISK)
+    # banding rows via a JVM posexplode of the per-doc band array —
+    # no second Python stage; pos IS the band index
+    banded = sig.select("doc_id", F.posexplode("bh").alias("band", "bh"))
     # candidate pairs: docs sharing any (band, band-hash) bucket —
     # an equi-join Catalyst shuffles on (band, bh); AQE splits skew.
     # SHUFFLE_HASH: equal-size sides, sorting both (SMJ) buys nothing;
     # the hinted-side hash build stays per-partition-sized (no
     # broadcast, AQE skew split still applies) — measured 1.4→0.93 s
-    # with the three hints + the two persists below
+    # with the three hints + the persist above
     right = banded.select(F.col("doc_id").alias("doc_id_b"),
                           "band", "bh")
     cand = (banded.hint("SHUFFLE_HASH").join(right, ["band", "bh"])
@@ -224,11 +279,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # exact verification: jaccard over 64-bit shingle DIGESTS — the
     # distinct-count arithmetic is identical to raw shingles (distinct
     # strings ↔ distinct hashes) while the two verify-join shuffles
-    # move 8-byte ints instead of ~8·shingle-length strings; persisted
-    # because BOTH verify joins consume it
-    toks = base.mapInPandas(_digest_shingles_batches(),
-                            "doc_id long, _h array<long>").persist(
-        StorageLevel.MEMORY_AND_DISK)
+    # move 8-byte ints instead of ~8·shingle-length strings
+    toks = sig.select("doc_id", "_h")
     verified = (cand
                 .join(toks.select(F.col("doc_id").alias("id_a"),
                                   F.col("_h").alias("toks_a")), "id_a")
