@@ -156,41 +156,17 @@ def _band_hash_batches(num_hashes: int, bands: int, seed: int = 7,
     return fn
 
 
-def _digest_shingles_batches():
-    """mapInPandas fn: (doc_id, _toks) → (doc_id, sorted int64 shingle
-    digests) — the compact verify-side payload (engine-internal hash;
-    the oracle compares JACCARD VALUES, which are hash-invariant)."""
-    def fn(it):
-        for pdf in it:
-            if not len(pdf):
-                yield pd.DataFrame({
-                    "doc_id": pd.Series(dtype=np.int64),
-                    "_h": pd.Series(dtype=object)})
-                continue
-            counts = pdf["_toks"].str.len().fillna(0).astype(
-                np.int64).to_numpy()
-            flat = (np.concatenate(
-                [np.asarray(t, dtype=object) for t in pdf["_toks"]])
-                if counts.sum() else np.empty(0, dtype=object))
-            h = pd.util.hash_array(
-                flat, hash_key="verify0000000000").view(np.int64)
-            parts = np.split(h, np.cumsum(counts)[:-1])
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"].to_numpy(np.int64),
-                "_h": pd.Series([np.sort(p) for p in parts],
-                                dtype=object)})
-    return fn
-
-
 def _minhash_doc_batches(num_hashes: int, bands: int, seed: int = 7,
                          hash_fn: str = "fast"):
     """mapInPandas fn: (doc_id, _toks) → ONE row per doc carrying both
     LSH products — (doc_id, bh array<long>[bands], _h sorted digest
     array<long>). Band semantics are bit-identical to
-    :func:`_band_hash_batches` (same affine maps, same FNV fold) and
-    digests to :func:`_digest_shingles_batches`; fusing them means the
-    shingle strings are flattened/hashed in one task and NEVER persist
-    — only the compact int products do."""
+    :func:`_band_hash_batches` (same affine maps, same FNV fold); the
+    verify digests are engine-internal 64-bit hashes of the shingles
+    (the oracle compares JACCARD VALUES, which are hash-invariant).
+    Fusing both products into one kernel means the shingle strings are
+    flattened/hashed in one task and NEVER persist — only the compact
+    int products do."""
     rows = num_hashes // bands
     rs = np.random.RandomState(seed)
     A = ((rs.randint(1, 2**62, size=num_hashes).astype(np.uint64) << 1)
