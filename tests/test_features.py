@@ -156,6 +156,34 @@ def test_percolate_docs_batch(spark, fixture_docs_df):
     assert all(r["score"] == 2.0 for r in out)
 
 
+def test_percolate_arrow_emitter_matches_pandas_body(spark,
+                                                     fixture_docs_df):
+    """Batch percolation emits through the mapInArrow body while
+    streaming keeps the pandas body; both wrap the same
+    _percolate_chunk kernel and must produce identical result sets
+    (guards the round-6 Arrow-out rewrite)."""
+    from openaleph_search_spark.query.percolate import (
+        _percolate_batch_fn, compile_watchlist, percolate_docs)
+    stored = compile_watchlist([
+        {"entity_id": "e1", "names": ["Paul Manafort"],
+         "other_names": ["Manafort"]},
+        {"entity_id": "e3", "names": ["Владимир Путин"]},
+    ])
+    id_cols = ["repo", "path", "commit"]
+    arrow = percolate_docs(fixture_docs_df, stored, slop=2).collect()
+    pandas_rows = (fixture_docs_df.select(*id_cols, "content")
+                   .mapInPandas(
+                       _percolate_batch_fn(stored, id_cols,
+                                           "content", 2),
+                       "repo string, path string, commit string, "
+                       "entity_id string, score double, "
+                       "matched_names array<string>").collect())
+    key = lambda r: (r["repo"], r["path"], r["commit"], r["entity_id"],
+                     round(r["score"], 9), tuple(r["matched_names"]))
+    assert len(arrow) > 0
+    assert sorted(map(key, arrow)) == sorted(map(key, pandas_rows))
+
+
 # ------------------------------------------------------------- mentions --
 def test_mentions_query(fixture_engine):
     from openaleph_search_spark.query.percolate import mentions_query

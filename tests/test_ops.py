@@ -73,6 +73,42 @@ def test_minhash_vs_exact_jaccard_oracle(spark, documents):
     assert got == want
 
 
+def test_fused_minhash_kernel_matches_band_kernel(spark, documents):
+    """The fused band+digest kernel (_minhash_doc_batches) must emit
+    band hashes bit-identical to the standalone _band_hash_batches it
+    replaced in minhash_lsh_pairs — posexplode(bh) with pos as the
+    band index reproduces the (doc_id, band, bh) rows exactly — and
+    digests that reproduce every pairwise jaccard of the raw shingle
+    sets (guards the round-6 kernel fusion)."""
+    import pandas as pd
+    from openaleph_search_spark.ops.dedup import (
+        _band_hash_batches, _minhash_doc_batches, _shingle_set)
+    toks = (documents.limit(64)
+            .select("doc_id", _shingle_set("text", 3).alias("_toks"))
+            .filter(F.size("_toks") > 0).toPandas())
+    legacy = pd.concat(list(_band_hash_batches(64, 16)(iter([toks]))))
+    fused = pd.concat(list(_minhash_doc_batches(64, 16)(iter([toks]))))
+    got = {(d, b): h
+           for d, bh in zip(fused["doc_id"], fused["bh"])
+           for b, h in enumerate(bh)}
+    want = {(d, b): h for d, b, h in zip(
+        legacy["doc_id"], legacy["band"], legacy["bh"])}
+    assert got == want
+    # digests: hash-space jaccard == raw shingle-set jaccard per pair
+    sets = dict(zip(toks["doc_id"],
+                    (set(t) for t in toks["_toks"])))
+    digs = dict(zip(fused["doc_id"],
+                    (set(h.tolist()) for h in fused["_h"])))
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ja = (len(sets[a] & sets[b])
+                  / len(sets[a] | sets[b]))
+            jd = (len(digs[a] & digs[b])
+                  / len(digs[a] | digs[b]))
+            assert abs(ja - jd) < 1e-12
+
+
 def test_simhash_identical_and_pairs(spark):
     from openaleph_search_spark.ops.dedup import simhash, simhash_pairs
     df = spark.createDataFrame(
